@@ -1,0 +1,209 @@
+"""Chunked on-disk trajectory store (HDF5).
+
+TPU-native re-design of the reference simulation database
+(``mdsuite/database/simulation_database.py:230-702``):
+
+* datasets live at ``"{species}/{property}"`` with shape
+  ``(n_configurations, n_particles, n_dims)`` — **time leading**, so a batch
+  of frames is one contiguous hyperslab read that can be handed straight to
+  ``jax.device_put`` (the reference stored time on axis 1 and carried a
+  permanent workaround, ``simulation_database.py:344-367``);
+* datasets are resizable along time (``maxshape=(None, ...)``) with a
+  per-dataset ``starting_index`` append cursor so ingestion and
+  transformations can resume after a crash
+  (reference: ``simulation_database.py:355,378,499``);
+* reads return NumPy arrays; device placement is owned by the prefetch
+  pipeline (``lammps_analysis_tpu.pipeline``), not the store.
+"""
+
+from __future__ import annotations
+
+import pathlib
+from typing import Dict, Iterable, List, Optional, Sequence, Union
+
+import h5py
+import numpy as np
+
+from .contracts import TrajectoryChunkData, TrajectoryMetadata
+
+
+def join_path(*parts: str) -> str:
+    """Join store path components (``"Na"``, ``"Positions"`` -> ``"Na/Positions"``)."""
+    return "/".join(str(p) for p in parts)
+
+
+class TrajectoryStore:
+    """Chunked, append-able HDF5 tensor store for trajectories."""
+
+    def __init__(self, path: Union[str, pathlib.Path]):
+        self.path = pathlib.Path(path)
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+
+    # ------------------------------------------------------------------ setup
+    def initialize(self, metadata: TrajectoryMetadata) -> None:
+        """Create all datasets announced by ``metadata`` (idempotent).
+
+        Reference analog: ``Database.initialize_database``
+        (``simulation_database.py:420-447``).
+        """
+        with h5py.File(self.path, "a") as db:
+            for sp in metadata.species_list:
+                grp = db.require_group(sp.name)
+                for prop in sp.properties:
+                    if prop.name in grp:
+                        self._resize_to(
+                            grp[prop.name], metadata.n_configurations
+                        )
+                    else:
+                        self._create_dataset(
+                            grp, prop.name, metadata.n_configurations,
+                            sp.n_particles, prop.n_dims,
+                        )
+
+    @staticmethod
+    def _create_dataset(grp, name: str, n_configs: int, n_particles: int, n_dims: int):
+        # Chunk over time slabs: a chunk is a contiguous run of frames for all
+        # atoms of the species — matches the streaming access pattern.
+        frame_bytes = max(n_particles * n_dims * 8, 1)
+        chunk_frames = int(np.clip(2**21 // frame_bytes, 1, max(n_configs, 1)))
+        ds = grp.create_dataset(
+            name,
+            shape=(n_configs, n_particles, n_dims),
+            maxshape=(None, n_particles, n_dims),
+            chunks=(chunk_frames, n_particles, n_dims),
+            dtype="float64",
+            compression="gzip",
+            compression_opts=2,
+        )
+        ds.attrs["starting_index"] = 0
+
+    @staticmethod
+    def _resize_to(ds, n_configs_total: int):
+        if ds.shape[0] < n_configs_total:
+            ds.resize(n_configs_total, axis=0)
+
+    def resize_datasets(self, extension: Dict[str, int]) -> None:
+        """Grow datasets along time by ``extension[path]`` frames.
+
+        Reference analog: ``Database.resize_datasets``
+        (``simulation_database.py:380-418``).
+        """
+        with h5py.File(self.path, "a") as db:
+            for path, n_extra in extension.items():
+                ds = db[path]
+                ds.resize(ds.shape[0] + int(n_extra), axis=0)
+
+    # ------------------------------------------------------------------ write
+    def add_chunk(self, chunk: TrajectoryChunkData) -> None:
+        """Append a chunk at each dataset's ``starting_index`` cursor.
+
+        Reference analog: ``Database.add_data``
+        (``simulation_database.py:333-378``) minus the axis swap — chunks are
+        already time-leading here.
+        """
+        with h5py.File(self.path, "a") as db:
+            for sp in chunk.species_list:
+                for prop in sp.properties:
+                    ds = db[join_path(sp.name, prop.name)]
+                    start = int(ds.attrs["starting_index"])
+                    stop = start + chunk.chunk_size
+                    if stop > ds.shape[0]:
+                        ds.resize(stop, axis=0)
+                    ds[start:stop] = chunk.get_data(sp.name, prop.name)
+                    ds.attrs["starting_index"] = stop
+
+    def set_cursor(self, path: str, value: int) -> None:
+        with h5py.File(self.path, "a") as db:
+            db[path].attrs["starting_index"] = int(value)
+
+    def get_cursor(self, path: str) -> int:
+        with h5py.File(self.path, "r") as db:
+            return int(db[path].attrs["starting_index"])
+
+    # ------------------------------------------------------------------- read
+    def load(
+        self,
+        paths: Sequence[str],
+        frames: Union[slice, np.ndarray, None] = None,
+        atoms: Union[slice, np.ndarray, None] = None,
+        scaling: Optional[Dict[str, float]] = None,
+        dtype=np.float64,
+    ) -> Dict[str, np.ndarray]:
+        """Load ``(frames, atoms, dims)`` slices for each path.
+
+        ``frames`` may be a slice or an integer index array (sampled
+        configurations for structural calculators — reference
+        ``load_data(select_slice=...)``, ``simulation_database.py:594-639``).
+        ``scaling`` maps path -> multiplicative factor (e.g. unit conversion
+        at load time).
+        """
+        out: Dict[str, np.ndarray] = {}
+        with h5py.File(self.path, "r") as db:
+            for path in paths:
+                ds = db[path]
+                data = self._select(ds, frames, atoms)
+                if scaling and path in scaling:
+                    data = data * scaling[path]
+                out[path] = np.asarray(data, dtype=dtype)
+        return out
+
+    @staticmethod
+    def _select(ds, frames, atoms):
+        if frames is None:
+            frames = slice(None)
+        if atoms is None:
+            atoms = slice(None)
+        if isinstance(frames, np.ndarray):
+            # h5py fancy indexing requires sorted unique indices; sampled
+            # configurations are already sorted (np.linspace).
+            data = ds[frames, ...]
+        else:
+            data = ds[frames]
+        if not (isinstance(atoms, slice) and atoms == slice(None)):
+            data = data[:, atoms]
+        return data
+
+    # ------------------------------------------------------------- inspection
+    def check_existence(self, path: str) -> bool:
+        """Reference analog: ``simulation_database.py:546-572``."""
+        if not self.path.exists():
+            return False
+        with h5py.File(self.path, "r") as db:
+            return path in db
+
+    def get_data_size(self, path: str) -> tuple:
+        """Return ``(n_configurations, n_particles, n_dims)`` of a dataset.
+
+        Reference analog: ``Database.get_data_size``
+        (``simulation_database.py:668-702``) which returns the same triple
+        (modulo axis order).
+        """
+        with h5py.File(self.path, "r") as db:
+            shape = db[path].shape
+        return (shape[0], shape[1], shape[2])
+
+    def get_memory_information(self) -> Dict[str, int]:
+        """Per-dataset nbytes. Reference: ``simulation_database.py:528-544``."""
+        out = {}
+        with h5py.File(self.path, "r") as db:
+
+            def visit(name, obj):
+                if isinstance(obj, h5py.Dataset):
+                    out[name] = int(np.prod(obj.shape)) * obj.dtype.itemsize
+
+            db.visititems(visit)
+        return out
+
+    def species_names(self) -> List[str]:
+        with h5py.File(self.path, "r") as db:
+            return list(db.keys())
+
+    def properties_of(self, species: str) -> List[str]:
+        with h5py.File(self.path, "r") as db:
+            return list(db[species].keys())
+
+    def summary(self) -> Dict[str, Dict[str, tuple]]:
+        out: Dict[str, Dict[str, tuple]] = {}
+        for sp in self.species_names():
+            out[sp] = {p: self.get_data_size(join_path(sp, p)) for p in self.properties_of(sp)}
+        return out

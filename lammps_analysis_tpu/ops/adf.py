@@ -1,0 +1,146 @@
+"""ADF triplet-angle kernels.
+
+TPU-native re-design of the reference's triplet machinery
+(``calculators/angular_distribution_function.py:330-430`` +
+``utils/neighbour_list.py:112-177``). The reference materialises explicit
+triple-index lists from a rolled r_ijk tensor (dynamic shapes, float16
+workarounds). Here the angle cosines for a block of central atoms are one
+batched Gram matrix — ``einsum('fcjd,fckd->fcjk')`` — which is pure MXU
+work, and triples are selected by masks over regular (center, j, k) tiles.
+
+Counting convention reproduces the reference exactly: ordered neighbor pairs
+``(j, k)``, ``j != k``, with the triple key ``(s_i, s_j, s_k)`` kept only when
+the species indices are non-decreasing (the reference only emits
+``combinations_with_replacement`` keys, so e.g. a Cl-centered Na-Cl-Na triple
+is dropped, and same-species pairs are counted in both orders).
+"""
+
+from __future__ import annotations
+
+import functools
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .geometry import minimum_image
+from .histogram import bin_indices, masked_histogram
+
+ADF_BIN_RANGE = (0.0, 3.15)  # radians — reference: "0 to a chemists pi" (:216)
+
+
+def build_triple_table(n_species: int):
+    """Triple-key table ``T[a, b, c] -> key index`` (-1 = dropped).
+
+    Key order matches ``itertools.combinations_with_replacement`` over the
+    species list (reference ``angular_distribution_function.py:414``).
+    """
+    table = np.full((n_species,) * 3, -1, dtype=np.int32)
+    order = []
+    for idx, (a, b, c) in enumerate(
+        itertools.combinations_with_replacement(range(n_species), 3)
+    ):
+        table[a, b, c] = idx
+        order.append((a, b, c))
+    return table, order
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_bins", "n_triples", "c_block", "norm_power"),
+)
+def adf_histogram(
+    positions: jnp.ndarray,
+    species_id: jnp.ndarray,
+    triple_table: jnp.ndarray,
+    box: jnp.ndarray | None,
+    cutoff: float,
+    n_bins: int,
+    n_triples: int,
+    norm_power: int = 4,
+    c_block: int = 8,
+) -> jnp.ndarray:
+    """Weighted angle histograms per species triple over a frame batch.
+
+    Parameters
+    ----------
+    positions : (F, Npad, 3) species-concatenated padded frames.
+    species_id : (Npad,) int32, -1 = padding.
+    triple_table : (S, S, S) key table from :func:`build_triple_table`.
+    cutoff : neighbor cutoff for both legs of the angle.
+    norm_power : weight = 1 / (|r_ij| |r_ik|)**norm_power (reference default 4).
+    c_block : central atoms per tile.
+
+    Returns
+    -------
+    (n_triples, n_bins) float32 weighted counts (NOT density-normalised —
+    the calculator handles the reference's per-batch density normalisation).
+    """
+    f, n_pad, _ = positions.shape
+    dtype = positions.dtype
+    n_blocks = -(-n_pad // c_block)
+    n_tiled = n_blocks * c_block
+    if n_tiled != n_pad:
+        positions = jnp.pad(positions, ((0, 0), (0, n_tiled - n_pad), (0, 0)))
+        species_id = jnp.pad(
+            species_id, (0, n_tiled - n_pad), constant_values=-1
+        )
+        n_pad = n_tiled
+    lo, hi = ADF_BIN_RANGE
+
+    sid = species_id
+    j_ids = jnp.arange(n_pad, dtype=jnp.int32)
+
+    def block_hist(c0):
+        pos_c = jax.lax.dynamic_slice_in_dim(positions, c0, c_block, axis=1)
+        sid_c = jax.lax.dynamic_slice_in_dim(sid, c0, c_block, axis=0)
+        c_ids = c0 + jnp.arange(c_block, dtype=jnp.int32)
+
+        # displacement center -> all atoms: (F, C, N, 3)
+        r = positions[:, None, :, :] - pos_c[:, :, None, :]
+        if box is not None:
+            r = minimum_image(r, box.astype(dtype))
+        d = jnp.sqrt(jnp.sum(r * r, axis=-1))  # (F, C, N)
+
+        neigh = (
+            (d < cutoff)
+            & (j_ids[None, None, :] != c_ids[None, :, None])
+            & (sid[None, None, :] >= 0)
+            & (sid_c[None, :, None] >= 0)
+        )  # (F, C, N)
+
+        # Gram matrix of displacement vectors -> MXU.
+        gram = jnp.einsum(
+            "fcjd,fckd->fcjk", r, r, preferred_element_type=jnp.float32
+        )
+        dj = d[:, :, :, None]
+        dk = d[:, :, None, :]
+        denom = dj * dk
+        cos = gram / jnp.where(denom > 0, denom, 1.0)
+        angle = jnp.arccos(jnp.clip(cos, -1.0, 1.0))  # (F, C, N, N)
+
+        t_id = triple_table[
+            jnp.maximum(sid_c, 0)[:, None, None],
+            jnp.maximum(sid, 0)[None, :, None],
+            jnp.maximum(sid, 0)[None, None, :],
+        ]  # (C, N, N)
+
+        mask = (
+            neigh[:, :, :, None]
+            & neigh[:, :, None, :]
+            & (j_ids[None, :] != j_ids[:, None])[None, None, :, :]
+            & (t_id >= 0)[None]
+        )
+
+        weight = jnp.where(
+            mask, 1.0 / jnp.where(denom > 0, denom, 1.0) ** norm_power, 0.0
+        ).astype(jnp.float32)
+
+        bins = bin_indices(angle, lo, hi, n_bins)
+        combined = jnp.maximum(t_id, 0)[None] * n_bins + bins
+        return masked_histogram(combined, weight, n_triples * n_bins, "matmul")
+
+    starts = jnp.arange(n_blocks, dtype=jnp.int32) * c_block
+    hists = jax.lax.map(block_hist, starts)
+    return jnp.sum(hists, axis=0).reshape(n_triples, n_bins)

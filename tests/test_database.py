@@ -1,0 +1,148 @@
+"""Unit tests for the trajectory store and results DB.
+
+Models the reference's database unit tests
+(``CI/unit_tests/database/test_simulation_database.py``).
+"""
+
+import numpy as np
+import pytest
+
+from lammps_analysis_tpu.database import (
+    PropertyInfo,
+    ResultsDatabase,
+    SpeciesInfo,
+    TrajectoryChunkData,
+    TrajectoryMetadata,
+    TrajectoryStore,
+    join_path,
+)
+
+POS = PropertyInfo("Positions", 3)
+VEL = PropertyInfo("Velocities", 3)
+
+
+def _metadata(n_configs=10, n_na=4, n_cl=3):
+    species = [
+        SpeciesInfo("Na", n_na, [POS, VEL]),
+        SpeciesInfo("Cl", n_cl, [POS]),
+    ]
+    return TrajectoryMetadata(
+        n_configurations=n_configs,
+        species_list=species,
+        box_l=[10.0, 10.0, 10.0],
+        sample_rate=5,
+        temperature=300.0,
+    )
+
+
+def test_store_create_and_shapes(tmp_path):
+    store = TrajectoryStore(tmp_path / "db.h5")
+    store.initialize(_metadata())
+    assert store.check_existence("Na/Positions")
+    assert store.check_existence("Na/Velocities")
+    assert store.check_existence("Cl/Positions")
+    assert not store.check_existence("Cl/Velocities")
+    assert store.get_data_size("Na/Positions") == (10, 4, 3)
+    assert store.get_data_size("Cl/Positions") == (10, 3, 3)
+
+
+def test_store_chunked_append_and_load(tmp_path, rng):
+    meta = _metadata(n_configs=10)
+    store = TrajectoryStore(tmp_path / "db.h5")
+    store.initialize(meta)
+    full = {
+        ("Na", "Positions"): rng.normal(size=(10, 4, 3)),
+        ("Na", "Velocities"): rng.normal(size=(10, 4, 3)),
+        ("Cl", "Positions"): rng.normal(size=(10, 3, 3)),
+    }
+    for start in (0, 6):  # two unequal chunks
+        size = 6 if start == 0 else 4
+        chunk = TrajectoryChunkData(meta.species_list, size)
+        for (sp, prop), arr in full.items():
+            chunk.add_data(arr[start : start + size], 0, sp, prop)
+        store.add_chunk(chunk)
+
+    out = store.load(["Na/Positions", "Cl/Positions"])
+    np.testing.assert_allclose(out["Na/Positions"], full[("Na", "Positions")])
+    np.testing.assert_allclose(out["Cl/Positions"], full[("Cl", "Positions")])
+
+    # frame index selection (sampled configurations)
+    idx = np.array([1, 4, 7])
+    out = store.load(["Na/Velocities"], frames=idx)
+    np.testing.assert_allclose(out["Na/Velocities"], full[("Na", "Velocities")][idx])
+
+    # slice + atom selection + scaling
+    out = store.load(
+        ["Na/Positions"], frames=slice(2, 5), atoms=np.array([0, 2]),
+        scaling={"Na/Positions": 2.0},
+    )
+    np.testing.assert_allclose(
+        out["Na/Positions"], 2.0 * full[("Na", "Positions")][2:5][:, [0, 2]]
+    )
+
+
+def test_store_resize_and_cursor(tmp_path):
+    meta = _metadata(n_configs=5)
+    store = TrajectoryStore(tmp_path / "db.h5")
+    store.initialize(meta)
+    assert store.get_cursor("Na/Positions") == 0
+    chunk = TrajectoryChunkData(meta.species_list, 5)
+    store.add_chunk(chunk)
+    assert store.get_cursor("Na/Positions") == 5
+    store.resize_datasets({"Na/Positions": 3})
+    assert store.get_data_size("Na/Positions") == (8, 4, 3)
+    # appending past the end autoresizes
+    store.add_chunk(TrajectoryChunkData(meta.species_list, 5))
+    assert store.get_data_size("Na/Positions")[0] >= 10
+
+
+def test_results_db_cache_roundtrip(tmp_path):
+    db = ResultsDatabase(tmp_path / "project.db")
+    args = {"data_range": 100, "species": ["Na"], "tau_values": [0, 1, 2]}
+    assert db.find_computation("exp1", "RDF", args, 0) is None
+    db.store_computation(
+        "exp1", "RDF", args, 0, {"Na_Na": {"x": [1, 2], "y": [0.5, 0.7]}}
+    )
+    comp = db.find_computation("exp1", "RDF", args, 0)
+    assert comp is not None
+    assert comp["Na_Na"]["y"] == [0.5, 0.7]
+    assert comp[("Na", "Na")]["x"] == [1, 2]
+    # different args -> miss; different version -> miss
+    assert db.find_computation("exp1", "RDF", {**args, "data_range": 50}, 0) is None
+    assert db.find_computation("exp1", "RDF", args, 1) is None
+
+
+def test_results_db_version_bump_invalidates(tmp_path):
+    db = ResultsDatabase(tmp_path / "project.db")
+    db.ensure_experiment("e")
+    assert db.experiment_version("e") == 0
+    db.store_computation("e", "calc", {"a": 1}, 0, {"System": {"v": 1}})
+    assert db.bump_experiment_version("e") == 1
+    assert db.find_computation("e", "calc", {"a": 1}, db.experiment_version("e")) is None
+
+
+def test_experiment_attributes(tmp_path):
+    db = ResultsDatabase(tmp_path / "project.db")
+    db.set_attribute("e1", "temperature", 1400.0)
+    db.set_attribute("e1", "box_array", [10.0, 11.0, 12.0])
+    db.set_attribute(
+        "e1", "species",
+        {"Na": {"n_particles": 500, "mass": 22.99, "charge": 1.0}},
+    )
+    assert db.get_attribute("e1", "temperature") == 1400.0
+    assert db.get_attribute("e1", "box_array") == [10.0, 11.0, 12.0]
+    assert db.get_attribute("e1", "species")["Na"]["n_particles"] == 500
+    assert db.get_attribute("e1", "missing", default=7) == 7
+    assert db.list_experiments() == ["e1"]
+
+
+def test_chunk_equality(rng):
+    sp = [SpeciesInfo("X", 2, [POS])]
+    a = TrajectoryChunkData(sp, 3)
+    b = TrajectoryChunkData(sp, 3)
+    data = rng.normal(size=(3, 2, 3))
+    a.add_data(data, 0, "X", "Positions")
+    b.add_data(data, 0, "X", "Positions")
+    assert a == b
+    b.add_data(data + 1, 0, "X", "Positions")
+    assert a != b

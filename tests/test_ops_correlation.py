@@ -1,0 +1,105 @@
+"""Unit tests for FFT correlation / MSD kernels vs direct numpy oracles."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from lammps_analysis_tpu.ops import correlation as C
+from lammps_analysis_tpu.ops import msd as M
+
+
+def direct_biased_acf(x):
+    n = x.shape[-1]
+    return np.array(
+        [np.sum(x[..., : n - m] * x[..., m:], axis=-1) / n for m in range(n)]
+    ).T
+
+
+def test_acf_biased_matches_direct(rng):
+    x = rng.normal(size=(5, 37))
+    acf = np.asarray(C.acf_biased(jnp.array(x), axis=-1))
+    np.testing.assert_allclose(acf, direct_biased_acf(x), atol=1e-12)
+
+
+def test_acf_multi_axis(rng):
+    x = rng.normal(size=(3, 20, 2))
+    acf = np.asarray(C.acf_biased(jnp.array(x), axis=1))
+    for i in range(3):
+        for d in range(2):
+            np.testing.assert_allclose(
+                acf[i, :, d], direct_biased_acf(x[i, :, d][None])[0], atol=1e-12
+            )
+
+
+def test_cross_correlation(rng):
+    x = rng.normal(size=(15,))
+    y = rng.normal(size=(15,))
+    ccf = np.asarray(C.cross_correlation_biased(jnp.array(x), jnp.array(y)))
+    direct = np.array([np.sum(x[: 15 - m] * y[m:]) / 15 for m in range(15)])
+    np.testing.assert_allclose(ccf, direct, atol=1e-12)
+
+
+def test_window_starts():
+    starts = np.asarray(C.window_starts(100, 20, 10))
+    assert starts.tolist() == [0, 10, 20, 30, 40, 50, 60, 70, 80]
+    assert np.asarray(C.window_starts(10, 20, 5)).size == 0
+
+
+def test_windowed_acf_sum_matches_loop(rng):
+    T, N, D, W, S = 40, 3, 2, 16, 4
+    x = rng.normal(size=(T, N, D))
+    acf_sum, per_window = C.windowed_acf_sum(jnp.array(x), W, S, chunk=2)
+    starts = range(0, T - W + 1, S)
+    expect = np.zeros(W)
+    expect_windows = []
+    for s in starts:
+        seg = x[s : s + W]  # (W, N, D)
+        acf_nd = np.zeros((N, W))
+        for p in range(N):
+            for d in range(D):
+                acf_nd[p] += direct_biased_acf(seg[:, p, d][None])[0]
+        expect += acf_nd.sum(axis=0)
+        expect_windows.append(acf_nd.mean(axis=0))
+    np.testing.assert_allclose(np.asarray(acf_sum), expect, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(per_window), expect_windows, atol=1e-10)
+
+
+def test_windowed_msd_sum_matches_loop(rng):
+    T, N, D, W, S = 50, 5, 3, 20, 7
+    pos = rng.normal(size=(T, N, D)).cumsum(axis=0)
+    tau = jnp.arange(W)
+    msum, nw = M.windowed_msd_sum(jnp.array(pos), tau, W, S)
+    expect = np.zeros(W)
+    count = 0
+    for s in range(0, T - W + 1, S):
+        seg = pos[s : s + W]
+        expect += ((seg - seg[0]) ** 2).sum(axis=(1, 2))
+        count += 1
+    np.testing.assert_allclose(np.asarray(msum), expect, rtol=1e-10)
+    assert int(nw) == count
+
+
+def test_windowed_msd_tau_subset(rng):
+    T, N, D, W = 30, 2, 3, 10
+    pos = rng.normal(size=(T, N, D)).cumsum(axis=0)
+    tau = jnp.array([0, 3, 7])
+    msum, _ = M.windowed_msd_sum(jnp.array(pos), tau, W, 5)
+    full, _ = M.windowed_msd_sum(jnp.array(pos), jnp.arange(W), W, 5)
+    np.testing.assert_allclose(
+        np.asarray(msum), np.asarray(full)[[0, 3, 7]], rtol=1e-12
+    )
+
+
+def test_msd_gram_cross_sum(rng):
+    T, N, D, W, S = 24, 4, 3, 8, 4
+    pos = rng.normal(size=(T, N, D)).cumsum(axis=0)
+    tau = jnp.arange(W)
+    cross, nw = M.windowed_msd_gram_sum(jnp.array(pos), tau, W, S)
+    expect = np.zeros(W)
+    for s in range(0, T - W + 1, S):
+        seg = pos[s : s + W]
+        disp = seg - seg[0]  # (W, N, D)
+        for a in range(N):
+            for b in range(N):
+                if a != b:
+                    expect += np.sum(disp[:, a] * disp[:, b], axis=-1)
+    np.testing.assert_allclose(np.asarray(cross), expect, rtol=1e-9)
