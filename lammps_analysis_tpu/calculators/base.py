@@ -1,0 +1,221 @@
+"""Calculator orchestration: cache -> compute -> persist -> plot.
+
+Re-design of the reference's ``@call`` decorator + ``Calculator`` /
+``TrajectoryCalculator`` bases (``mdsuite/calculators/calculator.py:52-148``,
+``trajectory_calculator.py:49-406``). The orchestration contract is kept
+exactly: a calculator invocation first probes the results DB for a
+computation with identical canonical args and experiment version; a miss
+runs the analysis and persists per-subject result series; the return value
+is a :class:`Computation` (or ``{experiment: Computation}`` when invoked
+from a project).
+
+The TF generator machinery is replaced by the static
+:class:`~lammps_analysis_tpu.memory.planner.BatchPlanner` plan + NumPy slab
+loads + jit-compiled JAX kernels; host-side post-processing (fits,
+integrals) stays NumPy/SciPy.
+"""
+
+from __future__ import annotations
+
+import abc
+import logging
+from typing import Any, Dict, List, Optional, Union
+
+import numpy as np
+
+from ..database.results_db import Computation
+from ..database.trajectory_store import join_path
+from ..memory.planner import BatchPlan
+from ..utils.constants import DatasetKeys
+from ..transformations.registry import transformation_for_property
+
+log = logging.getLogger(__name__)
+
+
+class Calculator(abc.ABC):
+    """Base orchestration for all calculators."""
+
+    #: subject-independent scalar outputs (e.g. diffusion_coefficient)
+    result_keys: List[str] = []
+    #: per-subject series outputs (e.g. time, msd)
+    result_series_keys: List[str] = []
+    #: True -> operates on the Observables group, one System subject
+    system_property: bool = False
+
+    def __init__(self, experiment=None, experiments=None, plot: bool = False):
+        self.experiment = experiment
+        self.experiments = experiments or ([experiment] if experiment else [])
+        self.plot = plot
+        self.args: Dict[str, Any] = {}
+
+    @property
+    def name(self) -> str:
+        return type(self).__name__
+
+    # ------------------------------------------------------------ entry point
+    def __call__(self, **kwargs) -> Union[Computation, Dict[str, Computation]]:
+        plot = kwargs.pop("plot", self.plot)
+        results: Dict[str, Computation] = {}
+        for exp in self.experiments:
+            self.experiment = exp
+            self.args = self.prepare_args(**kwargs)
+            cache_args = dict(self.args)
+            comp = exp.db.find_computation(
+                exp.name, self.name, cache_args, exp.version
+            )
+            if comp is None:
+                log.info("%s: computing on %s", self.name, exp.name)
+                data = self.run_calculator()
+                comp = exp.db.store_computation(
+                    exp.name, self.name, cache_args, exp.version, data
+                )
+            else:
+                log.info("%s: cache hit on %s", self.name, exp.name)
+            if plot:
+                try:
+                    self.plot_results(comp)
+                except Exception as err:  # plotting must never kill analysis
+                    log.warning("%s: plotting failed: %s", self.name, err)
+            results[exp.name] = comp
+        if len(results) == 1:
+            return next(iter(results.values()))
+        return results
+
+    # ---------------------------------------------------------------- plugin
+    @abc.abstractmethod
+    def prepare_args(self, **kwargs) -> Dict[str, Any]:
+        """Parse user kwargs into the canonical (JSON-serialisable) arg dict.
+
+        The returned dict is the cache key — it must contain every argument
+        that affects the numerical result (reference: per-calculator ``Args``
+        dataclasses doubling as cache keys).
+        """
+
+    @abc.abstractmethod
+    def run_calculator(self) -> Dict[str, dict]:
+        """Run the analysis; return ``{subject_key: result_dict}``."""
+
+    def plot_results(self, computation: Computation) -> None:
+        """Default plot: every subject's first series pair to one figure."""
+        from ..visualizer.plots import plot_series_results
+
+        plot_series_results(
+            computation,
+            self.result_series_keys,
+            out_dir=self.experiment.path / "figures",
+            title=self.name,
+        )
+
+
+class TrajectoryCalculator(Calculator):
+    """Adds trajectory streaming + dependency resolution to Calculator."""
+
+    #: property this calculator streams (PropertyInfo)
+    loaded_property = None
+    #: memory cost model (same spec format as the reference)
+    scale_function: dict = {"linear": {"scale_factor": 1}}
+    #: dtype for device kernels
+    dtype = "float64"
+
+    # ------------------------------------------------------- tau/window setup
+    def _handle_tau_values(self) -> np.ndarray:
+        """Normalise ``tau_values`` (int / list / slice) and return times.
+
+        Port of ``trajectory_calculator.py:196-228``; also sets
+        ``self.data_resolution`` and may adjust ``args['data_range']``.
+        """
+        tau = self.args.get("tau_values", None)
+        data_range = self.args["data_range"]
+        if isinstance(tau, int):
+            self.data_resolution = tau
+            tau = np.linspace(0, data_range - 1, tau, dtype=int)
+        elif isinstance(tau, (list, np.ndarray)):
+            tau = np.asarray(tau, dtype=int)
+            self.data_resolution = len(tau)
+            self.args["data_range"] = int(tau[-1] + 1)
+        elif tau is None or isinstance(tau, slice):
+            full = np.arange(data_range, dtype=int)
+            tau = full[tau] if isinstance(tau, slice) else full
+            self.data_resolution = len(tau)
+        else:
+            raise TypeError(f"Unsupported tau_values {tau!r}")
+        self.tau_values = tau
+        times = (
+            tau
+            * self.experiment.time_step
+            * self.experiment.sample_rate
+        )
+        return np.asarray(times, dtype=float)
+
+    # ------------------------------------------------------------ dependencies
+    def _run_dependency_check(self, species: Optional[List[str]] = None):
+        """Auto-run transformations that produce the loaded property.
+
+        Port of ``trajectory_calculator.py:117-194`` (``_resolve_dependencies``).
+        """
+        if self.loaded_property is None:
+            return
+        prop = self.loaded_property.name
+        if self.system_property:
+            path = join_path(DatasetKeys.OBSERVABLES, prop)
+            if self.experiment.store.check_existence(path):
+                return
+            producer = transformation_for_property(prop)
+            if producer is None:
+                raise ValueError(
+                    f"{self.name}: required property {prop} not in store and "
+                    "no transformation produces it."
+                )
+            producer.run_transformation(self.experiment)
+            return
+        for sp in species or self.args.get("species", []):
+            path = join_path(sp, prop)
+            if self.experiment.store.check_existence(path):
+                continue
+            producer = transformation_for_property(prop)
+            if producer is None:
+                raise ValueError(
+                    f"{self.name}: required property {prop} missing for "
+                    f"species {sp} and no transformation produces it."
+                )
+            producer.run_transformation(self.experiment, [sp])
+
+    # --------------------------------------------------------------- streaming
+    def _plan_for(self, paths: List[str], data_range: Optional[int] = None) -> BatchPlan:
+        n_frames = self.experiment.number_of_configurations
+        bytes_per_frame = 0
+        for p in paths:
+            _, n_atoms, n_dims = self.experiment.store.get_data_size(p)
+            bytes_per_frame += n_atoms * n_dims * 8
+        return self.experiment.planner.plan(
+            n_frames=n_frames,
+            bytes_per_frame=bytes_per_frame,
+            scale_function=self.scale_function,
+            data_range=data_range,
+        )
+
+    def _stream_property(
+        self, species: str, prop_name: str, data_range: int, correlation_time: int
+    ):
+        """Yield (T_slab, N, d) arrays in window-aligned slabs.
+
+        Consecutive slabs overlap by ``data_range - correlation_time`` frames
+        so every sliding window (stride ``correlation_time``) is seen exactly
+        once across slab boundaries.
+        """
+        path = join_path(species, prop_name)
+        plan = self._plan_for([path], data_range=data_range)
+        n_frames = plan.total_frames
+        slab = plan.frame_batch
+        start = 0
+        while start + data_range <= n_frames:
+            stop = min(start + slab, n_frames)
+            data = self.experiment.store.load([path], frames=slice(start, stop))[
+                path
+            ]
+            yield data
+            if stop >= n_frames:
+                break
+            # next window start strictly after the last one fully inside slab
+            n_windows = (stop - start - data_range) // correlation_time + 1
+            start = start + n_windows * correlation_time

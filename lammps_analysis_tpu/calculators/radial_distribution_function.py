@@ -1,0 +1,164 @@
+"""Radial distribution function calculator.
+
+TPU-native re-design of
+``mdsuite/calculators/radial_distribution_function.py:74-887``. Semantics
+(sampled configurations, default cutoff/bins, prefactor with ideal-gas
+corrections, Angstrom -> nm output) match the reference; the hot loop is the
+tiled minimum-image kernel in :mod:`lammps_analysis_tpu.ops.rdf` instead of
+triangular index bookkeeping, and frames are batched through a static plan.
+Multi-device execution shards the frame batch over the mesh with a psum of
+partial histograms (:mod:`lammps_analysis_tpu.parallel`).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..database.properties import mdsuite_properties as mp
+from ..database.trajectory_store import join_path
+from ..ops import rdf as rdf_ops
+from ..parallel.sharded_ops import sharded_rdf_histogram
+from ..utils.config import config
+from .base import TrajectoryCalculator
+
+log = logging.getLogger(__name__)
+
+
+class RadialDistributionFunction(TrajectoryCalculator):
+    """g(r) for all species pairs."""
+
+    loaded_property = mp.positions
+    scale_function = {"quadratic": {"outer_scale_factor": 1}}
+    result_series_keys = ["x", "y"]
+    dtype = "float32"  # reference uses float32 for the RDF (:128)
+
+    def prepare_args(
+        self,
+        number_of_bins: int = None,
+        cutoff: float = None,
+        start: int = 0,
+        stop: int = None,
+        number_of_configurations: int = 500,
+        species: list = None,
+        atom_selection=None,
+        molecules: bool = False,
+        **kwargs,
+    ) -> Dict[str, Any]:
+        exp = self.experiment
+        if stop is None:
+            stop = exp.number_of_configurations - 1
+        if cutoff is None:
+            cutoff = exp.box_array[0] / 2 - 0.1  # reference default (:227)
+        if number_of_configurations == -1:
+            number_of_configurations = exp.number_of_configurations - 1
+        number_of_configurations = min(
+            number_of_configurations, exp.number_of_configurations
+        )
+        if number_of_bins is None:
+            number_of_bins = int(cutoff / 0.01)  # 1/100 Angstrom bins (:238)
+        if species is None:
+            species = (
+                list(exp.molecules) if molecules else list(exp.species)
+            )
+        return {
+            "number_of_bins": int(number_of_bins),
+            "cutoff": float(cutoff),
+            "start": int(start),
+            "stop": int(stop),
+            "number_of_configurations": int(number_of_configurations),
+            "species": list(species),
+            "molecules": bool(molecules),
+        }
+
+    def run_calculator(self) -> Dict[str, dict]:
+        a = self.args
+        exp = self.experiment
+        species = a["species"]
+        n_bins, cutoff = a["number_of_bins"], a["cutoff"]
+
+        sample_configs = np.linspace(
+            a["start"], a["stop"], a["number_of_configurations"], dtype=int
+        )
+        sample_configs = np.unique(sample_configs)
+        n_sampled = len(sample_configs)
+
+        n_per_species = [exp.species[sp].n_particles for sp in species]
+        sid, n_pad, pair_table, n_pairs, pair_order = (
+            rdf_ops.build_species_layout(n_per_species, pad_to=8)
+        )
+
+        plan = self._plan_for(
+            [join_path(sp, self.loaded_property.name) for sp in species]
+        )
+        frames_per_batch = max(
+            1, min(plan.frame_batch, n_sampled)
+        )
+
+        dtype = np.float32 if self.dtype == "float32" else np.float64
+        hist = np.zeros((n_pairs, n_bins), dtype=np.float64)
+        box = jnp.asarray(np.asarray(exp.box_array, dtype=dtype))
+        sid_j = jnp.asarray(sid)
+        ptab_j = jnp.asarray(pair_table)
+
+        t0 = time.perf_counter()
+        n_batches = -(-n_sampled // frames_per_batch)
+        for b in range(n_batches):
+            idx = sample_configs[b * frames_per_batch : (b + 1) * frames_per_batch]
+            batch_pos = self._load_concat_positions(species, idx, n_pad, dtype)
+            h = sharded_rdf_histogram(
+                jnp.asarray(batch_pos),
+                sid_j,
+                ptab_j,
+                box,
+                cutoff,
+                n_bins,
+                n_pairs,
+                i_block=plan.atom_block,
+            )
+            hist += np.asarray(h, dtype=np.float64)
+        elapsed = time.perf_counter() - t0
+        n_total = sum(n_per_species)
+        pairs_per_s = n_sampled * n_total * (n_total - 1) / 2 / max(elapsed, 1e-9)
+        log.info(
+            "RDF: %d frames x %d atoms in %.3f s (%.2f million pairs/s)",
+            n_sampled, n_total, elapsed, pairs_per_s / 1e6,
+        )
+        self.last_throughput_pairs_per_s = pairs_per_s
+
+        # normalisation + output (host side)
+        bin_edges = np.linspace(0.0, cutoff, n_bins)
+        prefactors = rdf_ops.rdf_prefactors(
+            pair_order,
+            n_per_species,
+            exp.volume,
+            n_sampled,
+            bin_edges,
+            exp.box_array[0],
+        )
+        x_nm = (exp.units.length / 1e-9) * bin_edges  # Angstrom -> nm (:384)
+
+        results = {}
+        for p, (ia, ib) in enumerate(pair_order):
+            key = f"{species[ia]}_{species[ib]}"
+            g = hist[p] * prefactors[p]
+            results[key] = {"x": x_nm.tolist(), "y": g.tolist()}
+        return results
+
+    def _load_concat_positions(self, species, frame_idx, n_pad, dtype):
+        """Load sampled frames for all species, concatenated + padded."""
+        exp = self.experiment
+        paths = [join_path(sp, self.loaded_property.name) for sp in species]
+        data = exp.store.load(paths, frames=np.asarray(frame_idx), dtype=dtype)
+        parts = [data[p] for p in paths]
+        pos = np.concatenate(parts, axis=1)
+        if pos.shape[1] < n_pad:
+            pad = np.zeros(
+                (pos.shape[0], n_pad - pos.shape[1], 3), dtype=pos.dtype
+            )
+            pos = np.concatenate([pos, pad], axis=1)
+        return pos

@@ -88,6 +88,11 @@ def canonical_json(obj: Any) -> str:
     return json.dumps(obj, sort_keys=True, default=_json_default)
 
 
+def ordered_json(obj: Any) -> str:
+    """Order-preserving JSON for attribute values (species order matters)."""
+    return json.dumps(obj, default=_json_default)
+
+
 class Computation:
     """A cached computation: args + per-subject result series.
 
@@ -186,7 +191,7 @@ class ResultsDatabase:
         with self._connect() as con:
             con.execute(
                 "INSERT OR REPLACE INTO experiment_attributes VALUES (?,?,?)",
-                (eid, name, canonical_json(value)),
+                (eid, name, ordered_json(value)),
             )
 
     def get_attribute(self, experiment: str, name: str, default=None):

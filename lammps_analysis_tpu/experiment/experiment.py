@@ -1,0 +1,365 @@
+"""Experiment: the central analysis unit.
+
+TPU-native re-design of ``mdsuite/experiment/experiment.py:89-710`` +
+``mdsuite/database/experiment_database.py``: one experiment owns a
+trajectory store (HDF5) and its metadata rows in the project's results DB.
+All scalar metadata (temperature, time step, units, counts, box, species)
+are lazy SQL-backed attributes so re-opening a project restores everything.
+"""
+
+from __future__ import annotations
+
+import logging
+import pathlib
+from typing import Dict, List, Optional, Union
+
+import numpy as np
+
+from ..database.contracts import SpeciesInfo, TrajectoryMetadata
+from ..database.properties import PropertyInfo
+from ..database.results_db import ResultsDatabase
+from ..database.trajectory_store import TrajectoryStore, join_path
+from ..data.elements import mass_of
+from ..file_io.base import FileProcessor
+from ..memory.planner import BatchPlanner
+from ..utils.constants import DatasetKeys
+from ..utils.units import UnitSystem, resolve_units
+
+log = logging.getLogger(__name__)
+
+
+def _processor_for_path(path: Union[str, pathlib.Path]) -> FileProcessor:
+    """Choose a reader from the file suffix.
+
+    Reference analog: ``experiment/experiment.py:62-86``.
+    """
+    from ..file_io.extxyz import EXTXYZFile
+    from ..file_io.lammps_dump import LAMMPSDumpFile
+
+    suffix = pathlib.Path(path).suffix.lower()
+    if suffix in (".lammpstraj", ".dump", ".lammpstrj"):
+        return LAMMPSDumpFile(path)
+    if suffix in (".extxyz", ".xyz"):
+        return EXTXYZFile(path)
+    raise ValueError(
+        f"Cannot infer a reader for {path!r} (suffix {suffix!r}). Pass a "
+        "FileProcessor instance (LAMMPSDumpFile, EXTXYZFile, LAMMPSFluxFile, "
+        "ChemfilesRead, ScriptInput) instead."
+    )
+
+
+class _DBAttribute:
+    """Lazy SQL-backed attribute descriptor.
+
+    Analog of the reference ``LazyProperty``
+    (``experiment_database.py:46-83``).
+    """
+
+    def __init__(self, name: str, default=None):
+        self.name = name
+        self.default = default
+
+    def __get__(self, obj, objtype=None):
+        if obj is None:
+            return self
+        return obj.db.get_attribute(obj.name, self.name, self.default)
+
+    def __set__(self, obj, value):
+        if value is not None:
+            obj.db.set_attribute(obj.name, self.name, value)
+
+
+class Experiment:
+    """A single simulation's data + analyses."""
+
+    temperature = _DBAttribute("temperature")
+    time_step = _DBAttribute("time_step")
+    number_of_configurations = _DBAttribute("number_of_configurations", 0)
+    number_of_atoms = _DBAttribute("number_of_atoms", 0)
+    sample_rate = _DBAttribute("sample_rate", 1)
+    box_array = _DBAttribute("box_array")
+    read_files = _DBAttribute("read_files", [])
+    property_groups = _DBAttribute("property_groups", {})
+
+    def __init__(
+        self,
+        project=None,
+        name: str = "experiment",
+        time_step: float = None,
+        temperature: float = None,
+        units: Union[str, UnitSystem] = None,
+        storage_path: Union[str, pathlib.Path] = None,
+    ):
+        self.name = name
+        if project is not None:
+            self.path = pathlib.Path(project.path) / name
+            self.db: ResultsDatabase = project.db
+        else:
+            base = pathlib.Path(storage_path or ".")
+            self.path = base / name
+            self.db = ResultsDatabase(self.path / "project.db")
+        self.path.mkdir(parents=True, exist_ok=True)
+        (self.path / "figures").mkdir(exist_ok=True)
+        self.db.ensure_experiment(name)
+
+        self.store = TrajectoryStore(self.path / "database.h5")
+        self.planner = BatchPlanner()
+
+        if time_step is not None:
+            self.time_step = time_step
+        if temperature is not None:
+            self.temperature = temperature
+        if units is not None:
+            self.units_name = resolve_units(units).name
+        elif self.db.get_attribute(name, "units_name") is None:
+            self.units_name = "real"
+
+    # ------------------------------------------------------------------ units
+    @property
+    def units_name(self) -> str:
+        return self.db.get_attribute(self.name, "units_name", "real")
+
+    @units_name.setter
+    def units_name(self, value: str):
+        self.db.set_attribute(self.name, "units_name", value)
+
+    @property
+    def units(self) -> UnitSystem:
+        return resolve_units(self.units_name)
+
+    @property
+    def version(self) -> int:
+        return self.db.experiment_version(self.name)
+
+    @property
+    def volume(self) -> float:
+        box = self.box_array
+        if not box:
+            return 0.0
+        return float(np.prod([b for b in box if b]))
+
+    # ---------------------------------------------------------------- species
+    @property
+    def species(self) -> Dict[str, SpeciesInfo]:
+        raw = self.db.get_attribute(self.name, "species", {}) or {}
+        out = {}
+        for sp_name, info in raw.items():
+            out[sp_name] = SpeciesInfo(
+                name=sp_name,
+                n_particles=info["n_particles"],
+                properties=tuple(
+                    PropertyInfo(p["name"], p["n_dims"])
+                    for p in info.get("properties", [])
+                ),
+                mass=info.get("mass", 0.0),
+                charge=info.get("charge", 0.0),
+            )
+        return out
+
+    @species.setter
+    def species(self, value: Dict[str, SpeciesInfo]):
+        raw = {}
+        for sp_name, sp in value.items():
+            raw[sp_name] = {
+                "n_particles": sp.n_particles,
+                "properties": [
+                    {"name": p.name, "n_dims": p.n_dims} for p in sp.properties
+                ],
+                "mass": sp.mass,
+                "charge": sp.charge,
+            }
+        self.db.set_attribute(self.name, "species", raw)
+
+    @property
+    def molecules(self) -> Dict[str, dict]:
+        return self.db.get_attribute(self.name, "molecules", {}) or {}
+
+    @molecules.setter
+    def molecules(self, value: Dict[str, dict]):
+        self.db.set_attribute(self.name, "molecules", value)
+
+    def set_charge(self, element: str, charge: float) -> None:
+        """Set a species' charge (reference ``experiment.py:429-442``)."""
+        species = self.species
+        species[element] = SpeciesInfo(
+            name=element,
+            n_particles=species[element].n_particles,
+            properties=species[element].properties,
+            mass=species[element].mass,
+            charge=charge,
+        )
+        self.species = species
+
+    def set_mass(self, element: str, mass: float) -> None:
+        """Set a species' mass (reference ``experiment.py:444-457``)."""
+        species = self.species
+        species[element] = SpeciesInfo(
+            name=element,
+            n_particles=species[element].n_particles,
+            properties=species[element].properties,
+            mass=mass,
+            charge=species[element].charge,
+        )
+        self.species = species
+
+    # -------------------------------------------------------------- ingestion
+    def add_data(
+        self,
+        simulation_data,
+        force: bool = False,
+        update_with_pubchempy: bool = True,
+    ):
+        """Ingest a trajectory source into the store.
+
+        Reference analog: ``Experiment.add_data`` +
+        ``_add_data_from_file_processor`` (``experiment.py:459-552``):
+        idempotent via the read-files ledger (re-adding the same source is a
+        no-op unless ``force``), marks the ledger only after a successful
+        read, bumps the experiment version so cached calculator results are
+        invalidated.
+        """
+        if isinstance(simulation_data, (str, pathlib.Path)):
+            processor = _processor_for_path(simulation_data)
+        elif isinstance(simulation_data, FileProcessor):
+            processor = simulation_data
+        elif isinstance(simulation_data, (list, tuple)):
+            for item in simulation_data:
+                self.add_data(item, force=force)
+            return
+        else:
+            raise TypeError(
+                f"Cannot ingest {type(simulation_data)}; expected a path, a "
+                "FileProcessor, or a list of either."
+            )
+
+        key = str(processor)
+        ledger = list(self.read_files)
+        if key in ledger and not force:
+            log.info("%s already read; skipping (force=True to re-read)", key)
+            return
+
+        meta: TrajectoryMetadata = processor.metadata
+        self._merge_metadata(meta, update_with_pubchempy)
+
+        existing = self.number_of_configurations - meta.n_configurations
+        self.store.initialize(
+            TrajectoryMetadata(
+                n_configurations=self.number_of_configurations,
+                species_list=meta.species_list,
+            )
+        )
+        for chunk in processor.get_configurations_generator():
+            self.store.add_chunk(chunk)
+
+        self.read_files = ledger + [key]
+        self.db.bump_experiment_version(self.name)
+        self.refresh_property_groups()
+        log.info(
+            "Ingested %d configurations from %s (total now %d)",
+            meta.n_configurations,
+            key,
+            self.number_of_configurations,
+        )
+
+    def _merge_metadata(self, meta: TrajectoryMetadata, lookup_masses: bool):
+        existing = self.species
+        if existing:
+            # appending more data: species layout must match
+            names_new = {s.name: s.n_particles for s in meta.species_list}
+            names_old = {
+                k: v.n_particles
+                for k, v in existing.items()
+                if k != DatasetKeys.OBSERVABLES
+            }
+            overlap = set(names_new) & set(names_old)
+            for k in overlap:
+                if names_new[k] != names_old[k]:
+                    raise ValueError(
+                        f"Species {k!r} particle count changed between data "
+                        f"sources: {names_old[k]} vs {names_new[k]}"
+                    )
+        merged = dict(existing)
+        for sp in meta.species_list:
+            prev = merged.get(sp.name)
+            mass = prev.mass if prev else (
+                mass_of(sp.name) if lookup_masses else 0.0
+            )
+            charge = prev.charge if prev else 0.0
+            merged[sp.name] = SpeciesInfo(
+                name=sp.name,
+                n_particles=sp.n_particles,
+                properties=sp.properties,
+                mass=mass,
+                charge=charge,
+            )
+        self.species = merged
+        self.number_of_atoms = sum(
+            s.n_particles
+            for n, s in merged.items()
+            if n != DatasetKeys.OBSERVABLES
+        )
+        self.number_of_configurations = (
+            self.number_of_configurations + meta.n_configurations
+        )
+        if meta.box_l:
+            self.box_array = list(meta.box_l)
+        if meta.sample_rate is not None:
+            self.sample_rate = meta.sample_rate
+        if meta.temperature is not None:
+            self.temperature = meta.temperature
+
+    def refresh_property_groups(self):
+        """Record which properties exist per species (store introspection)."""
+        groups = {}
+        if self.store.path.exists():
+            for sp in self.store.species_names():
+                groups[sp] = self.store.properties_of(sp)
+        self.property_groups = groups
+
+    # ------------------------------------------------------------------ reads
+    def load_matrix(
+        self,
+        property_name: str,
+        species: Optional[List[str]] = None,
+        frames=None,
+        atoms=None,
+    ) -> Dict[str, np.ndarray]:
+        """Load ``(frames, atoms, dims)`` arrays for each requested species.
+
+        Reference analog: ``Experiment.load_matrix`` (``experiment.py:554-597``).
+        """
+        species = species or list(self.species)
+        paths = [join_path(sp, property_name) for sp in species]
+        data = self.store.load(paths, frames=frames, atoms=atoms)
+        return {sp: data[join_path(sp, property_name)] for sp in species}
+
+    # ---------------------------------------------------------------- dispatch
+    @property
+    def run(self):
+        """Calculator/transformation dispatch: ``exp.run.<Name>(...)``."""
+        from .run import RunComputation
+
+        return RunComputation(experiment=self)
+
+    def cls_transformation_run(self, transformation, species=None):
+        """Run a transformation instance on this experiment.
+
+        Reference analog: ``experiment.py:270-282``.
+        """
+        transformation.run_transformation(self, species=species)
+
+    def run_visualization(
+        self, species: Optional[List[str]] = None, molecules: bool = False
+    ):
+        """Particle-trajectory visualization (matplotlib backend)."""
+        from ..visualizer.trajectory_visualizer import TrajectoryVisualizer
+
+        viz = TrajectoryVisualizer(self, species=species, molecules=molecules)
+        return viz.run()
+
+    def __repr__(self):  # pragma: no cover - cosmetic
+        return (
+            f"Experiment(name={self.name!r}, "
+            f"configurations={self.number_of_configurations}, "
+            f"species={list(self.species)})"
+        )

@@ -1,0 +1,142 @@
+"""LAMMPS dump-file reader.
+
+Behavioral port of ``mdsuite/file_io/lammps_trajectory_files.py`` (format
+knowledge only; the parsing engine is the vectorised one in
+``tabular.py``): 9 header lines per configuration, column map covering the
+standard LAMMPS per-atom outputs, species discovered from the ``element``
+(or ``type``) column of the first configuration, box from the bounds lines,
+sample rate from consecutive ``TIMESTEP`` headers, id-sorting unless the
+file is declared sorted.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..database.contracts import TrajectoryMetadata
+from ..database.properties import mdsuite_properties as mp
+from ..utils.meta import sort_array_by_column
+from .tabular import (
+    TabularReaderSpec,
+    TabularTextReader,
+    extract_properties_from_header,
+    read_n_lines,
+    skip_n_lines,
+    species_list_from_spec,
+)
+
+#: LAMMPS dump column names per canonical property
+#: (reference: ``lammps_trajectory_files.py:39-66``).
+COLUMN_MAP = {
+    mp.positions: ["x", "y", "z"],
+    mp.scaled_positions: ["xs", "ys", "zs"],
+    mp.unwrapped_positions: ["xu", "yu", "zu"],
+    mp.scaled_unwrapped_positions: ["xsu", "ysu", "zsu"],
+    mp.velocities: ["vx", "vy", "vz"],
+    mp.forces: ["fx", "fy", "fz"],
+    mp.box_images: ["ix", "iy", "iz"],
+    mp.dipole_orientation_magnitude: ["mux", "muy", "muz"],
+    mp.angular_velocities: ["omegax", "omegay", "omegaz"],
+    mp.momenta: ["angmomx", "angmomy", "angmomz"],
+    mp.torque: ["tqx", "tqy", "tqz"],
+    mp.charge: ["q"],
+    mp.kinetic_energy: ["c_KE"],
+    mp.potential_energy: ["c_PE"],
+    mp.stress: [f"c_Stress[{i}]" for i in range(1, 7)],
+}
+
+N_HEADER_LINES = 9
+
+
+class LAMMPSDumpFile(TabularTextReader):
+    """Reader for LAMMPS ``dump ... custom`` trajectory files."""
+
+    def __init__(
+        self,
+        file_path,
+        trajectory_is_sorted_by_ids: bool = False,
+        custom_data_map: Optional[Dict[str, List[str]]] = None,
+    ):
+        super().__init__(file_path, COLUMN_MAP, custom_data_map)
+        self.trajectory_is_sorted_by_ids = trajectory_is_sorted_by_ids
+
+    def _get_spec(self) -> TabularReaderSpec:
+        with open(self.file_path, "r") as f:
+            header = read_n_lines(f, N_HEADER_LINES)
+            n_particles = int(header[3].split()[0])
+            col_names = header[8].split()[2:]  # after "ITEM: ATOMS"
+            id_col = col_names.index("id")
+            prop_dict = extract_properties_from_header(col_names, self._column_map)
+
+            f.seek(0)
+            num_lines = sum(1 for _ in f)
+            n_configs_f = num_lines / (n_particles + N_HEADER_LINES)
+            n_configs = int(round(n_configs_f))
+            if abs(n_configs_f - n_configs) > 1e-10:
+                raise ValueError(
+                    f"{self.file_path}: line count {num_lines} is not a whole "
+                    f"number of configurations of {n_particles} atoms"
+                )
+
+            f.seek(0)
+            species = self._species_from_first_config(f, col_names, n_particles, id_col)
+
+        return TabularReaderSpec(
+            n_configs=n_configs,
+            species_to_line_idx=species,
+            property_to_column_idx=prop_dict,
+            n_header_lines=N_HEADER_LINES,
+            n_particles=n_particles,
+            header_lines_for_each_config=True,
+            sort_by_column_idx=None if self.trajectory_is_sorted_by_ids else id_col,
+        )
+
+    def _species_from_first_config(
+        self, f, col_names: List[str], n_particles: int, id_col: int
+    ) -> Dict[str, List[int]]:
+        """Scan configuration 0 for the species -> sorted-row mapping.
+
+        Reference analog: ``lammps_trajectory_files.py:181-226``.
+        """
+        if "element" in col_names:
+            sp_col = col_names.index("element")
+        elif "type" in col_names:
+            sp_col = col_names.index("type")
+        else:
+            raise ValueError(
+                f"{self.file_path}: no 'element' or 'type' column — cannot "
+                "identify species"
+            )
+        skip_n_lines(f, N_HEADER_LINES)
+        rows = np.array([f.readline().split() for _ in range(n_particles)])
+        if not self.trajectory_is_sorted_by_ids:
+            rows = sort_array_by_column(rows, id_col)
+        species: Dict[str, List[int]] = {}
+        for i, row in enumerate(rows):
+            species.setdefault(str(row[sp_col]), []).append(i)
+        return species
+
+    def _get_metadata(self) -> TrajectoryMetadata:
+        spec = self.spec
+        with open(self.file_path, "r") as f:
+            header = read_n_lines(f, N_HEADER_LINES)
+            box_l = [
+                float(line.split()[1]) - float(line.split()[0])
+                for line in header[5:8]
+            ]
+            t0 = int(header[1])
+            sample_rate = None
+            try:
+                skip_n_lines(f, spec.n_particles)
+                header2 = read_n_lines(f, N_HEADER_LINES)
+                sample_rate = int(header2[1]) - t0
+            except EOFError:
+                pass  # single-snapshot trajectory
+        return TrajectoryMetadata(
+            n_configurations=spec.n_configs,
+            species_list=species_list_from_spec(spec),
+            box_l=box_l,
+            sample_rate=sample_rate,
+        )

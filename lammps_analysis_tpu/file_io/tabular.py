@@ -1,0 +1,170 @@
+"""Shared engine for tabular text trajectory formats (LAMMPS dump, extxyz, flux).
+
+Re-design of ``mdsuite/file_io/tabular_text_files.py:57-281``. The per-line
+Python parse loop of the reference is replaced with block reads + pandas'
+C CSV engine: a batch of configurations is read as one raw text block,
+header lines stripped, parsed in one ``read_csv`` call, reshaped to
+``(batch, particles, columns)``, id-sorted per configuration with one
+vectorised argsort, then sliced per species/property. A native C++ parser
+(``native/``) can be swapped in behind the same interface.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import itertools
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+import pandas as pd
+
+from ..database.contracts import (
+    SpeciesInfo,
+    TrajectoryChunkData,
+    TrajectoryMetadata,
+)
+from ..database.properties import PropertyInfo
+from ..utils.meta import optimize_batch_size
+from .base import FileProcessor
+
+
+@dataclasses.dataclass
+class TabularReaderSpec:
+    """Everything the shared engine needs to slice a tabular file.
+
+    Reference analog: ``TabularTextFileReaderMData``
+    (``tabular_text_files.py:16-54``).
+    """
+
+    n_configs: int
+    species_to_line_idx: Dict[str, List[int]]  # rows (after id-sort) per species
+    property_to_column_idx: Dict[str, List[int]]
+    n_header_lines: int
+    n_particles: int
+    header_lines_for_each_config: bool = True
+    sort_by_column_idx: Optional[int] = None
+
+
+def extract_properties_from_header(
+    header_names: List[str], column_map: Dict[PropertyInfo, List[str]]
+) -> Dict[str, List[int]]:
+    """Map canonical property names -> column indices present in the file.
+
+    Reference analog: ``lammps_trajectory_files.py:245-298``. A property is
+    included only if *all* its component columns are present.
+    """
+    col_idx = {name: i for i, name in enumerate(header_names)}
+    out = {}
+    for prop, names in column_map.items():
+        if all(n in col_idx for n in names):
+            out[prop.name] = [col_idx[n] for n in names]
+    return out
+
+
+def species_list_from_spec(spec: TabularReaderSpec) -> List[SpeciesInfo]:
+    """Build the species list announced to the store from a reader spec."""
+    props = [
+        PropertyInfo(name, len(cols))
+        for name, cols in spec.property_to_column_idx.items()
+    ]
+    return [
+        SpeciesInfo(name=name, n_particles=len(rows), properties=props)
+        for name, rows in spec.species_to_line_idx.items()
+    ]
+
+
+class TabularTextReader(FileProcessor):
+    """Base reader for text files laid out as per-configuration row blocks."""
+
+    def __init__(
+        self,
+        file_path,
+        column_map: Dict[PropertyInfo, List[str]],
+        custom_column_map: Optional[Dict[str, List[str]]] = None,
+    ):
+        super().__init__()
+        self.file_path = str(file_path)
+        self._column_map = dict(column_map)
+        if custom_column_map:
+            for name, cols in custom_column_map.items():
+                self._column_map[PropertyInfo(name, len(cols))] = cols
+        self._spec: TabularReaderSpec | None = None
+
+    # -- format-specific ------------------------------------------------------
+    def _get_spec(self) -> TabularReaderSpec:
+        raise NotImplementedError
+
+    @property
+    def spec(self) -> TabularReaderSpec:
+        if self._spec is None:
+            self._spec = self._get_spec()
+        return self._spec
+
+    # -- shared engine --------------------------------------------------------
+    def get_configurations_generator(self) -> Iterator[TrajectoryChunkData]:
+        spec = self.spec
+        species_list = species_list_from_spec(spec)
+        batch_size = optimize_batch_size(self.file_path, spec.n_configs)
+
+        lines_per_config = spec.n_particles + (
+            spec.n_header_lines if spec.header_lines_for_each_config else 0
+        )
+
+        with open(self.file_path, "r") as f:
+            if not spec.header_lines_for_each_config:
+                for _ in range(spec.n_header_lines):
+                    f.readline()
+            n_read = 0
+            while n_read < spec.n_configs:
+                n_batch = min(batch_size, spec.n_configs - n_read)
+                chunk = self._read_batch(f, n_batch, lines_per_config, species_list)
+                n_read += n_batch
+                yield chunk
+
+    def _read_batch(
+        self, f, n_batch: int, lines_per_config: int, species_list
+    ) -> TrajectoryChunkData:
+        spec = self.spec
+        raw = list(itertools.islice(f, n_batch * lines_per_config))
+        if spec.header_lines_for_each_config and spec.n_header_lines:
+            keep = []
+            for c in range(n_batch):
+                base = c * lines_per_config + spec.n_header_lines
+                keep.extend(raw[base : base + spec.n_particles])
+            raw = keep
+        data = pd.read_csv(
+            io.StringIO("".join(raw)),
+            sep=r"\s+",
+            header=None,
+            engine="c",
+            dtype=str,
+        ).to_numpy()
+        data = data.reshape(n_batch, spec.n_particles, -1)
+
+        if spec.sort_by_column_idx is not None:
+            ids = data[:, :, spec.sort_by_column_idx].astype(float)
+            order = np.argsort(ids, axis=1, kind="stable")
+            data = np.take_along_axis(data, order[:, :, None], axis=1)
+
+        chunk = TrajectoryChunkData(species_list, n_batch)
+        for sp in species_list:
+            rows = spec.species_to_line_idx[sp.name]
+            sp_block = data[:, rows, :]
+            for prop in sp.properties:
+                cols = spec.property_to_column_idx[prop.name]
+                values = sp_block[:, :, cols].astype(np.float64)
+                chunk.add_data(values, 0, sp.name, prop.name)
+        return chunk
+
+
+def read_n_lines(f, n: int) -> List[str]:
+    lines = list(itertools.islice(f, n))
+    if len(lines) < n:
+        raise EOFError(f"Expected {n} lines, file ended after {len(lines)}")
+    return lines
+
+
+def skip_n_lines(f, n: int) -> None:
+    for _ in itertools.islice(f, n):
+        pass

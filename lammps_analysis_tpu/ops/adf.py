@@ -139,7 +139,7 @@ def adf_histogram(
 
         bins = bin_indices(angle, lo, hi, n_bins)
         combined = jnp.maximum(t_id, 0)[None] * n_bins + bins
-        return masked_histogram(combined, weight, n_triples * n_bins, "matmul")
+        return masked_histogram(combined, weight, n_triples * n_bins, "scatter")
 
     starts = jnp.arange(n_blocks, dtype=jnp.int32) * c_block
     hists = jax.lax.map(block_hist, starts)

@@ -3,13 +3,19 @@
 The reference bins distances with ``tf.histogram_fixed_width`` after boolean
 masking (``calculators/radial_distribution_function.py:617-645``). Boolean
 masking produces dynamic shapes, which XLA cannot tile, so the TPU-native
-primitives here keep everything statically shaped:
+primitives here keep everything statically shaped: values carry a weight
+mask (0 for padded / out-of-range entries) and bins are computed for every
+element.
 
-* values carry a ``weights`` mask (0 for padded / out-of-range entries);
-* two interchangeable execution strategies:
-  - ``scatter``: ``zeros.at[idx].add(w)`` — exact integer counts;
-  - ``matmul``: one-hot contraction on the MXU, fp32 accumulation — the
-    fast path for wide histograms on TPU.
+Two execution strategies, selectable per call (benchmarked on hardware by
+``bench.py``):
+
+* ``scatter`` — ``zeros.at[idx].add(w)``: one pass over the data, XLA
+  lowers to sorted scatter-add. Default.
+* ``compare`` — for each chunk of bins, a fused
+  ``sum(w * (idx == bin))`` broadcast-compare-reduce. No gather/scatter at
+  all, pure VPU streaming; the bin chunking bounds the fused intermediate
+  so nothing of shape ``(M, n_bins)`` is ever materialised.
 """
 
 from __future__ import annotations
@@ -18,6 +24,9 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+#: bins per compare-reduce chunk (bounds the fused (M, chunk) intermediate)
+_COMPARE_BIN_CHUNK = 128
 
 
 def bin_indices(
@@ -35,36 +44,44 @@ def bin_indices(
 def masked_histogram_scatter(
     idx: jnp.ndarray, weights: jnp.ndarray, n_bins: int
 ) -> jnp.ndarray:
-    """Weighted histogram via XLA scatter-add. Returns float weights sum."""
+    """Weighted histogram via XLA scatter-add."""
     flat_idx = idx.reshape(-1)
     flat_w = weights.reshape(-1)
     return jnp.zeros((n_bins,), dtype=flat_w.dtype).at[flat_idx].add(flat_w)
 
 
-def masked_histogram_matmul(
+def masked_histogram_compare(
     idx: jnp.ndarray, weights: jnp.ndarray, n_bins: int
 ) -> jnp.ndarray:
-    """Weighted histogram as a one-hot contraction (MXU-friendly).
+    """Weighted histogram via chunked broadcast-compare-reduce.
 
-    ``onehot[m, b] = (idx[m] == b)``; histogram = ``weights @ onehot``. XLA
-    lowers the contraction over the flattened value axis onto the MXU with
-    fp32 accumulation, which is the fastest wide-histogram strategy on TPU.
+    ``counts[b] = sum_m w[m] * (idx[m] == b)`` evaluated one bin-chunk at a
+    time; XLA fuses compare + multiply + column-reduce into one VPU loop,
+    so peak memory is ``M * chunk`` elements of fused scratch, not
+    ``M * n_bins``.
     """
     flat_idx = idx.reshape(-1)
     flat_w = weights.reshape(-1).astype(jnp.float32)
-    onehot = jax.nn.one_hot(flat_idx, n_bins, dtype=jnp.float32)
-    return flat_w @ onehot
+    chunks = []
+    for b0 in range(0, n_bins, _COMPARE_BIN_CHUNK):
+        width = min(_COMPARE_BIN_CHUNK, n_bins - b0)
+        bins = b0 + jnp.arange(width, dtype=flat_idx.dtype)
+        eq = flat_idx[:, None] == bins[None, :]
+        chunks.append(jnp.sum(flat_w[:, None] * eq, axis=0))
+    return jnp.concatenate(chunks)
 
 
 def masked_histogram(
     idx: jnp.ndarray,
     weights: jnp.ndarray,
     n_bins: int,
-    strategy: str = "matmul",
+    strategy: str = "scatter",
 ) -> jnp.ndarray:
-    if strategy == "matmul":
-        return masked_histogram_matmul(idx, weights, n_bins)
-    return masked_histogram_scatter(idx, weights, n_bins)
+    if strategy == "compare":
+        return masked_histogram_compare(idx, weights, n_bins)
+    if strategy in ("scatter", "matmul"):  # "matmul" kept as legacy alias
+        return masked_histogram_scatter(idx, weights, n_bins)
+    raise ValueError(f"unknown histogram strategy {strategy!r}")
 
 
 @functools.partial(jax.jit, static_argnames=("n_bins", "strategy"))
@@ -74,7 +91,7 @@ def histogram_fixed_width(
     range_max: float,
     n_bins: int,
     weights: jnp.ndarray | None = None,
-    strategy: str = "matmul",
+    strategy: str = "scatter",
 ) -> jnp.ndarray:
     """Drop-in analog of ``tf.histogram_fixed_width`` with optional weights."""
     idx = bin_indices(values, range_min, range_max, n_bins)
@@ -89,12 +106,12 @@ def histogram2d_masked(
     weights: jnp.ndarray,
     n_x: int,
     n_y: int,
-    strategy: str = "matmul",
+    strategy: str = "scatter",
 ) -> jnp.ndarray:
     """2-D weighted histogram (used by the spatial distribution function).
 
     Encodes the 2-D bin as a single flat index ``x * n_y + y`` — one wide
-    1-D histogram, same MXU strategy.
+    1-D histogram, same strategies.
     """
     flat = x_idx * n_y + y_idx
     hist = masked_histogram(flat, weights, n_x * n_y, strategy)

@@ -1,0 +1,156 @@
+"""Multi-device wrappers around the analysis kernels.
+
+Frame batches shard over the ``data`` mesh axis with ``shard_map``; each
+device computes a partial histogram / correlation sum over its frame shard
+and the partials merge with ``psum`` over ICI. This is the TPU-native
+replacement for the reference's sequential batch loops (SURVEY §2.7) —
+identical numerics, device-parallel execution.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..ops import adf as adf_ops
+from ..ops import msd as msd_ops
+from ..ops import rdf as rdf_ops
+from .mesh import get_default_mesh
+
+
+def _n_mesh_devices(mesh) -> int:
+    return int(mesh.devices.size)
+
+
+def sharded_rdf_histogram(
+    positions: jnp.ndarray,
+    species_id: jnp.ndarray,
+    pair_table: jnp.ndarray,
+    box: jnp.ndarray,
+    cutoff: float,
+    n_bins: int,
+    n_pairs: int,
+    i_block: int = 128,
+    mesh=None,
+) -> jnp.ndarray:
+    """RDF histogram with the frame axis sharded over the mesh.
+
+    Remainder frames (batch not divisible by the device count) run as a
+    single-device tail so counts are exact.
+    """
+    mesh = mesh or get_default_mesh()
+    n_dev = _n_mesh_devices(mesh)
+    f = positions.shape[0]
+    kernel = functools.partial(
+        rdf_ops.rdf_histogram,
+        cutoff=cutoff,
+        n_bins=n_bins,
+        n_pairs=n_pairs,
+        i_block=i_block,
+    )
+    if n_dev == 1 or f < n_dev:
+        return kernel(positions, species_id, pair_table, box)
+
+    main = (f // n_dev) * n_dev
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("data"), P(), P(), P()),
+        out_specs=P(),
+    )
+    def sharded(pos_shard, sid, ptab, box_):
+        h = kernel(pos_shard, sid, ptab, box_)
+        return jax.lax.psum(h, "data")
+
+    hist = sharded(positions[:main], species_id, pair_table, box)
+    if main < f:
+        hist = hist + kernel(positions[main:], species_id, pair_table, box)
+    return hist
+
+
+def sharded_adf_histogram(
+    positions: jnp.ndarray,
+    species_id: jnp.ndarray,
+    triple_table: jnp.ndarray,
+    box: jnp.ndarray,
+    cutoff: float,
+    n_bins: int,
+    n_triples: int,
+    norm_power: int = 4,
+    c_block: int = 8,
+    mesh=None,
+) -> jnp.ndarray:
+    """ADF histogram with the frame axis sharded over the mesh."""
+    mesh = mesh or get_default_mesh()
+    n_dev = _n_mesh_devices(mesh)
+    f = positions.shape[0]
+    kernel = functools.partial(
+        adf_ops.adf_histogram,
+        cutoff=cutoff,
+        n_bins=n_bins,
+        n_triples=n_triples,
+        norm_power=norm_power,
+        c_block=c_block,
+    )
+    if n_dev == 1 or f < n_dev:
+        return kernel(positions, species_id, triple_table, box)
+
+    main = (f // n_dev) * n_dev
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("data"), P(), P(), P()),
+        out_specs=P(),
+    )
+    def sharded(pos_shard, sid, ttab, box_):
+        h = kernel(pos_shard, sid, ttab, box_)
+        return jax.lax.psum(h, "data")
+
+    hist = sharded(positions[:main], species_id, triple_table, box)
+    if main < f:
+        hist = hist + kernel(positions[main:], species_id, triple_table, box)
+    return hist
+
+
+def sharded_windowed_msd(
+    x: jnp.ndarray,
+    tau_values: jnp.ndarray,
+    window: int,
+    stride: int,
+    mesh=None,
+) -> tuple[jnp.ndarray, int]:
+    """Windowed MSD with the *particle* axis sharded over the mesh.
+
+    Particles are independent in the MSD sum, so sharding axis 1 needs no
+    halo exchange; partial sums merge with one psum.
+    """
+    mesh = mesh or get_default_mesh()
+    n_dev = _n_mesh_devices(mesh)
+    n_particles = x.shape[1]
+    if n_dev == 1 or n_particles < n_dev:
+        return msd_ops.windowed_msd_sum(x, tau_values, window, stride)
+
+    main = (n_particles // n_dev) * n_dev
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, "data"), P()),
+        out_specs=(P(), P()),
+    )
+    def sharded(x_shard, tau):
+        s, n = msd_ops.windowed_msd_sum(x_shard, tau, window, stride)
+        return jax.lax.psum(s, "data"), n
+
+    msum, nw = sharded(x[:, :main], tau_values)
+    if main < n_particles:
+        extra, _ = msd_ops.windowed_msd_sum(
+            x[:, main:], tau_values, window, stride
+        )
+        msum = msum + extra
+    return msum, nw

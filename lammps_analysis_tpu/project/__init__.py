@@ -1,1 +1,2 @@
-"""project subpackage."""
+"""Project layer."""
+from .project import Project  # noqa: F401

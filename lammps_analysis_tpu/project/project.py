@@ -1,0 +1,115 @@
+"""Project: top-level container of experiments.
+
+Port of ``mdsuite/project/project.py:45-338``: a project is a directory with
+one SQLite results DB; experiments register themselves there and re-opening
+``Project(name=...)`` restores everything. ``project.run.X(...)`` runs a
+computation over all *active* experiments and returns a dict keyed by
+experiment name.
+"""
+
+from __future__ import annotations
+
+import logging
+import pathlib
+from typing import Dict, List, Optional, Union
+
+from ..database.results_db import ResultsDatabase
+from ..experiment.experiment import Experiment
+from ..experiment.run import RunComputation
+from ..utils.units import UnitSystem
+
+log = logging.getLogger(__name__)
+
+
+class Project:
+    """A directory-rooted collection of experiments with shared results DB."""
+
+    def __init__(
+        self,
+        name: str = "MDSuite_Project",
+        storage_path: Union[str, pathlib.Path] = "./",
+        description: str = None,
+    ):
+        self.name = name
+        self.path = pathlib.Path(storage_path) / name
+        self.path.mkdir(parents=True, exist_ok=True)
+        self.db = ResultsDatabase(self.path / "project.db")
+        if description is not None:
+            self.db.set_project_attribute("description", description)
+
+        # per-project debug log file (reference: ``project.py:132-145``)
+        handler_path = self.path / "mdsuite_tpu.log"
+        root = logging.getLogger("lammps_analysis_tpu")
+        if not any(
+            isinstance(h, logging.FileHandler)
+            and getattr(h, "baseFilename", None) == str(handler_path)
+            for h in root.handlers
+        ):
+            fh = logging.FileHandler(handler_path)
+            fh.setLevel(logging.DEBUG)
+            root.addHandler(fh)
+
+        self._experiments: Dict[str, Experiment] = {}
+
+    @property
+    def description(self) -> Optional[str]:
+        return self.db.get_project_attribute("description")
+
+    # ------------------------------------------------------------ experiments
+    def add_experiment(
+        self,
+        name: str,
+        timestep: float = None,
+        temperature: float = None,
+        units: Union[str, UnitSystem] = None,
+        cluster_mode: bool = False,
+        active: bool = True,
+        simulation_data=None,
+    ) -> Experiment:
+        """Create (or load) an experiment; optionally ingest data directly.
+
+        Reference analog: ``Project.add_experiment`` (``project.py:157-249``).
+        """
+        exp = Experiment(
+            project=self,
+            name=name,
+            time_step=timestep,
+            temperature=temperature,
+            units=units,
+        )
+        self.db.set_active(name, active)
+        self._experiments[name] = exp
+        if simulation_data is not None:
+            exp.add_data(simulation_data)
+        return exp
+
+    @property
+    def experiments(self) -> Dict[str, Experiment]:
+        """All experiments registered in the project DB."""
+        for name in self.db.list_experiments():
+            if name not in self._experiments:
+                self._experiments[name] = Experiment(project=self, name=name)
+        return dict(self._experiments)
+
+    @property
+    def active_experiments(self) -> Dict[str, Experiment]:
+        names = self.db.active_experiments()
+        return {n: e for n, e in self.experiments.items() if n in names}
+
+    def activate_experiments(self, names: List[str]):
+        """Reference analog: ``project.py:251-268``."""
+        for n in names:
+            self.db.set_active(n, True)
+
+    def disable_experiments(self, names: List[str]):
+        for n in names:
+            self.db.set_active(n, False)
+
+    # ------------------------------------------------------------------ runs
+    @property
+    def run(self) -> RunComputation:
+        """Run a computation across all active experiments."""
+        return RunComputation(experiments=list(self.active_experiments.values()))
+
+    def __repr__(self):  # pragma: no cover - cosmetic
+        return f"Project(name={self.name!r}, experiments={list(self.experiments)})"

@@ -1,0 +1,237 @@
+"""Transformation base machinery: streamed derivation of per-frame tensors.
+
+TPU-native re-design of ``mdsuite/transformations/transformations.py:66-619``:
+
+* a transformation declares ``input_properties`` -> ``output_property`` and a
+  pure jittable ``transform_batch(batch, carryover) -> (out, carry)`` where
+  ``batch`` maps property names to ``(T, N, d)`` arrays (time leading) and
+  carryover is an arbitrary pytree (the reference's cross-batch state, e.g.
+  the unwrapper's last positions, becomes a scan-style carry);
+* the runner streams frame slabs from the store, resolves each input through
+  the same cascade as the reference (stored dataset -> constant from
+  experiment/species metadata -> recursively run the producing
+  transformation, ``transformations.py:352-433``), and appends outputs to
+  the store with an offset cursor so incremental ingestion extends results
+  (``transformations.py:275-326``);
+* single-species transformations run once per species; multi-species ones
+  consume all species and write a system series under ``Observables``.
+"""
+
+from __future__ import annotations
+
+import abc
+import logging
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..database.contracts import (
+    PropertyInfo,
+    SpeciesInfo,
+    TrajectoryChunkData,
+)
+from ..database.trajectory_store import join_path
+from ..utils.constants import CannotFindPropertyError, DatasetKeys
+
+log = logging.getLogger(__name__)
+
+#: properties resolvable as constants from experiment/species metadata
+#: (reference: the input-resolution cascade, ``transformations.py:390-433``)
+_METADATA_PROPERTIES = ("Box_Array", "Time_Step", "Sample_Rate", "Charge", "Masses")
+
+
+class Transformation(abc.ABC):
+    """Base class: declares I/O properties and the pure batch kernel."""
+
+    #: inputs needed per species
+    input_properties: List[PropertyInfo] = []
+    #: derived property written back to the store
+    output_property: PropertyInfo = None
+    #: memory cost model spec (same format as the reference)
+    scale_function: dict = {"linear": {"scale_factor": 1}}
+    #: True -> consume every species, emit one system-wide series
+    multi_species: bool = False
+    #: stateful transformations need sequential batches (carryover)
+    requires_carryover: bool = False
+
+    @abc.abstractmethod
+    def transform_batch(
+        self, batch: Dict[str, jnp.ndarray], carryover: Any = None
+    ) -> Tuple[jnp.ndarray, Any]:
+        """Pure function: property arrays -> output array (+ new carry).
+
+        For single-species transformations ``batch`` maps property name ->
+        ``(T, N, d)``; multi-species ones receive
+        ``{species: {prop: array}}``. Output is ``(T, N_out, d_out)`` with
+        ``N_out = 1`` for system series.
+        """
+
+    # ------------------------------------------------------------------ runner
+    def run_transformation(self, experiment, species: Optional[List[str]] = None):
+        """Execute against an experiment, writing results into its store.
+
+        Reference analog: ``SingleSpeciesTrafo.run_transformation``
+        (``transformations.py:446-519``) / ``MultiSpeciesTrafo...`` (:553).
+        """
+        if self.multi_species:
+            self._run_multi(experiment, species)
+        else:
+            self._run_single(experiment, species)
+        experiment.refresh_property_groups()
+
+    # -- single species -------------------------------------------------------
+    def _run_single(self, experiment, species):
+        species = species or list(experiment.species)
+        for sp_name in species:
+            out_path = join_path(sp_name, self.output_property.name)
+            if experiment.store.check_existence(out_path):
+                done = experiment.store.get_cursor(out_path)
+                if done >= experiment.number_of_configurations:
+                    log.debug("%s exists for %s; skipping", out_path, sp_name)
+                    continue
+            self._transform_species(experiment, sp_name)
+
+    def _transform_species(self, experiment, sp_name: str):
+        n_configs = experiment.number_of_configurations
+        sources = {
+            prop.name: self._resolve_input(experiment, sp_name, prop)
+            for prop in self.input_properties
+        }
+        n_particles = experiment.species[sp_name].n_particles
+        self._ensure_output(experiment, sp_name, n_particles, n_configs)
+
+        carry = None
+        offset = experiment.store.get_cursor(
+            join_path(sp_name, self.output_property.name)
+        )
+        for start, stop in self._batches(experiment, n_configs, offset):
+            batch = {
+                name: fetch(start, stop) for name, fetch in sources.items()
+            }
+            out, carry = self.transform_batch(batch, carry)
+            self._write_output(experiment, sp_name, np.asarray(out))
+
+    # -- multi species --------------------------------------------------------
+    def _run_multi(self, experiment, species):
+        species = species or list(experiment.species)
+        out_path = join_path(DatasetKeys.OBSERVABLES, self.output_property.name)
+        n_configs = experiment.number_of_configurations
+        if experiment.store.check_existence(out_path):
+            if experiment.store.get_cursor(out_path) >= n_configs:
+                log.debug("%s exists; skipping", out_path)
+                return
+        sources = {
+            sp: {
+                prop.name: self._resolve_input(experiment, sp, prop)
+                for prop in self.input_properties
+            }
+            for sp in species
+        }
+        self._ensure_output(experiment, DatasetKeys.OBSERVABLES, 1, n_configs)
+        carry = None
+        offset = experiment.store.get_cursor(out_path)
+        for start, stop in self._batches(experiment, n_configs, offset):
+            batch = {
+                sp: {name: fetch(start, stop) for name, fetch in per_sp.items()}
+                for sp, per_sp in sources.items()
+            }
+            out, carry = self.transform_batch(batch, carry)
+            out = np.asarray(out)
+            if out.ndim == 2:  # (T, d) -> (T, 1, d)
+                out = out[:, None, :]
+            self._write_output(experiment, DatasetKeys.OBSERVABLES, out)
+
+    # -- plumbing -------------------------------------------------------------
+    def _batches(self, experiment, n_configs: int, offset: int):
+        """Frame slabs [start, stop) still to process."""
+        batch_frames = experiment.planner.transformation_batch_size(
+            self, experiment
+        )
+        start = offset
+        while start < n_configs:
+            stop = min(start + batch_frames, n_configs)
+            yield start, stop
+            start = stop
+
+    def _resolve_input(self, experiment, sp_name: str, prop: PropertyInfo):
+        """Input cascade: dataset -> metadata constant -> producing trafo."""
+        path = join_path(sp_name, prop.name)
+        if experiment.store.check_existence(path):
+            return lambda a, b, p=path: jnp.asarray(
+                experiment.store.load([p], frames=slice(a, b))[p]
+            )
+        const = self._metadata_constant(experiment, sp_name, prop)
+        if const is not None:
+            return lambda a, b, c=const: c
+        # recursively produce the input (reference:
+        # ``get_prop_through_transformation``, transformations.py:352-388)
+        from .registry import transformation_for_property
+
+        producer = transformation_for_property(prop.name)
+        if producer is None:
+            raise CannotFindPropertyError(
+                f"Property {prop.name!r} for species {sp_name!r} is neither "
+                "stored, derivable from metadata, nor produced by any "
+                "transformation."
+            )
+        log.info(
+            "Transformation dependency: running %s to obtain %s",
+            type(producer).__name__,
+            prop.name,
+        )
+        producer.run_transformation(experiment, [sp_name])
+        return lambda a, b, p=path: jnp.asarray(
+            experiment.store.load([p], frames=slice(a, b))[p]
+        )
+
+    @staticmethod
+    def _metadata_constant(experiment, sp_name: str, prop: PropertyInfo):
+        if prop.name not in _METADATA_PROPERTIES:
+            return None
+        if prop.name == "Box_Array":
+            return jnp.asarray(experiment.box_array)
+        if prop.name == "Time_Step":
+            return jnp.asarray(experiment.time_step)
+        if prop.name == "Sample_Rate":
+            return jnp.asarray(experiment.sample_rate)
+        sp: SpeciesInfo = experiment.species.get(sp_name)
+        if sp is None:
+            return None
+        if prop.name == "Charge":
+            if sp.charge is None:
+                return None
+            return jnp.full((1, 1, 1), float(sp.charge))
+        if prop.name == "Masses":
+            if not sp.mass:
+                return None
+            return jnp.full((1, 1, 1), float(sp.mass))
+        return None
+
+    def _ensure_output(self, experiment, group: str, n_particles: int, n_configs: int):
+        path = join_path(group, self.output_property.name)
+        if not experiment.store.check_existence(path):
+            import h5py
+
+            with h5py.File(experiment.store.path, "a") as db:
+                grp = db.require_group(group)
+                experiment.store._create_dataset(
+                    grp,
+                    self.output_property.name,
+                    n_configs,
+                    n_particles,
+                    self.output_property.n_dims,
+                )
+        else:
+            with_shape = experiment.store.get_data_size(path)
+            if with_shape[0] < n_configs:
+                experiment.store.resize_datasets(
+                    {path: n_configs - with_shape[0]}
+                )
+
+    def _write_output(self, experiment, group: str, data: np.ndarray):
+        sp = SpeciesInfo(group, data.shape[1], [self.output_property])
+        chunk = TrajectoryChunkData([sp], data.shape[0])
+        chunk.add_data(data, 0, group, self.output_property.name)
+        experiment.store.add_chunk(chunk)

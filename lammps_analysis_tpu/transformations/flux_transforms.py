@@ -1,0 +1,195 @@
+"""System-wide flux/current transformations (multi-species reductions).
+
+Math ports on the ``(time, atoms, d)`` layout:
+
+* ``IonicCurrent``                — ``ionic_current.py:40-60``
+* ``TranslationalDipoleMoment``   — ``translational_dipole_moment.py:44-60``
+* ``ThermalFlux``                 — ``thermal_flux.py:41-92``
+* ``IntegratedHeatCurrent``       — ``integrated_heat_current.py:40-60``
+* ``KinaciIntegratedHeatCurrent`` — ``kinaci_integrated_heat_current.py:41-90``
+  (with per-species force-work integrals; see class note)
+* ``MomentumFlux``                — ``momentum_flux.py:40-55``
+
+Stress components use LAMMPS Voigt order ``[xx, yy, zz, xy, xz, yz]``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax.numpy as jnp
+
+from ..database.properties import mdsuite_properties as mp
+from .base import Transformation
+
+
+class IonicCurrent(Transformation):
+    """J(t) = sum_species q_s * sum_atoms v_i(t)."""
+
+    input_properties = [mp.velocities, mp.charge]
+    output_property = mp.ionic_current
+    scale_function = {"linear": {"scale_factor": 2}}
+    multi_species = True
+
+    def transform_batch(self, batch, carryover=None):
+        out = None
+        for props in batch.values():
+            vel = props[mp.velocities.name]  # (T, N, 3)
+            q = props[mp.charge.name]  # (T, N, 1) or (1, 1, 1) constant
+            contrib = jnp.sum(vel * q, axis=1)  # (T, 3)
+            out = contrib if out is None else out + contrib
+        return out, None
+
+
+class TranslationalDipoleMoment(Transformation):
+    """M(t) = sum q_i r_i(t) over unwrapped positions."""
+
+    input_properties = [mp.unwrapped_positions, mp.charge]
+    output_property = mp.translational_dipole_moment
+    scale_function = {"linear": {"scale_factor": 2}}
+    multi_species = True
+
+    def transform_batch(self, batch, carryover=None):
+        out = None
+        for props in batch.values():
+            pos = props[mp.unwrapped_positions.name]
+            q = props[mp.charge.name]
+            contrib = jnp.sum(pos * q, axis=1)
+            out = contrib if out is None else out + contrib
+        return out, None
+
+
+class ThermalFlux(Transformation):
+    """J(t) = sum (KE+PE) v  -  sum sigma . v (per-atom stress contraction)."""
+
+    input_properties = [
+        mp.stress,
+        mp.velocities,
+        mp.kinetic_energy,
+        mp.potential_energy,
+    ]
+    output_property = mp.thermal_flux
+    scale_function = {"linear": {"scale_factor": 20}}
+    multi_species = True
+
+    def transform_batch(self, batch, carryover=None):
+        out = None
+        for props in batch.values():
+            stress = props[mp.stress.name]  # (T, N, 6)
+            vel = props[mp.velocities.name]  # (T, N, 3)
+            ke = props[mp.kinetic_energy.name]  # (T, N, 1)
+            pe = props[mp.potential_energy.name]
+            phi_x = (
+                stress[..., 0] * vel[..., 0]
+                + stress[..., 3] * vel[..., 1]
+                + stress[..., 4] * vel[..., 2]
+            )
+            phi_y = (
+                stress[..., 3] * vel[..., 0]
+                + stress[..., 1] * vel[..., 1]
+                + stress[..., 5] * vel[..., 2]
+            )
+            phi_z = (
+                stress[..., 4] * vel[..., 0]
+                + stress[..., 5] * vel[..., 1]
+                + stress[..., 2] * vel[..., 2]
+            )
+            phi = jnp.stack([phi_x, phi_y, phi_z], axis=-1)  # (T, N, 3)
+            energy_velocity = (ke + pe) * vel
+            contrib = jnp.sum(energy_velocity - phi, axis=1)  # (T, 3)
+            out = contrib if out is None else out + contrib
+        return out, None
+
+
+class IntegratedHeatCurrent(Transformation):
+    """R(t) = sum (KE+PE) r over unwrapped positions."""
+
+    input_properties = [
+        mp.unwrapped_positions,
+        mp.kinetic_energy,
+        mp.potential_energy,
+    ]
+    output_property = mp.integrated_heat_current
+    scale_function = {"linear": {"scale_factor": 5}}
+    multi_species = True
+
+    def transform_batch(self, batch, carryover=None):
+        out = None
+        for props in batch.values():
+            pos = props[mp.unwrapped_positions.name]
+            energy = props[mp.kinetic_energy.name] + props[mp.potential_energy.name]
+            contrib = jnp.sum(energy * pos, axis=1)
+            out = contrib if out is None else out + contrib
+        return out, None
+
+
+class KinaciIntegratedHeatCurrent(Transformation):
+    """Kinaci integrated heat current with cross-batch force-work integrals.
+
+    Per species: ``I_i(t) = integral dt' F_i . v_i`` accumulated with a
+    cumulative sum and carried across batches; the current is
+    ``sum_i r_i I_i + sum_i PE_i r_i``. NOTE: the reference accumulates the
+    integrals of *all previously processed species* into each species' term
+    (``kinaci_integrated_heat_current.py:61-86``), which couples the result
+    to species iteration order; this implementation keeps each species'
+    integral separate, which is the order-independent formulation.
+    """
+
+    input_properties = [
+        mp.unwrapped_positions,
+        mp.velocities,
+        mp.forces,
+        mp.potential_energy,
+        mp.time_step,
+        mp.sample_rate,
+    ]
+    output_property = mp.kinaci_heat_current
+    scale_function = {"linear": {"scale_factor": 5}}
+    multi_species = True
+    requires_carryover = True
+
+    def transform_batch(self, batch, carryover=None):
+        out = None
+        new_carry = {}
+        for sp, props in batch.items():
+            pos = props[mp.unwrapped_positions.name]  # (T, N, 3)
+            vel = props[mp.velocities.name]
+            force = props[mp.forces.name]
+            pe = props[mp.potential_energy.name]  # (T, N, 1)
+            dt = props[mp.time_step.name] * props[mp.sample_rate.name]
+
+            integrand = jnp.sum(force * vel, axis=-1)  # (T, N)
+            integral = jnp.cumsum(integrand, axis=0) * dt
+            if carryover is not None and sp in carryover:
+                integral = integral + carryover[sp][None]
+            new_carry[sp] = integral[-1]
+
+            r_k = jnp.sum(pos * integral[..., None], axis=1)  # (T, 3)
+            r_p = jnp.sum(pe * pos, axis=1)
+            contrib = r_k + r_p
+            out = contrib if out is None else out + contrib
+        return out, new_carry
+
+
+class MomentumFlux(Transformation):
+    """Off-diagonal stress sums for viscosity: (sum sxy, sum sxz, sum syz)."""
+
+    input_properties = [mp.stress]
+    output_property = mp.momentum_flux
+    scale_function = {"linear": {"scale_factor": 5}}
+    multi_species = True
+
+    def transform_batch(self, batch, carryover=None):
+        out = None
+        for props in batch.values():
+            stress = props[mp.stress.name]  # (T, N, 6)
+            contrib = jnp.stack(
+                [
+                    jnp.sum(stress[..., 3], axis=1),
+                    jnp.sum(stress[..., 4], axis=1),
+                    jnp.sum(stress[..., 5], axis=1),
+                ],
+                axis=-1,
+            )
+            out = contrib if out is None else out + contrib
+        return out, None

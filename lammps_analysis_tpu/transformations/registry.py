@@ -1,0 +1,65 @@
+"""Property -> producing-transformation registry.
+
+Drives automatic dependency resolution for calculators and transformations
+(reference: ``mdsuite/transformations/transformation_dict.py:46-62`` and the
+string switcher ``calculators/transformations_reference.py:27-34``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from .coordinate_transforms import (
+    CoordinateUnwrapper,
+    CoordinateWrapper,
+    ScaleCoordinates,
+    UnwrapViaIndices,
+    VelocityFromPositions,
+)
+from .flux_transforms import (
+    IntegratedHeatCurrent,
+    IonicCurrent,
+    KinaciIntegratedHeatCurrent,
+    MomentumFlux,
+    ThermalFlux,
+    TranslationalDipoleMoment,
+)
+
+#: property name -> list of transformation classes able to produce it,
+#: in preference order.
+PROPERTY_TO_TRANSFORMATION = {
+    "Unwrapped_Positions": [CoordinateUnwrapper, UnwrapViaIndices],
+    "Positions": [CoordinateWrapper, ScaleCoordinates],
+    "Velocities_From_Positions": [VelocityFromPositions],
+    "Ionic_Current": [IonicCurrent],
+    "Translational_Dipole_Moment": [TranslationalDipoleMoment],
+    "Thermal_Flux": [ThermalFlux],
+    "Integrated_Heat_Current": [IntegratedHeatCurrent],
+    "Kinaci_Heat_Current": [KinaciIntegratedHeatCurrent],
+    "Momentum_Flux": [MomentumFlux],
+}
+
+ALL_TRANSFORMATIONS = {
+    cls.__name__: cls
+    for cls in (
+        CoordinateUnwrapper,
+        UnwrapViaIndices,
+        CoordinateWrapper,
+        ScaleCoordinates,
+        VelocityFromPositions,
+        IonicCurrent,
+        TranslationalDipoleMoment,
+        ThermalFlux,
+        IntegratedHeatCurrent,
+        KinaciIntegratedHeatCurrent,
+        MomentumFlux,
+    )
+}
+
+
+def transformation_for_property(prop_name: str):
+    """Instantiate the preferred producer of ``prop_name`` (or None)."""
+    classes = PROPERTY_TO_TRANSFORMATION.get(prop_name)
+    if not classes:
+        return None
+    return classes[0]()

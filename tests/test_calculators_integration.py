@@ -1,0 +1,181 @@
+"""Integration tests: full Project pipeline against analytic oracles.
+
+Models the reference synthetic-physics tests
+(``CI/integration_tests/calculators/test_einstein_diffusion_coefficients.py``):
+random-walk trajectories with a known diffusion coefficient injected via
+``ScriptInput``, run through the complete Project -> Experiment -> calculator
+stack, result compared to the analytic value.
+"""
+
+import numpy as np
+import pytest
+
+import lammps_analysis_tpu as latpu
+from lammps_analysis_tpu.database import (
+    PropertyInfo,
+    SpeciesInfo,
+    TrajectoryChunkData,
+    TrajectoryMetadata,
+)
+from lammps_analysis_tpu.file_io import ScriptInput
+
+UNWRAPPED = PropertyInfo("Unwrapped_Positions", 3)
+POSITIONS = PropertyInfo("Positions", 3)
+VELOCITIES = PropertyInfo("Velocities", 3)
+
+
+def make_project(tmp_path):
+    return latpu.Project(name="proj", storage_path=tmp_path)
+
+
+def random_walk(rng, n_frames, n_atoms, step_std):
+    steps = rng.normal(scale=step_std, size=(n_frames, n_atoms, 3))
+    return np.cumsum(steps, axis=0)
+
+
+def test_einstein_diffusion_random_walk(tmp_path, rng):
+    """D of a random walk must equal step_std^2 / (2 dt) per dimension."""
+    n_frames, n_atoms, step_std, dt = 500, 40, 0.05, 0.1
+    pos = random_walk(rng, n_frames, n_atoms, step_std)
+
+    sp = [SpeciesInfo("X", n_atoms, [UNWRAPPED])]
+    meta = TrajectoryMetadata(
+        n_configurations=n_frames, species_list=sp, box_l=[100.0] * 3,
+        sample_rate=1, temperature=300.0,
+    )
+    chunk = TrajectoryChunkData(sp, n_frames)
+    chunk.add_data(pos, 0, "X", "Unwrapped_Positions")
+
+    project = make_project(tmp_path)
+    exp = project.add_experiment(
+        "rw", timestep=dt, temperature=300.0, units="si",
+        simulation_data=ScriptInput(chunk, meta, "rw_data"),
+    )
+    res = exp.run.EinsteinDiffusionCoefficients(
+        data_range=100, correlation_time=10, plot=False
+    )
+    d_expected = step_std**2 / (2 * dt)
+    d_measured = res["X"]["diffusion_coefficient"]
+    assert abs(d_measured - d_expected) / d_expected < 0.05
+
+    # cache hit: identical args return the stored computation
+    res2 = exp.run.EinsteinDiffusionCoefficients(
+        data_range=100, correlation_time=10, plot=False
+    )
+    assert res2["X"]["diffusion_coefficient"] == d_measured
+
+
+def test_einstein_diffusion_auto_unwrap(tmp_path, rng):
+    """Wrapped positions + box must auto-run CoordinateUnwrapper."""
+    n_frames, n_atoms, step_std, dt = 300, 20, 0.05, 0.1
+    box = 2.0
+    unwrapped = random_walk(rng, n_frames, n_atoms, step_std) + box / 2
+    wrapped = unwrapped - box * np.floor(unwrapped / box)
+
+    sp = [SpeciesInfo("X", n_atoms, [POSITIONS])]
+    meta = TrajectoryMetadata(
+        n_configurations=n_frames, species_list=sp, box_l=[box] * 3,
+        sample_rate=1,
+    )
+    chunk = TrajectoryChunkData(sp, n_frames)
+    chunk.add_data(wrapped, 0, "X", "Positions")
+
+    project = make_project(tmp_path)
+    exp = project.add_experiment(
+        "wrap", timestep=dt, units="si",
+        simulation_data=ScriptInput(chunk, meta, "wrap_data"),
+    )
+    res = exp.run.EinsteinDiffusionCoefficients(
+        data_range=60, correlation_time=10, plot=False
+    )
+    # the unwrapped dataset must now exist in the store
+    assert exp.store.check_existence("X/Unwrapped_Positions")
+    d_expected = step_std**2 / (2 * dt)
+    d_measured = res["X"]["diffusion_coefficient"]
+    assert abs(d_measured - d_expected) / d_expected < 0.08
+
+
+def test_green_kubo_diffusion_white_noise(tmp_path, rng):
+    """White-noise velocities: D = sigma_v^2 * dt / 2 (trapezoid of the
+    delta-like VACF)."""
+    n_frames, n_atoms, sigma_v, dt = 2000, 30, 1.0, 0.05
+    vel = rng.normal(scale=sigma_v, size=(n_frames, n_atoms, 3))
+
+    sp = [SpeciesInfo("X", n_atoms, [VELOCITIES])]
+    meta = TrajectoryMetadata(
+        n_configurations=n_frames, species_list=sp, box_l=[10.0] * 3,
+        sample_rate=1,
+    )
+    chunk = TrajectoryChunkData(sp, n_frames)
+    chunk.add_data(vel, 0, "X", "Velocities")
+
+    project = make_project(tmp_path)
+    exp = project.add_experiment(
+        "gk", timestep=dt, units="si",
+        simulation_data=ScriptInput(chunk, meta, "gk_data"),
+    )
+    res = exp.run.GreenKuboDiffusionCoefficients(
+        data_range=100, correlation_time=50, plot=False
+    )
+    d_expected = sigma_v**2 * dt / 2
+    d_measured = res["X"]["diffusion_coefficient"][0]
+    assert abs(d_measured - d_expected) / d_expected < 0.1
+
+
+def test_rdf_ideal_gas_through_project(tmp_path, rng):
+    """Uniform random positions -> g(r) ~ 1 via the full stack."""
+    n_frames, n_na, n_cl, box = 30, 60, 60, 10.0
+    sp = [
+        SpeciesInfo("Na", n_na, [POSITIONS]),
+        SpeciesInfo("Cl", n_cl, [POSITIONS]),
+    ]
+    meta = TrajectoryMetadata(
+        n_configurations=n_frames, species_list=sp, box_l=[box] * 3,
+        sample_rate=1, temperature=1000.0,
+    )
+    chunk = TrajectoryChunkData(sp, n_frames)
+    chunk.add_data(rng.uniform(0, box, (n_frames, n_na, 3)), 0, "Na", "Positions")
+    chunk.add_data(rng.uniform(0, box, (n_frames, n_cl, 3)), 0, "Cl", "Positions")
+
+    project = make_project(tmp_path)
+    project.add_experiment(
+        "ig", timestep=0.1, temperature=1000.0, units="real",
+        simulation_data=ScriptInput(chunk, meta, "ig_data"),
+    )
+    res = project.run.RadialDistributionFunction(
+        number_of_configurations=n_frames, plot=False
+    )
+    comp = res if not isinstance(res, dict) or "Na_Cl" in getattr(res, "data_dict", {}) else res["ig"]
+    for key in ("Na_Na", "Na_Cl", "Cl_Cl"):
+        g = np.asarray(comp[key]["y"])
+        assert abs(np.mean(g[len(g) // 2 :]) - 1.0) < 0.1, key
+    # x axis is in nm: cutoff (box/2 - 0.1) Angstrom = 0.49 nm for real units
+    x = np.asarray(comp["Na_Na"]["x"])
+    assert abs(x[-1] - (box / 2 - 0.1) / 10) < 1e-6
+
+
+def test_project_reload_persists(tmp_path, rng):
+    n_frames, n_atoms = 50, 10
+    sp = [SpeciesInfo("X", n_atoms, [UNWRAPPED])]
+    meta = TrajectoryMetadata(
+        n_configurations=n_frames, species_list=sp, box_l=[5.0] * 3, sample_rate=1
+    )
+    chunk = TrajectoryChunkData(sp, n_frames)
+    chunk.add_data(random_walk(rng, n_frames, n_atoms, 0.1), 0, "X", "Unwrapped_Positions")
+
+    project = make_project(tmp_path)
+    exp = project.add_experiment(
+        "persist", timestep=0.1, units="si",
+        simulation_data=ScriptInput(chunk, meta, "p_data"),
+    )
+    res = exp.run.EinsteinDiffusionCoefficients(data_range=20, plot=False)
+    d = res["X"]["diffusion_coefficient"]
+
+    # fresh Project object: same directory, everything restored
+    project2 = latpu.Project(name="proj", storage_path=tmp_path)
+    exp2 = project2.experiments["persist"]
+    assert exp2.number_of_configurations == n_frames
+    assert exp2.species["X"].n_particles == n_atoms
+    res2 = exp2.run.EinsteinDiffusionCoefficients(data_range=20, plot=False)
+    assert res2["X"]["diffusion_coefficient"] == d
+    assert exp2.db.list_computations("persist")  # provenance retained

@@ -1,0 +1,166 @@
+"""Reader tests: synthetic LAMMPS dump / extxyz / flux files round-trip.
+
+Models the reference reader smoke tests
+(``CI/unit_tests/project/test_project_add_experiment.py:118-306``) but with
+full value verification against the arrays used to write the files.
+"""
+
+import numpy as np
+import pytest
+
+from lammps_analysis_tpu.file_io import (
+    EXTXYZFile,
+    LAMMPSDumpFile,
+    LAMMPSFluxFile,
+    ScriptInput,
+)
+from lammps_analysis_tpu.database import (
+    PropertyInfo,
+    SpeciesInfo,
+    TrajectoryChunkData,
+    TrajectoryMetadata,
+)
+
+
+def write_lammps_dump(path, pos, vel, species, box, dt=10, shuffle=True, rng=None):
+    """Write a dump with optionally shuffled atom ids per config."""
+    n_frames, n_atoms, _ = pos.shape
+    with open(path, "w") as f:
+        for t in range(n_frames):
+            order = np.arange(n_atoms)
+            if shuffle and rng is not None:
+                rng.shuffle(order)
+            f.write("ITEM: TIMESTEP\n%d\n" % (t * dt))
+            f.write("ITEM: NUMBER OF ATOMS\n%d\n" % n_atoms)
+            f.write("ITEM: BOX BOUNDS pp pp pp\n")
+            for b in box:
+                f.write("0.0 %.4f\n" % b)
+            f.write("ITEM: ATOMS id element x y z vx vy vz\n")
+            for i in order:
+                f.write(
+                    "%d %s %.8f %.8f %.8f %.8f %.8f %.8f\n"
+                    % (i + 1, species[i], *pos[t, i], *vel[t, i])
+                )
+
+
+@pytest.fixture()
+def dump_data(rng):
+    n_frames, n_na, n_cl = 7, 5, 3
+    n = n_na + n_cl
+    pos = rng.uniform(0, 8.0, size=(n_frames, n, 3))
+    vel = rng.normal(size=(n_frames, n, 3))
+    species = ["Na"] * n_na + ["Cl"] * n_cl
+    return pos, vel, species
+
+
+def test_lammps_dump_reader(tmp_path, dump_data, rng):
+    pos, vel, species = dump_data
+    path = tmp_path / "traj.lammpstraj"
+    write_lammps_dump(path, pos, vel, species, [8.0, 8.0, 8.0], dt=10, rng=rng)
+
+    reader = LAMMPSDumpFile(path)
+    meta = reader.metadata
+    assert meta.n_configurations == 7
+    assert meta.box_l == [8.0, 8.0, 8.0]
+    assert meta.sample_rate == 10
+    by_name = {s.name: s for s in meta.species_list}
+    assert by_name["Na"].n_particles == 5
+    assert by_name["Cl"].n_particles == 3
+    assert sorted(p.name for p in by_name["Na"].properties) == [
+        "Positions",
+        "Velocities",
+    ]
+
+    chunks = list(reader.get_configurations_generator())
+    got_pos = np.concatenate(
+        [c.get_data("Na", "Positions") for c in chunks], axis=0
+    )
+    np.testing.assert_allclose(got_pos, pos[:, :5], atol=1e-7)
+    got_cl_vel = np.concatenate(
+        [c.get_data("Cl", "Velocities") for c in chunks], axis=0
+    )
+    np.testing.assert_allclose(got_cl_vel, vel[:, 5:], atol=1e-7)
+
+
+def test_lammps_dump_type_column(tmp_path, dump_data, rng):
+    pos, vel, _ = dump_data
+    species = ["1"] * 5 + ["2"] * 3
+    path = tmp_path / "traj.dump"
+    with open(path, "w") as f:
+        for t in range(7):
+            f.write("ITEM: TIMESTEP\n%d\nITEM: NUMBER OF ATOMS\n8\n" % t)
+            f.write("ITEM: BOX BOUNDS pp pp pp\n0 8\n0 8\n0 8\n")
+            f.write("ITEM: ATOMS id type x y z\n")
+            for i in range(8):
+                f.write("%d %s %.6f %.6f %.6f\n" % (i + 1, species[i], *pos[t, i]))
+    reader = LAMMPSDumpFile(path)
+    names = {s.name: s.n_particles for s in reader.metadata.species_list}
+    assert names == {"1": 5, "2": 3}
+
+
+def test_extxyz_reader(tmp_path, rng):
+    n_frames, n_o, n_h = 4, 2, 4
+    n = n_o + n_h
+    pos = rng.uniform(0, 5.0, size=(n_frames, n, 3))
+    force = rng.normal(size=(n_frames, n, 3))
+    species = ["O"] * n_o + ["H"] * n_h
+    path = tmp_path / "traj.extxyz"
+    with open(path, "w") as f:
+        for t in range(n_frames):
+            f.write("%d\n" % n)
+            f.write(
+                'Lattice="5.0 0 0 0 5.0 0 0 0 5.0" '
+                "Properties=species:S:1:pos:R:3:force:R:3 Time=%d\n" % (t * 2)
+            )
+            for i in range(n):
+                f.write(
+                    "%s %.8f %.8f %.8f %.8f %.8f %.8f\n"
+                    % (species[i], *pos[t, i], *force[t, i])
+                )
+    reader = EXTXYZFile(path)
+    meta = reader.metadata
+    assert meta.n_configurations == 4
+    assert meta.box_l == [5.0, 5.0, 5.0]
+    assert meta.sample_rate == 2
+    chunks = list(reader.get_configurations_generator())
+    got = np.concatenate([c.get_data("H", "Forces") for c in chunks], axis=0)
+    np.testing.assert_allclose(got, force[:, n_o:], atol=1e-7)
+
+
+def test_lammps_flux_reader(tmp_path, rng):
+    n_steps = 11
+    flux = rng.normal(size=(n_steps, 3))
+    temp = rng.uniform(290, 310, size=n_steps)
+    path = tmp_path / "flux.dat"
+    with open(path, "w") as f:
+        f.write("# LAMMPS heat flux output\n")
+        f.write("time temp c_flux_thermal[1] c_flux_thermal[2] c_flux_thermal[3]\n")
+        for t in range(n_steps):
+            f.write("%d %.6f %.8f %.8f %.8f\n" % (t, temp[t], *flux[t]))
+    reader = LAMMPSFluxFile(path, sample_rate=5, box_l=[10.0, 10.0, 10.0])
+    meta = reader.metadata
+    assert meta.n_configurations == n_steps
+    assert meta.sample_rate == 5
+    assert meta.species_list[0].name == "Observables"
+    assert meta.species_list[0].n_particles == 1
+    chunks = list(reader.get_configurations_generator())
+    got = np.concatenate(
+        [c.get_data("Observables", "Thermal_Flux") for c in chunks], axis=0
+    )
+    np.testing.assert_allclose(got[:, 0, :], flux, atol=1e-7)
+
+
+def test_script_input_roundtrip(rng):
+    props = [PropertyInfo("Positions", 3)]
+    sp = [SpeciesInfo("X", 4, props)]
+    meta = TrajectoryMetadata(
+        n_configurations=6, species_list=sp, box_l=[3.0, 3.0, 3.0]
+    )
+    chunk = TrajectoryChunkData(sp, 6)
+    data = rng.normal(size=(6, 4, 3))
+    chunk.add_data(data, 0, "X", "Positions")
+    reader = ScriptInput(chunk, meta, "test_data")
+    assert reader.metadata.n_configurations == 6
+    out = list(reader.get_configurations_generator())
+    assert len(out) == 1
+    np.testing.assert_array_equal(out[0].get_data("X", "Positions"), data)

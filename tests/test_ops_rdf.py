@@ -12,7 +12,7 @@ from lammps_analysis_tpu.ops.histogram import histogram_fixed_width
 
 def test_histogram_fixed_width_matches_numpy(rng):
     vals = rng.uniform(0, 5, size=(1000,))
-    for strategy in ("matmul", "scatter"):
+    for strategy in ("compare", "scatter"):
         h = np.asarray(
             histogram_fixed_width(jnp.array(vals), 0.0, 5.0, 25, strategy=strategy)
         )
@@ -43,7 +43,7 @@ def test_rdf_histogram_matches_direct(rng):
     pos_pad = np.zeros((3, npad, 3))
     pos_pad[:, : n_a + n_b] = pos
     cutoff, nbins = 2.9, 50
-    for strategy in ("matmul", "scatter"):
+    for strategy in ("compare", "scatter"):
         h = np.asarray(
             R.rdf_histogram(
                 jnp.array(pos_pad), jnp.array(sid), jnp.array(ptab),
