@@ -1,0 +1,222 @@
+"""Distinct (cross-particle) diffusion coefficients — Einstein and Green-Kubo.
+
+Ports of ``einstein_distinct_diffusion_coefficients.py:60-351`` and
+``green_kubo_distinct_diffusion_coefficients.py:58-362`` (both flagged
+experimental upstream). The reference evaluates an O(N_a x N_b) vmap "Gram
+map" of pairwise correlations; this build exploits bilinearity —
+``mean_{i,j} corr(a_i, b_j) == corr(mean_i a_i, mean_j b_j)`` — so the
+cross term is a single correlation of particle-averaged series, O(N) work,
+numerically identical (the self-term is subtracted separately for same
+species, exactly as the reference does).
+"""
+
+from __future__ import annotations
+
+import itertools
+import logging
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..database.properties import mdsuite_properties as mp
+from ..ops.correlation import cross_correlation_biased, window_starts
+from ..utils.fitting import fit_einstein_curve
+from .base import TrajectoryCalculator
+
+log = logging.getLogger(__name__)
+
+
+def _window_slabs(x: np.ndarray, window: int, stride: int):
+    starts = np.asarray(window_starts(x.shape[0], window, stride))
+    for s in starts:
+        yield x[s : s + window]
+
+
+class EinsteinDistinctDiffusionCoefficients(TrajectoryCalculator):
+    """Distinct Einstein diffusion: cross-particle displacement correlations.
+
+    Per window: ``mean_dims[ avg_i d_i^a * avg_j d_j^b ]`` minus the
+    self-term ``mean_i mean_dims d_i^2`` for identical species (reference
+    ``_map_over_particles`` / ``_compute_self_correlation``). D = slope/2
+    (dimension averaging is inside the map, reference ``:293-303``).
+    """
+
+    loaded_property = mp.unwrapped_positions
+    scale_function = {"linear": {"scale_factor": 10}}
+    result_keys = ["diffusion_coefficient", "uncertainty"]
+    result_series_keys = ["time", "msd"]
+
+    def prepare_args(
+        self,
+        species: list = None,
+        data_range: int = 100,
+        correlation_time: int = 1,
+        fit_range: int = -1,
+        tau_values=None,
+        molecules: bool = False,
+        atom_selection=None,
+        **kwargs,
+    ) -> Dict[str, Any]:
+        if species is None:
+            species = list(self.experiment.species)
+        if fit_range == -1:
+            fit_range = int(data_range - 1)
+        return {
+            "species": list(species),
+            "data_range": int(data_range),
+            "correlation_time": int(correlation_time),
+            "fit_range": int(fit_range),
+            "molecules": bool(molecules),
+            "tau_values": None,
+        }
+
+    def run_calculator(self) -> Dict[str, dict]:
+        a = self.args
+        exp = self.experiment
+        self._run_dependency_check(a["species"])
+        times = self._handle_tau_values() * exp.units.time
+        w = a["data_range"]
+        results = {}
+        for sp_a, sp_b in itertools.combinations_with_replacement(a["species"], 2):
+            data = exp.load_matrix(
+                self.loaded_property.name, [sp_a, sp_b]
+            )
+            xa, xb = data[sp_a], data[sp_b]
+            msd_sum = np.zeros(w)
+            n_windows = 0
+            for seg_a, seg_b in zip(
+                _window_slabs(xa, w, a["correlation_time"]),
+                _window_slabs(xb, w, a["correlation_time"]),
+            ):
+                da = seg_a - seg_a[0]  # (W, Na, 3)
+                db = seg_b - seg_b[0]
+                cross = np.mean(
+                    da.mean(axis=1) * db.mean(axis=1), axis=-1
+                )  # (W,)
+                if sp_a == sp_b:
+                    cross = cross - np.mean(
+                        np.mean(da * db, axis=-1), axis=1
+                    )
+                msd_sum += cross
+                n_windows += 1
+            msd = msd_sum / max(n_windows, 1)
+            msd *= exp.units.length**2
+            try:
+                popt, pcov, _, _ = fit_einstein_curve(
+                    times, msd, fit_max_index=a["fit_range"]
+                )
+                sign = 1.0
+            except ValueError:
+                popt, pcov, _, _ = fit_einstein_curve(
+                    times, np.abs(msd), fit_max_index=a["fit_range"]
+                )
+                sign = -1.0
+            error = np.sqrt(np.diag(pcov))[0]
+            results[f"{sp_a}_{sp_b}"] = {
+                "diffusion_coefficient": sign * popt[0] / 2.0,
+                "uncertainty": error / 2.0,
+                "time": times.tolist(),
+                "msd": msd.tolist(),
+            }
+        return results
+
+
+class GreenKuboDistinctDiffusionCoefficients(TrajectoryCalculator):
+    """Distinct GK diffusion: cross-particle velocity correlations.
+
+    Per window: raw (unnormalised) positive-lag cross-correlation averaged
+    over dimensions and particle pairs (reference ``correlate`` helper,
+    ``utils/calculator_helper_methods.py:110-150``), self-term subtracted
+    for identical species; D = mean over windows of
+    ``prefactor * trapz(vacf, t)`` with
+    ``prefactor = length^2 / (time_unit * (data_range - 1))``
+    (``green_kubo_distinct_diffusion_coefficients.py:297-313``).
+    """
+
+    loaded_property = mp.velocities
+    scale_function = {"linear": {"scale_factor": 10}}
+    result_keys = ["diffusion_coefficient", "uncertainty"]
+    result_series_keys = ["time", "vacf"]
+
+    def prepare_args(
+        self,
+        species: list = None,
+        data_range: int = 500,
+        correlation_time: int = 1,
+        integration_range: int = None,
+        tau_values=None,
+        molecules: bool = False,
+        atom_selection=None,
+        **kwargs,
+    ) -> Dict[str, Any]:
+        if species is None:
+            species = list(self.experiment.species)
+        if integration_range is None:
+            integration_range = data_range - 1
+        return {
+            "species": list(species),
+            "data_range": int(data_range),
+            "correlation_time": int(correlation_time),
+            "integration_range": int(integration_range),
+            "molecules": bool(molecules),
+            "tau_values": None,
+        }
+
+    @staticmethod
+    def _raw_cross_corr(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        """Positive-lag unnormalised cross-correlation, mean over dims.
+
+        ``out[k] = mean_d sum_t a[t+k, d] b[t, d]`` — matches
+        ``jnp.correlate(a, b, 'full')[N-1:]`` averaged over dimensions.
+        """
+        w = a.shape[0]
+        # biased estimator times W gives the raw sum
+        cc = cross_correlation_biased(
+            jnp.asarray(b), jnp.asarray(a), axis=0
+        )  # sum_t b[t] a[t+k] / W
+        return np.asarray(jnp.mean(cc, axis=-1)) * w
+
+    def run_calculator(self) -> Dict[str, dict]:
+        a = self.args
+        exp = self.experiment
+        self._run_dependency_check(a["species"])
+        times = self._handle_tau_values()  # raw sim units (reference parity)
+        w = a["data_range"]
+        prefactor = exp.units.length**2 / (exp.units.time * (w - 1))
+        results = {}
+        for sp_a, sp_b in itertools.combinations_with_replacement(a["species"], 2):
+            data = exp.load_matrix(self.loaded_property.name, [sp_a, sp_b])
+            xa, xb = data[sp_a], data[sp_b]
+            n_a, n_b = xa.shape[1], xb.shape[1]
+            vacf_sum = np.zeros(w)
+            sigmas = []
+            for seg_a, seg_b in zip(
+                _window_slabs(xa, w, a["correlation_time"]),
+                _window_slabs(xb, w, a["correlation_time"]),
+            ):
+                # bilinearity: mean_{ij} corr(a_i, b_j) = corr(mean a, mean b)
+                cross = self._raw_cross_corr(
+                    seg_a.mean(axis=1), seg_b.mean(axis=1)
+                )
+                if sp_a == sp_b:
+                    # mean over particles of per-particle self correlation:
+                    per_particle = np.stack(
+                        [
+                            self._raw_cross_corr(seg_a[:, i], seg_b[:, i])
+                            for i in range(n_a)
+                        ]
+                    ).mean(axis=0)
+                    cross = cross - per_particle
+                vacf_sum += cross
+                sigmas.append(prefactor * np.trapezoid(cross, x=times))
+            vacf = vacf_sum / max(len(sigmas), 1)
+            sigmas = np.asarray(sigmas)
+            results[f"{sp_a}_{sp_b}"] = {
+                "diffusion_coefficient": float(np.mean(sigmas)),
+                "uncertainty": float(np.std(sigmas) / np.sqrt(len(sigmas))),
+                "time": times.tolist(),
+                "vacf": vacf.tolist(),
+            }
+        return results

@@ -1,0 +1,193 @@
+"""Integration tests: conductivity / thermal / viscosity calculators.
+
+Analytic-oracle pattern: white-noise fluxes and random-walk currents with
+known transport coefficients, pushed through the full dependency chain
+(velocities -> IonicCurrent -> GK conductivity, etc.).
+"""
+
+import numpy as np
+import pytest
+
+import lammps_analysis_tpu as latpu
+from lammps_analysis_tpu.database import (
+    PropertyInfo,
+    SpeciesInfo,
+    TrajectoryChunkData,
+    TrajectoryMetadata,
+)
+from lammps_analysis_tpu.file_io import LAMMPSFluxFile, ScriptInput
+from lammps_analysis_tpu.utils.units import boltzmann_constant, elementary_charge
+
+VEL = PropertyInfo("Velocities", 3)
+UNWRAPPED = PropertyInfo("Unwrapped_Positions", 3)
+
+
+def _ionic_experiment(tmp_path, rng, n_frames=4000, n_each=16, sigma_v=1.0, dt=0.05):
+    """Two oppositely charged species with white-noise velocities."""
+    sp = [
+        SpeciesInfo("Na", n_each, [VEL, UNWRAPPED]),
+        SpeciesInfo("Cl", n_each, [VEL, UNWRAPPED]),
+    ]
+    meta = TrajectoryMetadata(
+        n_configurations=n_frames, species_list=sp, box_l=[10.0] * 3,
+        sample_rate=1, temperature=300.0,
+    )
+    chunk = TrajectoryChunkData(sp, n_frames)
+    vel = {}
+    for name in ("Na", "Cl"):
+        v = rng.normal(scale=sigma_v, size=(n_frames, n_each, 3))
+        vel[name] = v
+        chunk.add_data(v, 0, name, "Velocities")
+        # positions integrated from velocities (for the Einstein-Helfand path)
+        pos = np.cumsum(v * dt, axis=0)
+        chunk.add_data(pos, 0, name, "Unwrapped_Positions")
+
+    project = latpu.Project(name="proj", storage_path=tmp_path)
+    exp = project.add_experiment(
+        "ionic", timestep=dt, temperature=300.0, units="si",
+        simulation_data=ScriptInput(chunk, meta, "ionic_data"),
+    )
+    exp.set_charge("Na", 1.0)
+    exp.set_charge("Cl", -1.0)
+    return exp, vel
+
+
+def _sigma_expected(n_total, sigma_v, dt, temperature, volume):
+    return (
+        elementary_charge**2
+        * n_total
+        * sigma_v**2
+        * dt
+        / (2 * boltzmann_constant * temperature * volume)
+    )
+
+
+def test_green_kubo_ionic_conductivity(tmp_path, rng):
+    exp, _ = _ionic_experiment(tmp_path, rng)
+    res = exp.run.GreenKuboIonicConductivity(
+        data_range=64, correlation_time=32, plot=False
+    )
+    assert exp.store.check_existence("Observables/Ionic_Current")
+    sigma = res["System"]["ionic_conductivity"][0]
+    expected = _sigma_expected(32, 1.0, 0.05, 300.0, 1000.0)
+    assert abs(sigma - expected) / expected < 0.15
+
+
+def test_einstein_helfand_ionic_conductivity(tmp_path, rng):
+    exp, _ = _ionic_experiment(tmp_path, rng)
+    res = exp.run.EinsteinHelfandIonicConductivity(
+        data_range=64, correlation_time=32, plot=False
+    )
+    assert exp.store.check_existence("Observables/Translational_Dipole_Moment")
+    sigma = res["System"]["ionic_conductivity"]
+    expected = _sigma_expected(32, 1.0, 0.05, 300.0, 1000.0)
+    # EH needs long diffusive regimes; accept looser tolerance
+    assert abs(sigma - expected) / expected < 0.35
+
+
+def _observables_experiment(tmp_path, rng, prop_name, n_frames=4000, sigma_j=2.0,
+                            dt=0.1, temperature=300.0):
+    prop = PropertyInfo(prop_name, 3)
+    sp = [SpeciesInfo("Observables", 1, [prop])]
+    meta = TrajectoryMetadata(
+        n_configurations=n_frames, species_list=sp, box_l=[10.0] * 3,
+        sample_rate=1, temperature=temperature,
+    )
+    chunk = TrajectoryChunkData(sp, n_frames)
+    series = rng.normal(scale=sigma_j, size=(n_frames, 1, 3))
+    chunk.add_data(series, 0, "Observables", prop_name)
+    project = latpu.Project(name="proj", storage_path=tmp_path)
+    exp = project.add_experiment(
+        "obs", timestep=dt, temperature=temperature, units="si",
+        simulation_data=ScriptInput(chunk, meta, f"{prop_name}_data"),
+    )
+    return exp
+
+
+def test_green_kubo_thermal_conductivity(tmp_path, rng):
+    exp = _observables_experiment(tmp_path, rng, "Thermal_Flux")
+    w = 64
+    res = exp.run.GreenKuboThermalConductivity(
+        data_range=w, correlation_time=32, plot=False
+    )
+    kappa = res["System"]["thermal_conductivity"][0]
+    # white-noise flux: kappa = sigma_J^2 dt / (2 kB T^2 V) * W/(W-1) (SI)
+    expected = (
+        2.0**2 * 0.1 / (2 * boltzmann_constant * 300.0**2 * 1000.0) * w / (w - 1)
+    )
+    assert abs(kappa - expected) / expected < 0.15
+
+
+def test_einstein_helfand_thermal_conductivity_runs(tmp_path, rng):
+    exp = _observables_experiment(tmp_path, rng, "Integrated_Heat_Current")
+    res = exp.run.EinsteinHelfandThermalConductivity(
+        data_range=64, correlation_time=32, plot=False
+    )
+    assert np.isfinite(res["System"]["thermal_conductivity"])
+
+
+def test_green_kubo_viscosity(tmp_path, rng):
+    exp = _observables_experiment(tmp_path, rng, "Momentum_Flux")
+    w = 64
+    res = exp.run.GreenKuboViscosity(
+        data_range=w, correlation_time=32, plot=False
+    )
+    eta = res["System"]["viscosity"][0]
+    expected = (
+        2.0**2 * 0.1 / (2 * boltzmann_constant * 300.0 * 1000.0) * w / (w - 1)
+    )
+    assert abs(eta - expected) / expected < 0.15
+
+
+def test_green_kubo_viscosity_flux_from_file(tmp_path, rng):
+    """Flux-file ingestion feeds GreenKuboViscosityFlux directly."""
+    n_steps = 3000
+    stress = rng.normal(scale=1.5, size=(n_steps, 3))
+    path = tmp_path / "flux.dat"
+    with open(path, "w") as f:
+        f.write("# log\n")
+        f.write("time pxy pxz pyz\n")
+        for t in range(n_steps):
+            f.write("%d %.8f %.8f %.8f\n" % (t, *stress[t]))
+    project = latpu.Project(name="proj", storage_path=tmp_path)
+    exp = project.add_experiment(
+        "visc", timestep=0.1, temperature=300.0, units="si",
+        simulation_data=LAMMPSFluxFile(
+            path, sample_rate=1, box_l=[10.0, 10.0, 10.0]
+        ),
+    )
+    res = exp.run.GreenKuboViscosityFlux(
+        data_range=64, correlation_time=32, plot=False
+    )
+    eta = res["System"]["viscosity"][0]
+    # volume in numerator (flux-file prefactor): eta = V sigma^2 dt W/(W-1) / (2 kB T)
+    expected = (
+        1000.0 * 1.5**2 * 0.1 / (2 * boltzmann_constant * 300.0) * 64 / 63
+    )
+    assert abs(eta - expected) / expected < 0.2
+
+
+def test_nernst_einstein_from_diffusion(tmp_path, rng):
+    exp, _ = _ionic_experiment(tmp_path, rng, n_frames=1500)
+    diff = exp.run.GreenKuboDiffusionCoefficients(
+        data_range=64, correlation_time=64, plot=False
+    )
+    res = exp.run.NernstEinsteinIonicConductivity(diffusion_data=diff, plot=False)
+    sigma_ne = res["System"]["nernst_einstein_ionic_conductivity"]
+    expected = _sigma_expected(32, 1.0, 0.05, 300.0, 1000.0)
+    assert abs(sigma_ne - expected) / expected < 0.2
+
+
+def test_distinct_diffusion_runs(tmp_path, rng):
+    exp, _ = _ionic_experiment(tmp_path, rng, n_frames=600)
+    res = exp.run.EinsteinDistinctDiffusionCoefficients(
+        data_range=40, correlation_time=40, plot=False
+    )
+    assert set(res.keys()) == {"Na_Na", "Na_Cl", "Cl_Cl"}
+    for key in res.keys():
+        assert np.isfinite(res[key]["diffusion_coefficient"])
+    res_gk = exp.run.GreenKuboDistinctDiffusionCoefficients(
+        data_range=40, correlation_time=40, plot=False
+    )
+    for key in res_gk.keys():
+        assert np.isfinite(res_gk[key]["diffusion_coefficient"])
