@@ -15,6 +15,7 @@ from .post_processing import (  # noqa: F401
     StructureFactor,
 )
 from .radial_distribution_function import RadialDistributionFunction  # noqa: F401
+from .spatial_distribution_function import SpatialDistributionFunction  # noqa: F401
 from .system_calculators import (  # noqa: F401
     EinsteinHelfandIonicConductivity,
     EinsteinHelfandThermalConductivity,
@@ -46,5 +47,6 @@ ALL_CALCULATORS = {
         PotentialOfMeanForce,
         KirkwoodBuffIntegral,
         StructureFactor,
+        SpatialDistributionFunction,
     )
 }

@@ -83,7 +83,7 @@ class AngularDistributionFunction(TrajectoryCalculator):
             np.linspace(a["start"], a["stop"], a["number_of_configurations"],
                         dtype=int)
         )
-        n_per_species = [exp.species[sp].n_particles for sp in species]
+        n_per_species = [exp.entity(sp).n_particles for sp in species]
         sid, n_pad, _, _, _ = rdf_ops.build_species_layout(n_per_species, pad_to=8)
         ttab, triple_order = adf_ops.build_triple_table(len(species))
         n_triples = len(triple_order)

@@ -87,7 +87,7 @@ class RadialDistributionFunction(TrajectoryCalculator):
         sample_configs = np.unique(sample_configs)
         n_sampled = len(sample_configs)
 
-        n_per_species = [exp.species[sp].n_particles for sp in species]
+        n_per_species = [exp.entity(sp).n_particles for sp in species]
         sid, n_pad, pair_table, n_pairs, pair_order = (
             rdf_ops.build_species_layout(n_per_species, pad_to=8)
         )

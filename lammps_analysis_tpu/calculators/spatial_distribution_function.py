@@ -1,0 +1,145 @@
+"""Spatial distribution function calculator.
+
+Port of ``mdsuite/calculators/spatial_distribution_function.py:72-330``
+(experimental upstream): minimum-image displacement vectors between a
+reference species and a partner species with length in ``[r_min, r_max]``
+are projected onto the unit sphere and binned into an (theta, phi) 2-D
+histogram. Output: the histogram plus the unit-sphere bin coordinates; a
+matplotlib 3-D rendering replaces the reference's open3d viewer.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from typing import Any, Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..database.properties import mdsuite_properties as mp
+from ..database.trajectory_store import join_path
+from ..ops.geometry import (
+    cartesian_to_spherical,
+    minimum_image,
+    spherical_to_cartesian,
+)
+from ..ops.histogram import bin_indices, histogram2d_masked
+from .base import TrajectoryCalculator
+
+log = logging.getLogger(__name__)
+
+
+class SpatialDistributionFunction(TrajectoryCalculator):
+    """Angular density of neighbors in a radial shell."""
+
+    loaded_property = mp.positions
+    scale_function = {"quadratic": {"outer_scale_factor": 1}}
+    result_series_keys = ["sdf", "sphere"]
+    dtype = "float32"
+
+    def prepare_args(
+        self,
+        molecules: bool = False,
+        start: int = 1,
+        stop: int = 10,
+        number_of_configurations: int = 5,
+        r_min: float = 4.0,
+        r_max: float = 4.5,
+        species: list = None,
+        n_bins: int = 100,
+        **kwargs,
+    ) -> Dict[str, Any]:
+        exp = self.experiment
+        if species is None:
+            species = list(exp.molecules) if molecules else list(exp.species)
+        stop = min(stop, exp.number_of_configurations - 1)
+        return {
+            "molecules": bool(molecules),
+            "start": int(start),
+            "stop": int(stop),
+            "number_of_configurations": int(number_of_configurations),
+            "r_min": float(r_min),
+            "r_max": float(r_max),
+            "species": list(species)[:2],
+            "n_bins": int(n_bins),
+        }
+
+    def run_calculator(self) -> Dict[str, dict]:
+        a = self.args
+        exp = self.experiment
+        species = a["species"]
+        sp_a = species[0]
+        sp_b = species[1] if len(species) > 1 else species[0]
+        n_bins = a["n_bins"]
+
+        idx = np.unique(
+            np.linspace(a["start"], a["stop"], a["number_of_configurations"],
+                        dtype=int)
+        )
+        pos_a = exp.store.load(
+            [join_path(sp_a, mp.positions.name)], frames=idx,
+            dtype=np.float32,
+        )[join_path(sp_a, mp.positions.name)]
+        pos_b = exp.store.load(
+            [join_path(sp_b, mp.positions.name)], frames=idx,
+            dtype=np.float32,
+        )[join_path(sp_b, mp.positions.name)]
+
+        box = jnp.asarray(np.asarray(exp.box_array, dtype=np.float32))
+        r = jnp.asarray(pos_b)[:, None, :, :] - jnp.asarray(pos_a)[:, :, None, :]
+        r = minimum_image(r, box)
+        rtp = cartesian_to_spherical(r)  # (F, Na, Nb, 3)
+        d = rtp[..., 0]
+        mask = (d >= a["r_min"]) & (d <= a["r_max"])
+        if sp_a == sp_b:
+            eye = jnp.eye(pos_a.shape[1], dtype=bool)
+            mask = mask & ~eye[None, :, :]
+
+        theta_idx = bin_indices(rtp[..., 1], 0.0, math.pi, n_bins)
+        phi_idx = bin_indices(rtp[..., 2], -math.pi, math.pi, n_bins)
+        hist = histogram2d_masked(
+            theta_idx, phi_idx, mask.astype(jnp.float32), n_bins, n_bins
+        )
+
+        sphere = self._unit_sphere(n_bins)
+        results = {
+            "System": {
+                "sdf": np.asarray(hist, dtype=np.float64).tolist(),
+                "sphere": sphere.tolist(),
+            }
+        }
+        return results
+
+    @staticmethod
+    def _unit_sphere(n_bins: int) -> np.ndarray:
+        """Bin-center coordinates on the unit sphere (reference ``:256-275``)."""
+        theta = np.linspace(0, math.pi, n_bins)
+        phi = np.linspace(-math.pi, math.pi, n_bins)
+        tt, pp = np.meshgrid(theta, phi)
+        rtp = np.stack([np.ones_like(tt), tt, pp], axis=-1)
+        return np.asarray(spherical_to_cartesian(jnp.asarray(rtp)))
+
+    def plot_results(self, computation):
+        """3-D scatter of the SDF on the unit sphere (replaces open3d)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        data = computation["System"]
+        sphere = np.asarray(data["sphere"], dtype=float).reshape(-1, 3)
+        colors = np.asarray(data["sdf"], dtype=float).T.reshape(-1)
+        fig = plt.figure(figsize=(6, 6))
+        ax = fig.add_subplot(projection="3d")
+        sc = ax.scatter(
+            sphere[:, 0], sphere[:, 1], sphere[:, 2], c=colors, s=4,
+            cmap="viridis",
+        )
+        fig.colorbar(sc, shrink=0.7)
+        ax.set_title("Spatial distribution function")
+        out = self.experiment.path / "figures" / "SpatialDistributionFunction.png"
+        out.parent.mkdir(exist_ok=True)
+        fig.savefig(out, dpi=110)
+        plt.close(fig)
+        return out

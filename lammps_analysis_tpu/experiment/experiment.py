@@ -178,6 +178,36 @@ class Experiment:
     def molecules(self, value: Dict[str, dict]):
         self.db.set_attribute(self.name, "molecules", value)
 
+    def entity(self, name: str) -> SpeciesInfo:
+        """Resolve a species OR mapped-molecule name to its static info.
+
+        Calculators invoked with ``molecules=True`` receive molecule names;
+        both kinds resolve here (reference: the ``molecules`` branches in
+        calculators, e.g. ``radial_distribution_function.py:311-323``).
+        """
+        species = self.species
+        if name in species:
+            return species[name]
+        molecules = self.molecules
+        if name in molecules:
+            m = molecules[name]
+            return SpeciesInfo(
+                name=name,
+                n_particles=m["n_particles"],
+                properties=tuple(
+                    PropertyInfo(p["name"], p["n_dims"])
+                    for p in m.get("properties", [])
+                ),
+                mass=m.get("mass", 0.0),
+                charge=m.get("charge", 0.0),
+            )
+        from ..utils.constants import SpeciesNotFoundError
+
+        raise SpeciesNotFoundError(
+            f"{name!r} is neither a species nor a mapped molecule of "
+            f"experiment {self.name!r}"
+        )
+
     def set_charge(self, element: str, charge: float) -> None:
         """Set a species' charge (reference ``experiment.py:429-442``)."""
         species = self.species
@@ -340,6 +370,32 @@ class Experiment:
         from .run import RunComputation
 
         return RunComputation(experiment=self)
+
+    @property
+    def time_series(self):
+        """Time-series dispatch: ``exp.time_series.Energies(...)``.
+
+        Analog of the reference RunModule (``experiment/run_module.py:35``).
+        """
+        from ..time_series import time_series_dict
+
+        experiment = self
+
+        class _TimeSeriesHub:
+            def __getattr__(self, name):
+                try:
+                    cls = time_series_dict[name]
+                except KeyError as err:
+                    raise AttributeError(
+                        f"No time series named {name!r}; available: "
+                        f"{sorted(time_series_dict)}"
+                    ) from err
+                return cls(experiment)
+
+            def __dir__(self):
+                return sorted(time_series_dict)
+
+        return _TimeSeriesHub()
 
     def cls_transformation_run(self, transformation, species=None):
         """Run a transformation instance on this experiment.

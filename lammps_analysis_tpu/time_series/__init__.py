@@ -1,1 +1,2 @@
-"""time_series subpackage."""
+"""Time-series inspection tools."""
+from .base import Energies, KineticEnergies, Temperature, TimeSeries, time_series_dict  # noqa: F401

@@ -7,6 +7,7 @@ from .coordinate_transforms import (  # noqa: F401
     UnwrapViaIndices,
     VelocityFromPositions,
 )
+from .map_molecules import MolecularMap  # noqa: F401
 from .flux_transforms import (  # noqa: F401
     IntegratedHeatCurrent,
     IonicCurrent,

@@ -24,6 +24,7 @@ from .flux_transforms import (
     ThermalFlux,
     TranslationalDipoleMoment,
 )
+from .map_molecules import MolecularMap
 
 #: property name -> list of transformation classes able to produce it,
 #: in preference order.
@@ -53,6 +54,7 @@ ALL_TRANSFORMATIONS = {
         IntegratedHeatCurrent,
         KinaciIntegratedHeatCurrent,
         MomentumFlux,
+        MolecularMap,
     )
 }
 

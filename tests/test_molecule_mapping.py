@@ -1,0 +1,158 @@
+"""Molecule mapping tests: detection, COM reduction, molecular calculators.
+
+Models the reference's molecular-mapping validation
+(``CI/integration_tests/transformations/test_molecular_mapping_results.py``)
+with synthetic rigid water trimers performing a random walk.
+"""
+
+import numpy as np
+import pytest
+
+import lammps_analysis_tpu as latpu
+from lammps_analysis_tpu.database import (
+    PropertyInfo,
+    SpeciesInfo,
+    TrajectoryChunkData,
+    TrajectoryMetadata,
+)
+from lammps_analysis_tpu.file_io import ScriptInput
+from lammps_analysis_tpu.graph.smiles import smiles_composition
+
+POSITIONS = PropertyInfo("Positions", 3)
+
+
+def make_water_experiment(tmp_path, rng, n_mol=8, n_frames=60, box=12.0,
+                          step_std=0.05):
+    """Rigid H2O trimers whose centers random-walk; returns exp + true COMs."""
+    bond, angle = 0.95, np.deg2rad(104.5)
+    masses = {"O": 15.999, "H": 1.008}
+    centers0 = rng.uniform(2, box - 2, size=(n_mol, 3))
+    walk = np.cumsum(
+        rng.normal(scale=step_std, size=(n_frames, n_mol, 3)), axis=0
+    )
+    centers = centers0[None] + walk  # (T, M, 3) unwrapped O positions
+
+    o_pos = centers
+    v1 = np.array([np.sin(angle / 2), np.cos(angle / 2), 0.0]) * bond
+    v2 = np.array([-np.sin(angle / 2), np.cos(angle / 2), 0.0]) * bond
+    h1 = centers + v1
+    h2 = centers + v2
+
+    # true COM
+    m_tot = masses["O"] + 2 * masses["H"]
+    com_true = (
+        masses["O"] * o_pos + masses["H"] * h1 + masses["H"] * h2
+    ) / m_tot
+
+    h_pos = np.concatenate([h1, h2], axis=1)  # (T, 2M, 3)
+    sp = [
+        SpeciesInfo("H", 2 * n_mol, [POSITIONS]),
+        SpeciesInfo("O", n_mol, [POSITIONS]),
+    ]
+    meta = TrajectoryMetadata(
+        n_configurations=n_frames, species_list=sp, box_l=[box] * 3,
+        sample_rate=1, temperature=300.0,
+    )
+    chunk = TrajectoryChunkData(sp, n_frames)
+    # store wrapped positions to exercise the auto-unwrap path
+    chunk.add_data(h_pos - box * np.floor(h_pos / box), 0, "H", "Positions")
+    chunk.add_data(o_pos - box * np.floor(o_pos / box), 0, "O", "Positions")
+
+    project = latpu.Project(name="proj", storage_path=tmp_path)
+    exp = project.add_experiment(
+        "water", timestep=0.1, temperature=300.0, units="real",
+        simulation_data=ScriptInput(chunk, meta, "water_data"),
+    )
+    return exp, com_true
+
+
+def test_molecule_detection_and_com(tmp_path, rng):
+    exp, com_true = make_water_experiment(tmp_path, rng)
+    exp.run.MolecularMap(
+        molecules=[
+            latpu.Molecule(
+                name="water", smiles="[H]O[H]", amount=8, cutoff=1.2
+            )
+        ]
+    )
+    assert "water" in exp.molecules
+    mol = exp.molecules["water"]
+    assert mol["n_particles"] == 8
+    assert mol["composition"] == {"H": 2, "O": 1}
+    assert len(mol["groups"]) == 8
+
+    # COM trajectories must match the analytic COM up to molecule ordering
+    # and a global unwrapping offset (integer box multiples per molecule)
+    com = exp.load_matrix("Unwrapped_Positions", ["water"])["water"]
+    assert com.shape == (60, 8, 3)
+    deltas = com[:, :, None, :] - com_true[:, None, :, :]  # (T, M, M, 3)
+    # displacement differences must vanish for the matched pairing
+    disp = deltas - deltas[0:1]
+    match_err = np.abs(disp).max(axis=(0, 3))  # (M, M)
+    row_best = match_err.min(axis=1)
+    assert row_best.max() < 1e-8
+
+    # wrapped molecular positions exist for structural calculators
+    assert exp.store.check_existence("water/Positions")
+
+
+def test_molecular_diffusion_and_rdf(tmp_path, rng):
+    exp, _ = make_water_experiment(tmp_path, rng, n_frames=500, n_mol=16)
+    exp.run.MolecularMap(
+        molecules=[
+            latpu.Molecule(
+                name="water", species_dict={"O": 1, "H": 2}, amount=16,
+                cutoff=1.2,
+            )
+        ]
+    )
+    res = exp.run.EinsteinDiffusionCoefficients(
+        data_range=50, correlation_time=10, molecules=True, plot=False
+    )
+    d = res["water"]["diffusion_coefficient"]
+    # random-walk COM diffusion: step_std^2/(2 dt); real units: A^2/fs
+    expected = 0.05**2 / (2 * 0.1) * 1e-20 / 1e-15
+    assert abs(d - expected) / expected < 0.25
+
+    rdf = exp.run.RadialDistributionFunction(
+        molecules=True, number_of_configurations=50, plot=False
+    )
+    g = np.asarray(rdf["water_water"]["y"])
+    assert np.isfinite(g).all()
+
+
+def test_mapping_idempotent(tmp_path, rng):
+    exp, _ = make_water_experiment(tmp_path, rng, n_frames=30)
+    mol = [latpu.Molecule(name="water", species_dict={"O": 1, "H": 2},
+                          amount=8, cutoff=1.2)]
+    exp.run.MolecularMap(molecules=mol)
+    cursor = exp.store.get_cursor("water/Unwrapped_Positions")
+    exp.run.MolecularMap(molecules=mol)  # second run must be a no-op
+    assert exp.store.get_cursor("water/Unwrapped_Positions") == cursor
+
+
+def test_smiles_compositions():
+    assert smiles_composition("[H]O[H]") == {"H": 2, "O": 1}
+    assert smiles_composition("O") == {"O": 1, "H": 2}
+    assert smiles_composition("C(=O)=O") == {"C": 1, "O": 2}
+    assert smiles_composition("CCO") == {"C": 2, "O": 1, "H": 6}
+    assert smiles_composition("c1ccccc1") == {"C": 6, "H": 6}
+    assert smiles_composition("[Na+].[Cl-]") == {"Na": 1, "Cl": 1}
+
+
+def test_bad_molecule_spec(tmp_path, rng):
+    exp, _ = make_water_experiment(tmp_path, rng, n_frames=10)
+    with pytest.raises(ValueError, match="needs species"):
+        exp.run.MolecularMap(
+            molecules=[
+                latpu.Molecule(name="salt", species_dict={"Na": 1, "Cl": 1},
+                               cutoff=2.0)
+            ]
+        )
+    with pytest.raises(ValueError, match="No molecules matching"):
+        exp.run.MolecularMap(
+            molecules=[
+                latpu.Molecule(name="dimer", species_dict={"O": 2},
+                               cutoff=0.1)
+            ]
+        )

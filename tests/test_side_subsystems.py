@@ -1,0 +1,87 @@
+"""Tests: SDF calculator, time series, trajectory visualizer, report."""
+
+import numpy as np
+import pytest
+
+import lammps_analysis_tpu as latpu
+from lammps_analysis_tpu.database import (
+    PropertyInfo,
+    SpeciesInfo,
+    TrajectoryChunkData,
+    TrajectoryMetadata,
+)
+from lammps_analysis_tpu.file_io import ScriptInput
+
+POSITIONS = PropertyInfo("Positions", 3)
+PE = PropertyInfo("PE", 1)
+
+
+@pytest.fixture()
+def sdf_experiment(tmp_path, rng):
+    """Central atom at origin + partners clustered along +z in a shell."""
+    n_frames, box = 12, 20.0
+    n_b = 40
+    center = np.full((n_frames, 1, 3), box / 2)
+    theta = rng.uniform(0, 0.3, size=(n_frames, n_b))  # near +z pole
+    phi = rng.uniform(-np.pi, np.pi, size=(n_frames, n_b))
+    r = rng.uniform(4.0, 4.5, size=(n_frames, n_b))
+    partners = center + np.stack(
+        [
+            r * np.sin(theta) * np.cos(phi),
+            r * np.sin(theta) * np.sin(phi),
+            r * np.cos(theta),
+        ],
+        axis=-1,
+    )
+    sp = [
+        SpeciesInfo("A", 1, [POSITIONS, PE]),
+        SpeciesInfo("B", n_b, [POSITIONS, PE]),
+    ]
+    meta = TrajectoryMetadata(
+        n_configurations=n_frames, species_list=sp, box_l=[box] * 3,
+        sample_rate=1, temperature=300.0,
+    )
+    chunk = TrajectoryChunkData(sp, n_frames)
+    chunk.add_data(center, 0, "A", "Positions")
+    chunk.add_data(partners, 0, "B", "Positions")
+    chunk.add_data(rng.normal(size=(n_frames, 1, 1)), 0, "A", "PE")
+    chunk.add_data(rng.normal(size=(n_frames, n_b, 1)), 0, "B", "PE")
+    project = latpu.Project(name="proj", storage_path=tmp_path)
+    return project.add_experiment(
+        "sdf", timestep=0.1, temperature=300.0, units="real",
+        simulation_data=ScriptInput(chunk, meta, "sdf_data"),
+    )
+
+
+def test_sdf_finds_polar_cluster(sdf_experiment):
+    res = sdf_experiment.run.SpatialDistributionFunction(
+        species=["A", "B"], r_min=4.0, r_max=4.5, n_bins=20,
+        start=0, stop=11, number_of_configurations=12, plot=True,
+    )
+    sdf = np.asarray(res["System"]["sdf"])
+    assert sdf.shape == (20, 20)
+    total = sdf.sum()
+    assert total > 0
+    # counts concentrate at small theta (first rows)
+    assert sdf[:3].sum() / total > 0.8
+    assert (sdf_experiment.path / "figures"
+            / "SpatialDistributionFunction.png").exists()
+
+
+def test_time_series_energies(sdf_experiment):
+    out = sdf_experiment.time_series.Energies(window=3)
+    assert set(out["series"]) == {"A", "B"}
+    assert (sdf_experiment.path / "figures" / "timeseries_PE.png").exists()
+    with pytest.raises(AttributeError):
+        sdf_experiment.time_series.DoesNotExist
+
+
+def test_trajectory_visualizer(sdf_experiment):
+    path = sdf_experiment.run_visualization(species=["A", "B"])
+    assert path.exists()
+
+
+def test_report():
+    report = latpu.Report()
+    text = repr(report)
+    assert "jax" in text and "numpy" in text
