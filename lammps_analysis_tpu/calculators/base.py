@@ -194,28 +194,42 @@ class TrajectoryCalculator(Calculator):
             data_range=data_range,
         )
 
-    def _stream_property(
-        self, species: str, prop_name: str, data_range: int, correlation_time: int
-    ):
-        """Yield (T_slab, N, d) arrays in window-aligned slabs.
+    def _window_slab_plan(
+        self, path: str, data_range: int, correlation_time: int
+    ) -> list:
+        """Window-aligned (start, stop) slabs covering every sliding window.
 
         Consecutive slabs overlap by ``data_range - correlation_time`` frames
-        so every sliding window (stride ``correlation_time``) is seen exactly
-        once across slab boundaries.
+        so every window (stride ``correlation_time``) is seen exactly once
+        across slab boundaries.
         """
-        path = join_path(species, prop_name)
         plan = self._plan_for([path], data_range=data_range)
         n_frames = plan.total_frames
         slab = plan.frame_batch
+        slabs = []
         start = 0
         while start + data_range <= n_frames:
             stop = min(start + slab, n_frames)
-            data = self.experiment.store.load([path], frames=slice(start, stop))[
-                path
-            ]
-            yield data
+            slabs.append((start, stop))
             if stop >= n_frames:
                 break
-            # next window start strictly after the last one fully inside slab
             n_windows = (stop - start - data_range) // correlation_time + 1
             start = start + n_windows * correlation_time
+        return slabs
+
+    def _stream_property(
+        self, species: str, prop_name: str, data_range: int, correlation_time: int
+    ):
+        """Yield device-resident (T_slab, N, d) arrays, prefetched.
+
+        Disk reads + host->device transfers of slab k+1 overlap with the
+        caller's device compute on slab k (double buffering; replaces the
+        reference's tf.data prefetch).
+        """
+        from ..pipeline.prefetch import PrefetchingLoader
+
+        path = join_path(species, prop_name)
+        slabs = self._window_slab_plan(path, data_range, correlation_time)
+        loader = PrefetchingLoader(self.experiment.store, depth=2)
+        for chunk in loader.iter_slabs([path], slabs):
+            yield chunk[path]

@@ -107,9 +107,16 @@ class RadialDistributionFunction(TrajectoryCalculator):
 
         t0 = time.perf_counter()
         n_batches = -(-n_sampled // frames_per_batch)
-        for b in range(n_batches):
-            idx = sample_configs[b * frames_per_batch : (b + 1) * frames_per_batch]
-            batch_pos = self._load_concat_positions(species, idx, n_pad, dtype)
+        from ..pipeline.prefetch import prefetch_to_device
+
+        batches = [
+            sample_configs[b * frames_per_batch : (b + 1) * frames_per_batch]
+            for b in range(n_batches)
+        ]
+        for batch_pos in prefetch_to_device(
+            lambda idx: self._load_concat_positions(species, idx, n_pad, dtype),
+            batches,
+        ):
             h = sharded_rdf_histogram(
                 jnp.asarray(batch_pos),
                 sid_j,

@@ -121,6 +121,7 @@ class EXTXYZFile(TabularTextReader):
             n_particles=n_particles,
             header_lines_for_each_config=True,
             sort_by_column_idx=None,  # xyz files have a fixed atom order
+            n_cols=col,
         )
 
     def _get_metadata(self) -> TrajectoryMetadata:

@@ -91,6 +91,7 @@ class LAMMPSDumpFile(TabularTextReader):
             n_particles=n_particles,
             header_lines_for_each_config=True,
             sort_by_column_idx=None if self.trajectory_is_sorted_by_ids else id_col,
+            n_cols=len(col_names),
         )
 
     def _species_from_first_config(
@@ -112,7 +113,10 @@ class LAMMPSDumpFile(TabularTextReader):
         skip_n_lines(f, N_HEADER_LINES)
         rows = np.array([f.readline().split() for _ in range(n_particles)])
         if not self.trajectory_is_sorted_by_ids:
-            rows = sort_array_by_column(rows, id_col)
+            # ids must sort NUMERICALLY (the batch engine sorts parsed
+            # floats; a lexicographic string sort would disagree for >9 ids)
+            order = np.argsort(rows[:, id_col].astype(float), kind="stable")
+            rows = rows[order]
         species: Dict[str, List[int]] = {}
         for i, row in enumerate(rows):
             species.setdefault(str(row[sp_col]), []).append(i)

@@ -73,6 +73,7 @@ class LAMMPSFluxFile(TabularTextReader):
             n_header_lines=self.n_header_lines,
             n_particles=1,
             header_lines_for_each_config=False,
+            n_cols=n_cols,
         )
 
     def _get_metadata(self) -> TrajectoryMetadata:

@@ -44,6 +44,7 @@ class TabularReaderSpec:
     n_particles: int
     header_lines_for_each_config: bool = True
     sort_by_column_idx: Optional[int] = None
+    n_cols: Optional[int] = None  # enables the native C++ parser path
 
 
 def extract_properties_from_header(
@@ -111,6 +112,14 @@ class TabularTextReader(FileProcessor):
             spec.n_header_lines if spec.header_lines_for_each_config else 0
         )
 
+        from . import native_parser
+
+        if spec.n_cols is not None and native_parser.available():
+            yield from self._native_stream(
+                spec, species_list, batch_size, lines_per_config
+            )
+            return
+
         with open(self.file_path, "r") as f:
             if not spec.header_lines_for_each_config:
                 for _ in range(spec.n_header_lines):
@@ -122,40 +131,122 @@ class TabularTextReader(FileProcessor):
                 n_read += n_batch
                 yield chunk
 
+    def _native_stream(
+        self, spec, species_list, batch_size: int, lines_per_config: int
+    ) -> Iterator[TrajectoryChunkData]:
+        """Byte-block streaming through the C++ parser.
+
+        Raw blocks are read with ``f.read`` (no Python per-line iteration);
+        config boundaries are located by vectorised newline indexing, then
+        the block parses in native code.
+        """
+        from . import native_parser
+
+        read_size = 32 * 2**20
+        with open(self.file_path, "rb") as f:
+            if not spec.header_lines_for_each_config:
+                for _ in range(spec.n_header_lines):
+                    f.readline()
+            leftover = b""
+            n_read = 0
+            at_eof = False
+            while n_read < spec.n_configs:
+                block = leftover + f.read(read_size)
+                if not block:
+                    raise EOFError(
+                        f"{self.file_path}: ended after {n_read} of "
+                        f"{spec.n_configs} configurations"
+                    )
+                if len(block) < len(leftover) + read_size:
+                    at_eof = True
+                    if not block.endswith(b"\n"):
+                        block += b"\n"
+                n_lines = native_parser.count_newlines(block)
+                complete = min(
+                    n_lines // lines_per_config,
+                    batch_size,
+                    spec.n_configs - n_read,
+                )
+                if complete == 0:
+                    if at_eof:
+                        raise EOFError(
+                            f"{self.file_path}: truncated configuration at "
+                            f"index {n_read}"
+                        )
+                    leftover = block
+                    continue
+                consumed = native_parser.offset_after_nth_newline(
+                    block, complete * lines_per_config
+                )
+                n_header = (
+                    spec.n_header_lines
+                    if spec.header_lines_for_each_config
+                    else 0
+                )
+                data = native_parser.parse_table_block(
+                    block[:consumed], complete, n_header,
+                    spec.n_particles, spec.n_cols,
+                    id_col=spec.sort_by_column_idx,
+                )
+                leftover = block[consumed:]
+                n_read += complete
+                yield self._chunk_from_array(
+                    data, species_list, pre_sorted=True
+                )
+
+    def _chunk_from_array(self, data: np.ndarray, species_list, pre_sorted=False):
+        spec = self.spec
+        if spec.sort_by_column_idx is not None and not pre_sorted:
+            ids = data[:, :, spec.sort_by_column_idx]
+            order = np.argsort(ids, axis=1, kind="stable")
+            data = np.take_along_axis(data, order[:, :, None], axis=1)
+        chunk = TrajectoryChunkData(species_list, data.shape[0])
+        for sp in species_list:
+            rows = _as_slice(spec.species_to_line_idx[sp.name])
+            sp_block = data[:, rows, :]
+            for prop in sp.properties:
+                cols = _as_slice(spec.property_to_column_idx[prop.name])
+                chunk.add_data(sp_block[:, :, cols], 0, sp.name, prop.name)
+        return chunk
+
     def _read_batch(
         self, f, n_batch: int, lines_per_config: int, species_list
     ) -> TrajectoryChunkData:
-        spec = self.spec
         raw = list(itertools.islice(f, n_batch * lines_per_config))
+        data = self._parse_block(raw, n_batch)
+        return self._chunk_from_array(data, species_list)
+
+    def _parse_block(self, raw: List[str], n_batch: int) -> np.ndarray:
+        """Raw lines -> float64 ``(n_batch, n_particles, n_cols)`` via the
+        pandas C engine with numeric coercion (fallback when the native
+        parser cannot be built)."""
+        spec = self.spec
         if spec.header_lines_for_each_config and spec.n_header_lines:
+            lines_per_config = spec.n_particles + spec.n_header_lines
             keep = []
             for c in range(n_batch):
                 base = c * lines_per_config + spec.n_header_lines
                 keep.extend(raw[base : base + spec.n_particles])
             raw = keep
-        data = pd.read_csv(
+        frame = pd.read_csv(
             io.StringIO("".join(raw)),
             sep=r"\s+",
             header=None,
             engine="c",
-            dtype=str,
-        ).to_numpy()
-        data = data.reshape(n_batch, spec.n_particles, -1)
+        )
+        data = frame.apply(pd.to_numeric, errors="coerce").to_numpy(
+            dtype=np.float64
+        )
+        return data.reshape(n_batch, spec.n_particles, -1)
 
-        if spec.sort_by_column_idx is not None:
-            ids = data[:, :, spec.sort_by_column_idx].astype(float)
-            order = np.argsort(ids, axis=1, kind="stable")
-            data = np.take_along_axis(data, order[:, :, None], axis=1)
 
-        chunk = TrajectoryChunkData(species_list, n_batch)
-        for sp in species_list:
-            rows = spec.species_to_line_idx[sp.name]
-            sp_block = data[:, rows, :]
-            for prop in sp.properties:
-                cols = spec.property_to_column_idx[prop.name]
-                values = sp_block[:, :, cols].astype(np.float64)
-                chunk.add_data(values, 0, sp.name, prop.name)
-        return chunk
+def _as_slice(indices: List[int]):
+    """Contiguous index lists become slices (views beat fancy-index copies)."""
+    if len(indices) > 1 and indices[-1] - indices[0] == len(indices) - 1:
+        return slice(indices[0], indices[-1] + 1)
+    if len(indices) == 1:
+        return slice(indices[0], indices[0] + 1)
+    return indices
 
 
 def read_n_lines(f, n: int) -> List[str]:

@@ -1,0 +1,163 @@
+// Fast whitespace-table parser for trajectory text formats.
+//
+// Native replacement for the ingestion hot loop — the reference parses dump
+// files line-by-line in Python (mdsuite/file_io/tabular_text_files.py:160-220),
+// which dominates ingestion wall-clock. This parser consumes a raw text
+// block holding `n_configs` configurations (optionally `n_header_lines`
+// header lines before each), and writes every token of the per-atom rows as
+// a double into `out` (row-major: config, particle, column). Non-numeric
+// tokens (e.g. the `element` column) become NaN — Python reads species
+// names once from the first configuration only.
+//
+// Build: g++ -O3 -march=native -shared -fPIC -std=c++17 \
+//            table_parser.cpp -o _table_parser.so
+
+#include <cctype>
+#include <charconv>
+#include <cmath>
+#include <cstring>
+
+namespace {
+
+inline const char* skip_line(const char* p, const char* end) {
+    while (p < end && *p != '\n') ++p;
+    return p < end ? p + 1 : p;
+}
+
+inline const char* skip_ws(const char* p, const char* end) {
+    while (p < end && (*p == ' ' || *p == '\t' || *p == '\r')) ++p;
+    return p;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns the number of doubles written, or -1 if the buffer ended early.
+long parse_table_block(const char* buf, long buf_len, long n_configs,
+                       int n_header_lines, int n_particles, int n_cols,
+                       double* out) {
+    const char* p = buf;
+    const char* end = buf + buf_len;
+    long out_idx = 0;
+    for (long c = 0; c < n_configs; ++c) {
+        for (int h = 0; h < n_header_lines; ++h) {
+            p = skip_line(p, end);
+        }
+        for (int row = 0; row < n_particles; ++row) {
+            if (p >= end) return -1;
+            for (int col = 0; col < n_cols; ++col) {
+                p = skip_ws(p, end);
+                const char* tok = p;
+                while (p < end && *p != ' ' && *p != '\t' && *p != '\n' &&
+                       *p != '\r') {
+                    ++p;
+                }
+                double val;
+                auto res = std::from_chars(tok, p, val);
+                if (res.ec != std::errc()) {
+                    val = NAN;  // non-numeric column (element names)
+                }
+                out[out_idx++] = val;
+            }
+            p = skip_line(p, end);
+        }
+    }
+    return out_idx;
+}
+
+// Like parse_table_block, but each per-atom row lands at the slot given by
+// its integer id column (LAMMPS ids are 1..n_particles): the id-sort the
+// Python engine would otherwise do with argsort + gather happens for free
+// during the single parse pass. Returns the number of doubles written, -1
+// on truncation, or -2 if any id is outside [1, n_particles] (caller falls
+// back to the unsorted parse + argsort).
+long parse_table_block_by_id(const char* buf, long buf_len, long n_configs,
+                             int n_header_lines, int n_particles, int n_cols,
+                             int id_col, double* out) {
+    const char* p = buf;
+    const char* end = buf + buf_len;
+    const long cfg_stride = (long)n_particles * n_cols;
+    double row[256];
+    if (n_cols > 256) return -3;
+    for (long c = 0; c < n_configs; ++c) {
+        for (int h = 0; h < n_header_lines; ++h) {
+            p = skip_line(p, end);
+        }
+        double* cfg_out = out + c * cfg_stride;
+        for (int r = 0; r < n_particles; ++r) {
+            if (p >= end) return -1;
+            for (int col = 0; col < n_cols; ++col) {
+                p = skip_ws(p, end);
+                const char* tok = p;
+                while (p < end && *p != ' ' && *p != '\t' && *p != '\n' &&
+                       *p != '\r') {
+                    ++p;
+                }
+                double val;
+                auto res = std::from_chars(tok, p, val);
+                if (res.ec != std::errc()) {
+                    val = NAN;
+                }
+                row[col] = val;
+            }
+            p = skip_line(p, end);
+            long id = (long)row[id_col];
+            if (id < 1 || id > n_particles || (double)id != row[id_col]) {
+                return -2;
+            }
+            std::memcpy(cfg_out + (id - 1) * n_cols, row,
+                        n_cols * sizeof(double));
+        }
+    }
+    return (long)n_configs * cfg_stride;
+}
+
+// Byte offset just past the n-th (1-based) newline, or -1 if fewer exist.
+long offset_after_nth_newline(const char* buf, long buf_len, long n) {
+    const char* p = buf;
+    const char* end = buf + buf_len;
+    long seen = 0;
+    while (seen < n) {
+        const char* hit =
+            static_cast<const char*>(memchr(p, '\n', end - p));
+        if (hit == nullptr) return -1;
+        ++seen;
+        p = hit + 1;
+    }
+    return p - buf;
+}
+
+// Number of newlines in the buffer (fast memchr loop).
+long count_newlines(const char* buf, long buf_len) {
+    const char* p = buf;
+    const char* end = buf + buf_len;
+    long n = 0;
+    while (p < end) {
+        const char* hit =
+            static_cast<const char*>(memchr(p, '\n', end - p));
+        if (hit == nullptr) break;
+        ++n;
+        p = hit + 1;
+    }
+    return n;
+}
+
+// Count data columns of the first non-empty line in `buf`.
+int count_columns(const char* buf, long buf_len) {
+    const char* p = buf;
+    const char* end = buf + buf_len;
+    int cols = 0;
+    p = skip_ws(p, end);
+    while (p < end && *p != '\n') {
+        ++cols;
+        while (p < end && *p != ' ' && *p != '\t' && *p != '\n' &&
+               *p != '\r') {
+            ++p;
+        }
+        p = skip_ws(p, end);
+    }
+    return cols;
+}
+
+}  // extern "C"

@@ -1,0 +1,76 @@
+"""Native C++ parser tests: equivalence with the pandas engine."""
+
+import numpy as np
+import pytest
+
+from lammps_analysis_tpu.file_io import native_parser
+from lammps_analysis_tpu.file_io.lammps_dump import LAMMPSDumpFile
+
+from test_file_io import write_lammps_dump
+
+pytestmark = pytest.mark.skipif(
+    not native_parser.available(), reason="native parser not built"
+)
+
+
+def test_parse_block_values():
+    text = b"1 Na 0.5 1.5\n2 Cl 2.5 3.5\n1 Na 4.5 5.5\n2 Cl 6.5 7.5\n"
+    out = native_parser.parse_table_block(text, 2, 0, 2, 4)
+    assert out.shape == (2, 2, 4)
+    np.testing.assert_allclose(out[0, 0], [1, np.nan, 0.5, 1.5])
+    np.testing.assert_allclose(out[1, 1, 2:], [6.5, 7.5])
+    assert np.isnan(out[0, 1, 1])
+
+
+def test_parse_block_by_id_places_rows():
+    # ids out of order: 2 first, then 1
+    text = b"2 X 20.0\n1 X 10.0\n"
+    out = native_parser.parse_table_block(text, 1, 0, 2, 3, id_col=0)
+    np.testing.assert_allclose(out[0, :, 2], [10.0, 20.0])
+
+
+def test_parse_block_by_id_fallback_non_contiguous():
+    # ids 5 and 9 (not 1..N): must fall back to argsort path
+    text = b"9 X 90.0\n5 X 50.0\n"
+    out = native_parser.parse_table_block(text, 1, 0, 2, 3, id_col=0)
+    np.testing.assert_allclose(out[0, :, 2], [50.0, 90.0])
+
+
+def test_truncated_block_raises():
+    text = b"1 X 1.0\n"
+    with pytest.raises(ValueError, match="truncated"):
+        native_parser.parse_table_block(text, 1, 0, 2, 3)
+
+
+def test_newline_helpers():
+    text = b"a\nbb\nccc\n"
+    assert native_parser.count_newlines(text) == 3
+    assert native_parser.offset_after_nth_newline(text, 1) == 2
+    assert native_parser.offset_after_nth_newline(text, 3) == len(text)
+    assert native_parser.offset_after_nth_newline(text, 4) == -1
+
+
+def test_native_matches_pandas_reader(tmp_path, rng):
+    n_frames, n_atoms = 11, 40
+    pos = rng.uniform(0, 8, size=(n_frames, n_atoms, 3))
+    vel = rng.normal(size=(n_frames, n_atoms, 3))
+    species = ["Na"] * 25 + ["Cl"] * 15
+    path = tmp_path / "t.lammpstraj"
+    write_lammps_dump(path, pos, vel, species, [8.0] * 3, rng=rng)
+
+    chunks_native = list(LAMMPSDumpFile(path).get_configurations_generator())
+
+    native_parser._build_failed = True  # force pandas engine
+    try:
+        chunks_pandas = list(
+            LAMMPSDumpFile(path).get_configurations_generator()
+        )
+    finally:
+        native_parser._build_failed = False
+
+    for cn, cp in zip(chunks_native, chunks_pandas):
+        for sp in ("Na", "Cl"):
+            for prop in ("Positions", "Velocities"):
+                np.testing.assert_allclose(
+                    cn.get_data(sp, prop), cp.get_data(sp, prop), atol=1e-12
+                )
