@@ -23,6 +23,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 #: bins per compare-reduce chunk (bounds the fused (M, chunk) intermediate)
@@ -71,6 +72,62 @@ def masked_histogram_compare(
     return jnp.concatenate(chunks)
 
 
+def _ceil_sqrt(n: int) -> int:
+    r = int(np.sqrt(n))
+    while r * r < n:
+        r += 1
+    return r
+
+
+def masked_histogram_outer(
+    idx: jnp.ndarray, weights: jnp.ndarray, n_bins: int, chunk: int = 131072
+) -> jnp.ndarray:
+    """Weighted histogram as an MXU outer-product contraction.
+
+    Split the bin index ``idx = hi * K + lo`` (``K ~ sqrt(n_bins)``) and
+    build two *narrow* one-hots; then
+    ``hist2d[h, l] = sum_m w_m oh_hi[m, h] oh_lo[m, l] = (w*oh_hi)^T @ oh_lo``
+    — one MXU matmul with the pair axis as the contraction. Cost per value
+    is ``2 sqrt(B)`` VPU compares + ``2 B`` MXU MACs instead of ``B`` VPU
+    compares, an ~sqrt(B)/2 VPU-op reduction for wide histograms. f32
+    accumulation is exact for counts below 2^24.
+    """
+    k = _ceil_sqrt(n_bins)
+    n_hi = -(-n_bins // k)
+    flat_idx = idx.reshape(-1)
+    flat_w = weights.reshape(-1).astype(jnp.float32)
+    m = flat_idx.shape[0]
+    hi_ids = jnp.arange(n_hi, dtype=flat_idx.dtype)
+    lo_ids = jnp.arange(k, dtype=flat_idx.dtype)
+
+    def chunk_hist(start):
+        idx_c = jax.lax.dynamic_slice_in_dim(flat_idx, start, chunk)
+        w_c = jax.lax.dynamic_slice_in_dim(flat_w, start, chunk)
+        hi = idx_c // k
+        lo = idx_c - hi * k
+        oh_hi = (hi[:, None] == hi_ids[None, :]).astype(jnp.float32) * w_c[:, None]
+        oh_lo = (lo[:, None] == lo_ids[None, :]).astype(jnp.float32)
+        return jnp.einsum(
+            "mh,ml->hl", oh_hi, oh_lo, preferred_element_type=jnp.float32
+        )
+
+    if m <= chunk:
+        pad = chunk - m
+        if pad:
+            flat_idx = jnp.pad(flat_idx, (0, pad))
+            flat_w = jnp.pad(flat_w, (0, pad))
+        hist2d = chunk_hist(0)
+    else:
+        n_chunks = -(-m // chunk)
+        total = n_chunks * chunk
+        if total != m:
+            flat_idx = jnp.pad(flat_idx, (0, total - m))
+            flat_w = jnp.pad(flat_w, (0, total - m))
+        starts = jnp.arange(n_chunks) * chunk
+        hist2d = jnp.sum(jax.lax.map(chunk_hist, starts), axis=0)
+    return hist2d.reshape(-1)[:n_bins]
+
+
 def masked_histogram(
     idx: jnp.ndarray,
     weights: jnp.ndarray,
@@ -79,6 +136,8 @@ def masked_histogram(
 ) -> jnp.ndarray:
     if strategy == "compare":
         return masked_histogram_compare(idx, weights, n_bins)
+    if strategy == "outer":
+        return masked_histogram_outer(idx, weights, n_bins)
     if strategy in ("scatter", "matmul"):  # "matmul" kept as legacy alias
         return masked_histogram_scatter(idx, weights, n_bins)
     raise ValueError(f"unknown histogram strategy {strategy!r}")

@@ -1,0 +1,204 @@
+"""Transformation unit tests: pure batch kernels vs numpy re-derivations.
+
+Models ``CI/unit_tests/transformations/test_transformations.py`` — each
+transformation's ``transform_batch`` is exercised directly on random
+tensors, plus carryover chaining across batch splits.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lammps_analysis_tpu.transformations import (
+    CoordinateUnwrapper,
+    CoordinateWrapper,
+    IntegratedHeatCurrent,
+    IonicCurrent,
+    KinaciIntegratedHeatCurrent,
+    MomentumFlux,
+    ScaleCoordinates,
+    ThermalFlux,
+    TranslationalDipoleMoment,
+    UnwrapViaIndices,
+    VelocityFromPositions,
+)
+
+
+def test_unwrapper_recovers_continuous_walk(rng):
+    box = np.array([3.0, 4.0, 5.0])
+    true_pos = np.cumsum(rng.normal(scale=0.4, size=(60, 7, 3)), axis=0) + 10
+    wrapped = true_pos - box * np.floor(true_pos / box)
+    out, carry = CoordinateUnwrapper().transform_batch(
+        {"Positions": jnp.asarray(wrapped), "Box_Array": jnp.asarray(box)}
+    )
+    out = np.asarray(out)
+    # unwrapped trajectory differs from truth only by a constant image shift
+    shift = out[0] - true_pos[0]
+    np.testing.assert_allclose(out, true_pos + shift, atol=1e-9)
+
+
+def test_unwrapper_carryover_equals_single_batch(rng):
+    box = np.array([2.0, 2.0, 2.0])
+    true_pos = np.cumsum(rng.normal(scale=0.3, size=(50, 4, 3)), axis=0)
+    wrapped = true_pos - box * np.floor(true_pos / box)
+    full, _ = CoordinateUnwrapper().transform_batch(
+        {"Positions": jnp.asarray(wrapped), "Box_Array": jnp.asarray(box)}
+    )
+    trafo = CoordinateUnwrapper()
+    carry = None
+    parts = []
+    for part in (wrapped[:13], wrapped[13:31], wrapped[31:]):
+        out, carry = trafo.transform_batch(
+            {"Positions": jnp.asarray(part), "Box_Array": jnp.asarray(box)},
+            carry,
+        )
+        parts.append(np.asarray(out))
+    np.testing.assert_allclose(np.concatenate(parts), np.asarray(full), atol=1e-9)
+
+
+def test_unwrap_via_indices(rng):
+    box = np.array([3.0, 3.0, 3.0])
+    pos = rng.uniform(0, 3, size=(10, 5, 3))
+    images = rng.integers(-3, 4, size=(10, 5, 3)).astype(float)
+    out, _ = UnwrapViaIndices().transform_batch(
+        {"Positions": jnp.asarray(pos), "Box_Array": jnp.asarray(box),
+         "Box_Images": jnp.asarray(images)}
+    )
+    np.testing.assert_allclose(np.asarray(out), pos + images * box, atol=1e-12)
+
+
+def test_wrap_and_scale(rng):
+    box = np.array([4.0, 4.0, 4.0])
+    unwrapped = rng.normal(scale=10, size=(6, 8, 3))
+    wrapped, _ = CoordinateWrapper(center_box=False).transform_batch(
+        {"Unwrapped_Positions": jnp.asarray(unwrapped),
+         "Box_Array": jnp.asarray(box)}
+    )
+    wrapped = np.asarray(wrapped)
+    assert (wrapped >= 0).all() and (wrapped < 4.0).all()
+    np.testing.assert_allclose(
+        np.round((unwrapped - wrapped) / box), (unwrapped - wrapped) / box,
+        atol=1e-9,
+    )
+    scaled = rng.uniform(0, 1, size=(6, 8, 3))
+    out, _ = ScaleCoordinates().transform_batch(
+        {"Scaled_Positions": jnp.asarray(scaled), "Box_Array": jnp.asarray(box)}
+    )
+    np.testing.assert_allclose(np.asarray(out), scaled * box, atol=1e-12)
+
+
+def test_velocity_from_positions(rng):
+    pos = np.cumsum(rng.normal(size=(20, 3, 3)), axis=0)
+    out, _ = VelocityFromPositions().transform_batch(
+        {"Unwrapped_Positions": jnp.asarray(pos),
+         "Time_Step": jnp.asarray(0.5), "Sample_Rate": jnp.asarray(4.0)}
+    )
+    out = np.asarray(out)
+    expect = (pos[1:] - pos[:-1]) / 2.0
+    np.testing.assert_allclose(out[:-1], expect, atol=1e-12)
+    np.testing.assert_allclose(out[-1], expect[-1], atol=1e-12)  # duplicated
+
+
+def test_ionic_current_two_species(rng):
+    """Mirror of the reference unit test (test_transformations.py:59-80)."""
+    vel_a = rng.normal(size=(12, 5, 3))
+    vel_b = rng.normal(size=(12, 3, 3))
+    out, _ = IonicCurrent().transform_batch(
+        {
+            "A": {"Velocities": jnp.asarray(vel_a),
+                  "Charge": jnp.full((1, 1, 1), 2.0)},
+            "B": {"Velocities": jnp.asarray(vel_b),
+                  "Charge": jnp.full((1, 1, 1), -1.0)},
+        }
+    )
+    expect = 2.0 * vel_a.sum(axis=1) - vel_b.sum(axis=1)
+    np.testing.assert_allclose(np.asarray(out), expect, atol=1e-12)
+
+
+def test_translational_dipole_moment(rng):
+    pos = rng.normal(size=(7, 4, 3))
+    out, _ = TranslationalDipoleMoment().transform_batch(
+        {"X": {"Unwrapped_Positions": jnp.asarray(pos),
+               "Charge": jnp.full((1, 1, 1), -1.5)}}
+    )
+    np.testing.assert_allclose(np.asarray(out), -1.5 * pos.sum(axis=1), atol=1e-12)
+
+
+def test_thermal_flux_voigt_contraction(rng):
+    t, n = 5, 6
+    stress = rng.normal(size=(t, n, 6))
+    vel = rng.normal(size=(t, n, 3))
+    ke = rng.normal(size=(t, n, 1))
+    pe = rng.normal(size=(t, n, 1))
+    out, _ = ThermalFlux().transform_batch(
+        {"X": {"Stress": jnp.asarray(stress), "Velocities": jnp.asarray(vel),
+               "KE": jnp.asarray(ke), "PE": jnp.asarray(pe)}}
+    )
+    # numpy oracle with explicit Voigt [xx, yy, zz, xy, xz, yz]
+    s = stress
+    phi = np.stack(
+        [
+            s[..., 0] * vel[..., 0] + s[..., 3] * vel[..., 1] + s[..., 4] * vel[..., 2],
+            s[..., 3] * vel[..., 0] + s[..., 1] * vel[..., 1] + s[..., 5] * vel[..., 2],
+            s[..., 4] * vel[..., 0] + s[..., 5] * vel[..., 1] + s[..., 2] * vel[..., 2],
+        ],
+        axis=-1,
+    )
+    expect = ((ke + pe) * vel - phi).sum(axis=1)
+    np.testing.assert_allclose(np.asarray(out), expect, atol=1e-12)
+
+
+def test_momentum_flux_offdiagonals(rng):
+    stress = rng.normal(size=(4, 5, 6))
+    out, _ = MomentumFlux().transform_batch(
+        {"X": {"Stress": jnp.asarray(stress)}}
+    )
+    expect = np.stack(
+        [stress[..., 3].sum(1), stress[..., 4].sum(1), stress[..., 5].sum(1)],
+        axis=-1,
+    )
+    np.testing.assert_allclose(np.asarray(out), expect, atol=1e-12)
+
+
+def test_integrated_heat_current(rng):
+    pos = rng.normal(size=(6, 4, 3))
+    ke = rng.normal(size=(6, 4, 1))
+    pe = rng.normal(size=(6, 4, 1))
+    out, _ = IntegratedHeatCurrent().transform_batch(
+        {"X": {"Unwrapped_Positions": jnp.asarray(pos),
+               "KE": jnp.asarray(ke), "PE": jnp.asarray(pe)}}
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), ((ke + pe) * pos).sum(axis=1), atol=1e-12
+    )
+
+
+def test_kinaci_carryover_chains(rng):
+    t, n = 24, 3
+    dt = 0.25
+    pos = rng.normal(size=(t, n, 3))
+    vel = rng.normal(size=(t, n, 3))
+    force = rng.normal(size=(t, n, 3))
+    pe = rng.normal(size=(t, n, 1))
+
+    def batch(lo, hi):
+        return {
+            "X": {
+                "Unwrapped_Positions": jnp.asarray(pos[lo:hi]),
+                "Velocities": jnp.asarray(vel[lo:hi]),
+                "Forces": jnp.asarray(force[lo:hi]),
+                "PE": jnp.asarray(pe[lo:hi]),
+                "Time_Step": jnp.asarray(dt),
+                "Sample_Rate": jnp.asarray(1.0),
+            }
+        }
+
+    trafo = KinaciIntegratedHeatCurrent()
+    full, _ = trafo.transform_batch(batch(0, t))
+    out1, carry = trafo.transform_batch(batch(0, 10))
+    out2, _ = trafo.transform_batch(batch(10, t), carry)
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(out1), np.asarray(out2)]),
+        np.asarray(full),
+        atol=1e-10,
+    )
