@@ -180,6 +180,37 @@ class TrajectoryCalculator(Calculator):
                 )
             producer.run_transformation(self.experiment, [sp])
 
+    # ---------------------------------------------------------- atom selection
+    @staticmethod
+    def encode_atom_selection(sel) -> object:
+        """Canonical JSON-able form of an atom selection (cache-key safe).
+
+        Accepts None / slice / list of indices / {species: list}
+        (reference: ``atom_selection`` kwargs, e.g.
+        ``radial_distribution_function.py:135``).
+        """
+        if sel is None:
+            return None
+        if isinstance(sel, slice):
+            if sel == slice(None):
+                return None
+            return {"slice": [sel.start, sel.stop, sel.step]}
+        if isinstance(sel, dict):
+            return {k: [int(i) for i in v] for k, v in sel.items()}
+        return [int(i) for i in sel]
+
+    @staticmethod
+    def resolve_atom_selection(encoded, species: str):
+        """Encoded selection -> store-level atoms argument for one species."""
+        if encoded is None:
+            return None
+        if isinstance(encoded, dict):
+            if "slice" in encoded and isinstance(encoded["slice"], list):
+                return slice(*encoded["slice"])
+            per_species = encoded.get(species)
+            return np.asarray(per_species) if per_species is not None else None
+        return np.asarray(encoded)
+
     # --------------------------------------------------------------- streaming
     def _plan_for(self, paths: List[str], data_range: Optional[int] = None) -> BatchPlan:
         n_frames = self.experiment.number_of_configurations
@@ -224,12 +255,21 @@ class TrajectoryCalculator(Calculator):
 
         Disk reads + host->device transfers of slab k+1 overlap with the
         caller's device compute on slab k (double buffering; replaces the
-        reference's tf.data prefetch).
+        reference's tf.data prefetch). Honors ``args['atom_selection']``.
         """
-        from ..pipeline.prefetch import PrefetchingLoader
+        from ..pipeline.prefetch import prefetch_to_device
 
         path = join_path(species, prop_name)
         slabs = self._window_slab_plan(path, data_range, correlation_time)
-        loader = PrefetchingLoader(self.experiment.store, depth=2)
-        for chunk in loader.iter_slabs([path], slabs):
-            yield chunk[path]
+        atoms = self.resolve_atom_selection(
+            self.args.get("atom_selection"), species
+        )
+        store = self.experiment.store
+
+        def load(slab):
+            start, stop = slab
+            return store.load(
+                [path], frames=slice(start, stop), atoms=atoms
+            )[path]
+
+        yield from prefetch_to_device(load, slabs, depth=2)

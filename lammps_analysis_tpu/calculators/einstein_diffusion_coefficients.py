@@ -66,6 +66,7 @@ class EinsteinDiffusionCoefficients(TrajectoryCalculator):
             )
         else:
             args["tau_values"] = None
+        args["atom_selection"] = self.encode_atom_selection(atom_selection)
         return args
 
     def run_calculator(self) -> Dict[str, dict]:

@@ -55,6 +55,7 @@ class GreenKuboDiffusionCoefficients(TrajectoryCalculator):
             "molecules": bool(molecules),
             "integration_range": int(integration_range),
             "tau_values": None,
+            "atom_selection": self.encode_atom_selection(atom_selection),
         }
 
     def run_calculator(self) -> Dict[str, dict]:

@@ -73,6 +73,7 @@ class RadialDistributionFunction(TrajectoryCalculator):
             "number_of_configurations": int(number_of_configurations),
             "species": list(species),
             "molecules": bool(molecules),
+            "atom_selection": self.encode_atom_selection(atom_selection),
         }
 
     def run_calculator(self) -> Dict[str, dict]:
@@ -87,7 +88,17 @@ class RadialDistributionFunction(TrajectoryCalculator):
         sample_configs = np.unique(sample_configs)
         n_sampled = len(sample_configs)
 
-        n_per_species = [exp.entity(sp).n_particles for sp in species]
+        n_per_species = []
+        for sp in species:
+            sel = self.resolve_atom_selection(a.get("atom_selection"), sp)
+            if sel is None:
+                n_per_species.append(exp.entity(sp).n_particles)
+            elif isinstance(sel, slice):
+                n_per_species.append(
+                    len(range(*sel.indices(exp.entity(sp).n_particles)))
+                )
+            else:
+                n_per_species.append(len(sel))
         sid, n_pad, pair_table, n_pairs, pair_order = (
             rdf_ops.build_species_layout(n_per_species, pad_to=8)
         )
@@ -160,8 +171,16 @@ class RadialDistributionFunction(TrajectoryCalculator):
         """Load sampled frames for all species, concatenated + padded."""
         exp = self.experiment
         paths = [join_path(sp, self.loaded_property.name) for sp in species]
-        data = exp.store.load(paths, frames=np.asarray(frame_idx), dtype=dtype)
-        parts = [data[p] for p in paths]
+        parts = []
+        for sp, p in zip(species, paths):
+            sel = self.resolve_atom_selection(
+                self.args.get("atom_selection"), sp
+            )
+            parts.append(
+                exp.store.load(
+                    [p], frames=np.asarray(frame_idx), atoms=sel, dtype=dtype
+                )[p]
+            )
         pos = np.concatenate(parts, axis=1)
         if pos.shape[1] < n_pad:
             pad = np.zeros(
