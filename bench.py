@@ -46,12 +46,14 @@ def measure_rdf_pairs_per_s(n_atoms, n_frames, n_bins, repeats=5):
             pos_j, sid_j, ptab_j, box_j,
             cutoff=cutoff, n_bins=n_bins, n_pairs=n_pairs, i_block=128,
         )
-        return jax.block_until_ready(h)
+        return h
 
-    run()  # compile
+    np.asarray(run())  # compile + execute + fetch
     t0 = time.perf_counter()
+    h = None
     for _ in range(repeats):
-        run()
+        h = run()
+    jax.block_until_ready(h)
     elapsed = (time.perf_counter() - t0) / repeats
     pairs = n_frames * n_atoms * (n_atoms - 1) / 2
     return pairs / elapsed

@@ -4,19 +4,26 @@ The XLA path (``ops.rdf.rdf_histogram``) materialises per-tile one-hot
 matrices in HBM between the compare and the matmul, making wide-histogram
 binning HBM-bandwidth-bound. This kernel keeps the whole tile pipeline in
 VMEM: displacement -> minimum image -> distance -> combined (pair, bin)
-index -> split one-hots -> MXU outer-product accumulation into a resident
-(n_hi, n_lo) scratch histogram; one grid pass over i-tiles, j swept inside.
+index -> hardware-shaped one-hot split -> MXU contraction into a resident
+histogram scratch. One grid pass over 8-row i-tiles; frames and j-tiles
+sweep inside.
 
 Design notes
 ------------
-* the species-pair index needs no table gather: for species ids ``a <= b``
-  of ``S`` species, the combinations-with-replacement index is
-  ``a*S - a*(a-1)/2 + (b-a)`` — pure elementwise arithmetic on the VPU
-  (same ordering as ``ops.rdf.build_species_layout``);
-* the flat (pair, bin) id splits as ``hi*K + lo`` and the histogram is the
-  outer-product contraction ``oh_hi^T @ oh_lo`` over the tile's pair axis
-  (see ``ops.histogram.masked_histogram_outer``) — entirely in VMEM here;
-* frames fold into the contraction: a tile is (F * TI, N) pairs.
+* species-pair index without a table gather: for species ids ``a <= b`` of
+  ``S`` species the combinations-with-replacement index is
+  ``a*S - a*(a-1)/2 + (b-a)`` — elementwise VPU arithmetic (same ordering
+  as ``ops.rdf.build_species_layout``);
+* the flat (pair, bin) id splits **asymmetrically** to match the hardware:
+  ``lo`` spans exactly 128 lanes, ``hi = ceil(total_bins/128)`` sublanes,
+  so the per-row contraction ``oh_hi (HI, TJ) x oh_lo (128, TJ) -> (HI,
+  128)`` costs ~``HI*128`` MACs per pair (vs ``128*128`` for a naive
+  square split) and the output IS the final histogram layout;
+* all tensors are built by broadcasting rows (1, TJ) against id columns
+  (HI, 1) — no reshapes or transposes, which Mosaic cannot relayout;
+  i-side reads use column-layout (N, 1) operands, j-side reads row-layout
+  (1, N), both prepared on the host;
+* one-hots are bf16 (0/1 exact) with f32 MXU accumulation.
 """
 
 from __future__ import annotations
@@ -29,6 +36,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_TI = 8  # i-rows per grid step (sublane granularity)
+_TJ_MAX = 2048  # j-tile lanes
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -36,9 +46,7 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "cutoff", "n_bins", "n_species", "box", "i_block", "interpret"
-    ),
+    static_argnames=("cutoff", "n_bins", "n_species", "box", "interpret"),
 )
 def rdf_histogram_pallas(
     positions: jnp.ndarray,  # (F, N, 3) float32, species-concatenated
@@ -47,7 +55,6 @@ def rdf_histogram_pallas(
     n_bins: int,
     n_species: int,
     box: tuple,
-    i_block: int = 256,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Per-species-pair distance histograms; returns (n_pairs, n_bins) f32."""
@@ -55,61 +62,82 @@ def rdf_histogram_pallas(
     n_pairs = n_species * (n_species + 1) // 2
     n_total_bins = n_pairs * n_bins
 
-    # split geometry for the outer-product histogram
-    k = int(np.ceil(np.sqrt(n_total_bins)))
+    # near-square split minimises the dominant VPU one-hot build cost
+    # (HI + LO compare rows per pair); both axes pad to hardware tiles
+    k = min(128, _round_up(int(np.ceil(np.sqrt(n_total_bins))), 32))
     n_hi = -(-n_total_bins // k)
-    hi_pad = _round_up(n_hi, 128)
-    lo_pad = _round_up(k, 128)
+    hi_pad = _round_up(n_hi, 8)
+    k_pad = _round_up(k, 128)
 
-    n_pad = _round_up(n, i_block)
+    j_block = min(_TJ_MAX, _round_up(n, 128))
+    n_pad = _round_up(n, max(j_block, _TI * 16))
     if n_pad != n:
         positions = jnp.pad(positions, ((0, 0), (0, n_pad - n), (0, 0)))
         species_id = jnp.pad(species_id, (0, n_pad - n), constant_values=-1)
-    n_blocks = n_pad // i_block
+    n_blocks = n_pad // _TI
+    n_j_blocks = n_pad // j_block
 
-    # (F, N) -> transposed component planes for clean (TI, N) tiles
-    px = positions[..., 0]
+    # row layout (j-side) and flat column layout (i-side): all dynamic
+    # reads then index sublanes only (lane offsets must be static/aligned)
+    px = positions[..., 0]  # (F, N)
     py = positions[..., 1]
     pz = positions[..., 2]
-    sid_f = species_id.astype(jnp.float32)
-    sid_2d = sid_f[None, :]  # (1, N)
+    pxc = px.reshape(f * n_pad, 1)
+    pyc = py.reshape(f * n_pad, 1)
+    pzc = pz.reshape(f * n_pad, 1)
+    sid_row = species_id.astype(jnp.float32)[None, :]  # (1, N)
+    sid_col = species_id.astype(jnp.float32)[:, None]  # (N, 1)
 
     bx, by, bz = (float(b) for b in box)
     inv_bin = n_bins / cutoff
 
-    def kernel(px_ref, py_ref, pz_ref, sid_ref, out_ref, acc_ref):
+    def kernel(
+        px_ref, py_ref, pz_ref, pxc_ref, pyc_ref, pzc_ref,
+        sid_row_ref, sid_col_ref, out_ref, acc_ref,
+        hi_buf_ref, lo_buf_ref,
+    ):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
-        i0 = i * i_block
-        sid_i = sid_ref[0, pl.ds(i0, i_block)]  # (TI,)
-        # global atom indices for the triu mask
-        i_ids = i0 + jax.lax.broadcasted_iota(
-            jnp.int32, (i_block, 1), 0
-        )[:, 0]
-        j_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)[0]
+        i0 = pl.multiple_of(i * _TI, _TI)
+        sid_i = sid_col_ref[pl.ds(i0, _TI), :]  # (TI, 1)
+        hi_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (hi_pad, 1), 0
+        ).astype(jnp.float32)
+        lo_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (k, 1), 0
+        ).astype(jnp.float32)  # (LO, 1); LO == k
 
-        def frame_body(fi, _):
-            xi = px_ref[fi, pl.ds(i0, i_block)]  # (TI,)
-            yi = py_ref[fi, pl.ds(i0, i_block)]
-            zi = pz_ref[fi, pl.ds(i0, i_block)]
-            xj = px_ref[fi, :]  # (N,)
-            yj = py_ref[fi, :]
-            zj = pz_ref[fi, :]
+        def tile_body(step, _):
+            fi = step // n_j_blocks
+            j_blk = step % n_j_blocks
+            j0 = pl.multiple_of(j_blk * j_block, j_block)
+            col0 = pl.multiple_of(fi * n_pad + i0, _TI)
 
-            dx = xi[:, None] - xj[None, :]
-            dy = yi[:, None] - yj[None, :]
-            dz = zi[:, None] - zj[None, :]
+            xj = px_ref[fi, pl.ds(j0, j_block)][None, :]  # (1, TJ)
+            yj = py_ref[fi, pl.ds(j0, j_block)][None, :]
+            zj = pz_ref[fi, pl.ds(j0, j_block)][None, :]
+            sb = sid_row_ref[0, pl.ds(j0, j_block)][None, :]
+            j_ids = j_blk * j_block + jax.lax.broadcasted_iota(
+                jnp.int32, (1, j_block), 1
+            )
+            xi = pxc_ref[pl.ds(col0, _TI), :]  # (TI, 1)
+            yi = pyc_ref[pl.ds(col0, _TI), :]
+            zi = pzc_ref[pl.ds(col0, _TI), :]
+
+            # vectorized (TI, TJ) tile
+            dx = xi - xj
+            dy = yi - yj
+            dz = zi - zj
             dx = dx - bx * jnp.round(dx * (1.0 / bx))
             dy = dy - by * jnp.round(dy * (1.0 / by))
             dz = dz - bz * jnp.round(dz * (1.0 / bz))
-            d = jnp.sqrt(dx * dx + dy * dy + dz * dz)  # (TI, N)
+            d = jnp.sqrt(dx * dx + dy * dy + dz * dz)  # (TI, TJ)
 
-            sa = sid_i[:, None]
-            sb = sid_ref[0, :][None, :]
+            sa = sid_i  # (TI, 1)
             lo_s = jnp.minimum(sa, sb)
             hi_s = jnp.maximum(sa, sb)
             pair_id = (
@@ -117,44 +145,48 @@ def rdf_histogram_pallas(
                 - lo_s * (lo_s - 1.0) * 0.5
                 + (hi_s - lo_s)
             )
+            bin_f = jnp.minimum(jnp.floor(d * inv_bin), n_bins - 1.0)
+            combined = pair_id * n_bins + bin_f  # (TI, TJ) f32 ids
 
-            bin_f = jnp.floor(d * inv_bin)
-            bin_f = jnp.minimum(bin_f, n_bins - 1.0)
-            combined = pair_id * n_bins + bin_f  # float32 ids (exact < 2^24)
-
+            i_ids = i * _TI + jax.lax.broadcasted_iota(
+                jnp.int32, (_TI, 1), 0
+            )
             mask = (
-                (j_ids[None, :] > i_ids[:, None])
+                (j_ids > i_ids)
                 & (sa >= 0)
                 & (sb >= 0)
                 & (d < cutoff)
             )
-            w = jnp.where(mask, 1.0, 0.0)
 
             hi_id = jnp.floor(combined * (1.0 / k))
             lo_id = combined - hi_id * k
+            # fold the mask into an out-of-range hi id: masked pairs then
+            # produce all-zero one-hot columns, no weight multiply needed
+            hi_id = jnp.where(mask, hi_id, float(hi_pad))
 
-            # one-hots over the padded split axes
-            hi_ids = jax.lax.broadcasted_iota(
-                jnp.float32, (1, hi_pad), 1
-            )
-            lo_ids = jax.lax.broadcasted_iota(
-                jnp.float32, (1, lo_pad), 1
-            )
-            # (TI*N, hi_pad) / (TI*N, lo_pad) via 2-step: contract rows
-            oh_hi = jnp.where(
-                hi_id.reshape(i_block * n_pad, 1) == hi_ids, 1.0, 0.0
-            ) * w.reshape(i_block * n_pad, 1)
-            oh_lo = jnp.where(
-                lo_id.reshape(i_block * n_pad, 1) == lo_ids, 1.0, 0.0
-            )
-            acc_ref[...] += jax.lax.dot_general(
+            # flatten the tile's rows along lanes through a VMEM scratch
+            # (stores at 128-aligned lane offsets handle the relayout;
+            # reshape/concat of live vectors would be illegal relayouts)
+            for r in range(_TI):
+                lanes = pl.ds(r * j_block, j_block)
+                hi_buf_ref[0:1, lanes] = hi_id[r : r + 1, :]
+                lo_buf_ref[0:1, lanes] = lo_id[r : r + 1, :]
+            hi_flat = hi_buf_ref[...]  # (1, TI*TJ)
+            lo_flat = lo_buf_ref[...]
+            oh_hi = jnp.where(hi_flat == hi_ids, 1.0, 0.0).astype(
+                jnp.bfloat16
+            )  # (HI, TI*TJ)
+            oh_lo = jnp.where(lo_flat == lo_ids, 1.0, 0.0).astype(
+                jnp.bfloat16
+            )  # (LO, TI*TJ)
+            acc_ref[:, 0:k] += jax.lax.dot_general(
                 oh_hi, oh_lo,
-                dimension_numbers=(((0,), (0,)), ((), ())),
+                dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             return 0
 
-        jax.lax.fori_loop(0, f, frame_body, 0)
+        jax.lax.fori_loop(0, f * n_j_blocks, tile_body, 0)
 
         @pl.when(i == pl.num_programs(0) - 1)
         def _():
@@ -163,19 +195,18 @@ def rdf_histogram_pallas(
     out = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
         out_specs=pl.BlockSpec(
-            (hi_pad, lo_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
+            (hi_pad, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((hi_pad, lo_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((hi_pad, lo_pad), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((hi_pad, k_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((hi_pad, k_pad), jnp.float32),
+            pltpu.VMEM((1, _TI * j_block), jnp.float32),
+            pltpu.VMEM((1, _TI * j_block), jnp.float32),
+        ],
         interpret=interpret,
-    )(px, py, pz, sid_2d)
+    )(px, py, pz, pxc, pyc, pzc, sid_row, sid_col)
 
-    flat = out[:n_hi, :k].reshape(-1)[:n_total_bins]
+    flat = out[:, :k].reshape(-1)[:n_total_bins]
     return flat.reshape(n_pairs, n_bins)

@@ -12,6 +12,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
@@ -25,6 +26,39 @@ def _n_mesh_devices(mesh) -> int:
     return int(mesh.devices.size)
 
 
+def _rdf_backend_kernel(
+    pair_table, box, cutoff, n_bins, n_pairs, i_block, use_pallas
+):
+    """Pick the fused Pallas kernel on TPU, the XLA kernel elsewhere."""
+    if use_pallas:
+        from ..ops.pallas_rdf import rdf_histogram_pallas
+
+        n_species = int(pair_table.shape[0])
+        box_tuple = tuple(float(b) for b in np.asarray(box))
+
+        def kernel(pos, sid, _ptab, _box):
+            return rdf_histogram_pallas(
+                pos, sid, cutoff, n_bins, n_species, box_tuple
+            )
+
+        return kernel
+
+    def kernel(pos, sid, ptab, box_):
+        return rdf_ops.rdf_histogram(
+            pos, sid, ptab, box_,
+            cutoff=cutoff, n_bins=n_bins, n_pairs=n_pairs, i_block=i_block,
+        )
+
+    return kernel
+
+
+def rdf_use_pallas() -> bool:
+    """Fused Pallas kernel is the default on real TPU hardware."""
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 def sharded_rdf_histogram(
     positions: jnp.ndarray,
     species_id: jnp.ndarray,
@@ -35,21 +69,21 @@ def sharded_rdf_histogram(
     n_pairs: int,
     i_block: int = 128,
     mesh=None,
+    use_pallas: bool | None = None,
 ) -> jnp.ndarray:
     """RDF histogram with the frame axis sharded over the mesh.
 
     Remainder frames (batch not divisible by the device count) run as a
-    single-device tail so counts are exact.
+    single-device tail so counts are exact. On TPU the fused Pallas kernel
+    (``ops.pallas_rdf``) is used; elsewhere the XLA kernel.
     """
     mesh = mesh or get_default_mesh()
     n_dev = _n_mesh_devices(mesh)
     f = positions.shape[0]
-    kernel = functools.partial(
-        rdf_ops.rdf_histogram,
-        cutoff=cutoff,
-        n_bins=n_bins,
-        n_pairs=n_pairs,
-        i_block=i_block,
+    if use_pallas is None:
+        use_pallas = rdf_use_pallas()
+    kernel = _rdf_backend_kernel(
+        pair_table, box, cutoff, n_bins, n_pairs, i_block, use_pallas
     )
     if n_dev == 1 or f < n_dev:
         return kernel(positions, species_id, pair_table, box)

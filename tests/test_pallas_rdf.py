@@ -28,7 +28,7 @@ def test_pallas_matches_xla(rng, counts):
     h_pal = np.asarray(
         rdf_histogram_pallas(
             jnp.asarray(pos), jnp.asarray(sid), cutoff, n_bins,
-            len(counts), box, i_block=8, interpret=True,
+            len(counts), box, interpret=True,
         )
     )
     np.testing.assert_array_equal(h_pal, h_ref)
