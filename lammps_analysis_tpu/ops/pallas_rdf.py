@@ -46,15 +46,15 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cutoff", "n_bins", "n_species", "box", "interpret"),
+    static_argnames=("n_bins", "n_species", "interpret"),
 )
 def rdf_histogram_pallas(
     positions: jnp.ndarray,  # (F, N, 3) float32, species-concatenated
     species_id: jnp.ndarray,  # (N,) int32, -1 padding
-    cutoff: float,
+    cutoff,
     n_bins: int,
     n_species: int,
-    box: tuple,
+    box,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Per-species-pair distance histograms; returns (n_pairs, n_bins) f32."""
@@ -88,15 +88,30 @@ def rdf_histogram_pallas(
     sid_row = species_id.astype(jnp.float32)[None, :]  # (1, N)
     sid_col = species_id.astype(jnp.float32)[:, None]  # (N, 1)
 
-    bx, by, bz = (float(b) for b in box)
-    inv_bin = n_bins / cutoff
+    # box / cutoff are runtime parameters (no recompile when they change)
+    box_arr = jnp.asarray(box, dtype=jnp.float32).reshape(3)
+    cutoff_f = jnp.asarray(cutoff, dtype=jnp.float32).reshape(())
+    params = jnp.stack(
+        [box_arr[0], box_arr[1], box_arr[2],
+         1.0 / box_arr[0], 1.0 / box_arr[1], 1.0 / box_arr[2],
+         cutoff_f, n_bins / cutoff_f]
+    )[None, :]  # (1, 8)
 
     def kernel(
         px_ref, py_ref, pz_ref, pxc_ref, pyc_ref, pzc_ref,
-        sid_row_ref, sid_col_ref, out_ref, acc_ref,
+        sid_row_ref, sid_col_ref, params_ref, out_ref, acc_ref,
         hi_buf_ref, lo_buf_ref,
     ):
         i = pl.program_id(0)
+        # scalar runtime parameters from SMEM
+        bx = params_ref[0, 0]
+        by = params_ref[0, 1]
+        bz = params_ref[0, 2]
+        ibx = params_ref[0, 3]
+        iby = params_ref[0, 4]
+        ibz = params_ref[0, 5]
+        cutoff_v = params_ref[0, 6]
+        inv_bin = params_ref[0, 7]
 
         @pl.when(i == 0)
         def _():
@@ -132,9 +147,9 @@ def rdf_histogram_pallas(
             dx = xi - xj
             dy = yi - yj
             dz = zi - zj
-            dx = dx - bx * jnp.round(dx * (1.0 / bx))
-            dy = dy - by * jnp.round(dy * (1.0 / by))
-            dz = dz - bz * jnp.round(dz * (1.0 / bz))
+            dx = dx - bx * jnp.round(dx * ibx)
+            dy = dy - by * jnp.round(dy * iby)
+            dz = dz - bz * jnp.round(dz * ibz)
             d = jnp.sqrt(dx * dx + dy * dy + dz * dz)  # (TI, TJ)
 
             sa = sid_i  # (TI, 1)
@@ -155,7 +170,7 @@ def rdf_histogram_pallas(
                 (j_ids > i_ids)
                 & (sa >= 0)
                 & (sb >= 0)
-                & (d < cutoff)
+                & (d < cutoff_v)
             )
 
             hi_id = jnp.floor(combined * (1.0 / k))
@@ -195,7 +210,8 @@ def rdf_histogram_pallas(
     out = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec(
             (hi_pad, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
         ),
@@ -206,7 +222,7 @@ def rdf_histogram_pallas(
             pltpu.VMEM((1, _TI * j_block), jnp.float32),
         ],
         interpret=interpret,
-    )(px, py, pz, pxc, pyc, pzc, sid_row, sid_col)
+    )(px, py, pz, pxc, pyc, pzc, sid_row, sid_col, params)
 
     flat = out[:, :k].reshape(-1)[:n_total_bins]
     return flat.reshape(n_pairs, n_bins)

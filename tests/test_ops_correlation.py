@@ -103,3 +103,26 @@ def test_msd_gram_cross_sum(rng):
                 if a != b:
                     expect += np.sum(disp[:, a] * disp[:, b], axis=-1)
     np.testing.assert_allclose(np.asarray(cross), expect, rtol=1e-9)
+
+
+def test_incremental_line_fits_match_curve_fit(rng):
+    """Closed-form prefix fits == scipy curve_fit for every window."""
+    from scipy.optimize import curve_fit
+
+    from lammps_analysis_tpu.utils.fitting import (
+        _incremental_line_fits,
+        fit_einstein_curve,
+    )
+
+    x = np.sort(rng.uniform(0, 10, size=40))
+    y = 3.2 * x + 1.5 + rng.normal(scale=0.3, size=40)
+    slopes, errs, intercepts = _incremental_line_fits(x, y)
+    for m in (3, 7, 25, 40):
+        popt, pcov = curve_fit(lambda t, a, b: a * t + b, x[:m], y[:m])
+        np.testing.assert_allclose(slopes[m], popt[0], rtol=1e-8)
+        np.testing.assert_allclose(intercepts[m], popt[1], rtol=1e-8)
+        np.testing.assert_allclose(errs[m], np.sqrt(pcov[0, 0]), rtol=1e-6)
+
+    popt, pcov, grads, grad_errs = fit_einstein_curve(x, y, fit_max_index=30)
+    assert abs(popt[0] - 3.2) < 0.5  # short noisy window
+    assert len(grads) == len(grad_errs) > 0
