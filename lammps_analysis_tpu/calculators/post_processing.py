@@ -302,17 +302,28 @@ class NernstEinsteinIonicConductivity(Calculator):
     result_keys = ["nernst_einstein_ionic_conductivity", "uncertainty"]
     result_series_keys = []
 
-    def prepare_args(self, diffusion_data=None, **kwargs) -> Dict[str, Any]:
+    def prepare_args(
+        self, diffusion_data=None, distinct_diffusion_data=None, **kwargs
+    ) -> Dict[str, Any]:
         if isinstance(diffusion_data, Computation):
             self.diffusion_data = diffusion_data
         else:
             self.diffusion_data = self.experiment.run.EinsteinDiffusionCoefficients(
                 plot=False
             )
-        return {
+        self.distinct_diffusion_data = (
+            distinct_diffusion_data
+            if isinstance(distinct_diffusion_data, Computation)
+            else None
+        )
+        args = {
             "diffusion_source": self.diffusion_data.name,
             "diffusion_args": self.diffusion_data.args,
         }
+        if self.distinct_diffusion_data is not None:
+            args["distinct_source"] = self.distinct_diffusion_data.name
+            args["distinct_args"] = self.distinct_diffusion_data.args
+        return args
 
     def run_calculator(self) -> Dict[str, dict]:
         exp = self.experiment
@@ -338,12 +349,35 @@ class NernstEinsteinIonicConductivity(Calculator):
             sigma += prefactor * x_i * d
             var += (prefactor * x_i * d_err) ** 2
         log.info("%s sigma_NE = %.6e S/m", self.name, sigma)
-        return {
-            "System": {
-                "nernst_einstein_ionic_conductivity": float(sigma),
-                "uncertainty": float(np.sqrt(var)),
-            }
+        result = {
+            "nernst_einstein_ionic_conductivity": float(sigma),
+            "uncertainty": float(np.sqrt(var)),
         }
+
+        # corrected NE: add distinct (cross-species) diffusion terms
+        # (reference ``nernst_einstein_ionic_conductivity.py:208+``)
+        if getattr(self, "distinct_diffusion_data", None) is not None:
+            sigma_d = 0.0
+            base = n_total * elementary_charge**2 / (
+                volume_si * boltzmann_constant * exp.temperature
+            )
+            for pair, vals in self.distinct_diffusion_data.data_dict.items():
+                names = pair.split("_")
+                if len(names) != 2 or not all(n in exp.species for n in names):
+                    continue
+                sp_a, sp_b = (exp.species[n] for n in names)
+                x_a = sp_a.n_particles / n_total
+                x_b = sp_b.n_particles / n_total
+                d_ab = np.atleast_1d(vals["diffusion_coefficient"])[0]
+                factor = 1.0 if names[0] == names[1] else 2.0
+                sigma_d += (
+                    base * factor * x_a * x_b
+                    * sp_a.charge * sp_b.charge * d_ab
+                )
+            result["corrected_nernst_einstein_ionic_conductivity"] = float(
+                sigma + sigma_d
+            )
+        return {"System": result}
 
     def plot_results(self, computation):  # scalar result - nothing to plot
         return None

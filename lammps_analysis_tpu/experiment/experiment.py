@@ -131,6 +131,29 @@ class Experiment:
     def version(self) -> int:
         return self.db.experiment_version(self.name)
 
+    def units_to_si(self, quantity: str) -> float:
+        """SI conversion factor for a named quantity.
+
+        Reference analog: ``Experiment.units_to_si``
+        (``experiment/experiment.py:284-318``). Supported quantities:
+        time, length, energy, volume, pressure, temperature.
+        """
+        units = self.units
+        factors = {
+            "time": units.time,
+            "length": units.length,
+            "energy": units.energy,
+            "volume": units.volume,
+            "pressure": units.pressure,
+            "temperature": units.temperature,
+        }
+        try:
+            return factors[quantity.lower()]
+        except KeyError as err:
+            raise KeyError(
+                f"Unknown quantity {quantity!r}; choose from {sorted(factors)}"
+            ) from err
+
     @property
     def volume(self) -> float:
         box = self.box_array
