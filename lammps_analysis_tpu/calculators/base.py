@@ -266,10 +266,16 @@ class TrajectoryCalculator(Calculator):
         )
         store = self.experiment.store
 
+        # device dtype: f64 never survives on TPU (x64 off) — loading f32
+        # from the store halves the host->device transfer volume
+        import jax
+
+        dtype = np.float64 if jax.default_backend() == "cpu" else np.float32
+
         def load(slab):
             start, stop = slab
             return store.load(
-                [path], frames=slice(start, stop), atoms=atoms
+                [path], frames=slice(start, stop), atoms=atoms, dtype=dtype
             )[path]
 
         yield from prefetch_to_device(load, slabs, depth=2)

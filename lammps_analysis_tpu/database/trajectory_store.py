@@ -66,14 +66,17 @@ class TrajectoryStore:
         # atoms of the species — matches the streaming access pattern.
         frame_bytes = max(n_particles * n_dims * 8, 1)
         chunk_frames = int(np.clip(2**21 // frame_bytes, 1, max(n_configs, 1)))
+        # lzf: ~5x faster than gzip on write with adequate ratios for MD
+        # float data (the reference used gzip; compression is a storage
+        # knob, not a semantic one)
         ds = grp.create_dataset(
             name,
             shape=(n_configs, n_particles, n_dims),
             maxshape=(None, n_particles, n_dims),
             chunks=(chunk_frames, n_particles, n_dims),
             dtype="float64",
-            compression="gzip",
-            compression_opts=2,
+            compression="lzf",
+            shuffle=True,
         )
         ds.attrs["starting_index"] = 0
 
