@@ -179,3 +179,41 @@ def test_project_reload_persists(tmp_path, rng):
     res2 = exp2.run.EinsteinDiffusionCoefficients(data_range=20, plot=False)
     assert res2["X"]["diffusion_coefficient"] == d
     assert exp2.db.list_computations("persist")  # provenance retained
+
+
+def test_project_multi_experiment_dispatch(tmp_path, rng):
+    """project.run over several active experiments returns a dict keyed by
+    experiment name (reference: calculator.py:110-146)."""
+    project = latpu.Project(name="multi", storage_path=tmp_path)
+    for name, scale in (("slow", 0.02), ("fast", 0.2)):
+        n_frames, n_atoms = 80, 8
+        pos = np.cumsum(
+            rng.normal(scale=scale, size=(n_frames, n_atoms, 3)), axis=0
+        )
+        sp = [SpeciesInfo("X", n_atoms, [UNWRAPPED])]
+        meta = TrajectoryMetadata(
+            n_configurations=n_frames, species_list=sp, box_l=[50.0] * 3,
+            sample_rate=1,
+        )
+        chunk = TrajectoryChunkData(sp, n_frames)
+        chunk.add_data(pos, 0, "X", "Unwrapped_Positions")
+        project.add_experiment(
+            name, timestep=0.1, units="si",
+            simulation_data=ScriptInput(chunk, meta, f"{name}_data"),
+        )
+    res = project.run.EinsteinDiffusionCoefficients(
+        data_range=30, correlation_time=10, plot=False
+    )
+    assert set(res.keys()) == {"slow", "fast"}
+    d_slow = res["slow"]["X"]["diffusion_coefficient"]
+    d_fast = res["fast"]["X"]["diffusion_coefficient"]
+    assert d_fast > 10 * d_slow
+
+    # deactivating an experiment drops it from project-level runs
+    project.disable_experiments(["slow"])
+    res2 = project.run.EinsteinDiffusionCoefficients(
+        data_range=20, correlation_time=10, plot=False
+    )
+    from lammps_analysis_tpu.database.results_db import Computation
+
+    assert isinstance(res2, Computation)  # single active experiment
