@@ -105,12 +105,16 @@ class AngularDistributionFunction(TrajectoryCalculator):
         for b in range(n_batches):
             idx = sample_configs[b * frames_per_batch : (b + 1) * frames_per_batch]
             pos = self._load_concat(species, idx, n_pad, dtype)
+            # ~10 (F, C, N, N) intermediates are live in the ADF tile; keep each
+            # under ~128 MB so the peak stays well inside HBM
+            per_center = max(pos.shape[0] * n_pad * n_pad * 4, 1)
+            c_block = int(np.clip(2**27 // per_center, 1, min(8, n_pad)))
             h = np.asarray(
                 sharded_adf_histogram(
                     jnp.asarray(pos), sid_j, ttab_j, box,
                     cutoff=a["cutoff"], n_bins=n_bins, n_triples=n_triples,
                     norm_power=a["norm_power"],
-                    c_block=min(8, n_pad),
+                    c_block=c_block,
                 ),
                 dtype=np.float64,
             )

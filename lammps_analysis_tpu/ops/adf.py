@@ -120,11 +120,25 @@ def adf_histogram(
         cos = gram / jnp.where(denom > 0, denom, 1.0)
         angle = jnp.arccos(jnp.clip(cos, -1.0, 1.0))  # (F, C, N, N)
 
-        t_id = triple_table[
-            jnp.maximum(sid_c, 0)[:, None, None],
-            jnp.maximum(sid, 0)[None, :, None],
-            jnp.maximum(sid, 0)[None, None, :],
-        ]  # (C, N, N)
+        # closed-form combinations-with-replacement index for the ordered
+        # triple (a <= b <= c); arithmetic instead of a 3-D table gather
+        # (gathers with broadcast indices have faulted this libtpu).
+        # A(a) = C(S+2,3) - C(S-a+2,3); within-a pair index as usual.
+        s_count = triple_table.shape[0]
+        a_id = jnp.maximum(sid_c, 0).astype(jnp.float32)[:, None, None]
+        b_id = jnp.maximum(sid, 0).astype(jnp.float32)[None, :, None]
+        c_id = jnp.maximum(sid, 0).astype(jnp.float32)[None, None, :]
+        s_f = float(s_count)
+        sa = s_f - a_id
+        block_a = (
+            s_f * (s_f + 1.0) * (s_f + 2.0) - sa * (sa + 1.0) * (sa + 2.0)
+        ) / 6.0
+        bb = b_id - a_id
+        t_id_f = (
+            block_a + bb * (s_f - a_id) - bb * (bb - 1.0) * 0.5 + (c_id - b_id)
+        )
+        ordered = (a_id <= b_id) & (b_id <= c_id)
+        t_id = jnp.where(ordered, t_id_f, -1.0).astype(jnp.int32)  # (C, N, N)
 
         mask = (
             neigh[:, :, :, None]
