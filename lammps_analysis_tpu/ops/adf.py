@@ -48,6 +48,136 @@ def build_triple_table(n_species: int):
 
 @functools.partial(
     jax.jit,
+    static_argnames=(
+        "n_bins", "n_triples", "c_block", "norm_power", "jk_block"
+    ),
+)
+def adf_histogram_tiled(
+    positions: jnp.ndarray,
+    species_id: jnp.ndarray,
+    triple_table: jnp.ndarray,
+    box: jnp.ndarray | None,
+    cutoff: float,
+    n_bins: int,
+    n_triples: int,
+    norm_power: int = 4,
+    c_block: int = 4,
+    jk_block: int = 1024,
+) -> jnp.ndarray:
+    """Memory-bounded ADF: (center, j-tile, k-tile) sweep for large systems.
+
+    Identical semantics to :func:`adf_histogram`, but the (C, N, N) angle
+    tensor is never materialised — the largest intermediate is
+    ``(F, c_block, jk_block, jk_block)`` — so 10k+ atom systems fit.
+    """
+    f, n_pad0, _ = positions.shape
+    n_blocks = -(-n_pad0 // c_block)
+    n_tiled = n_blocks * c_block
+    if n_tiled != n_pad0:
+        positions = jnp.pad(positions, ((0, 0), (0, n_tiled - n_pad0), (0, 0)))
+        species_id = jnp.pad(
+            species_id, (0, n_tiled - n_pad0), constant_values=-1
+        )
+    n_pad = positions.shape[1]
+    jk_block = min(jk_block, n_pad)
+    n_jk = -(-n_pad // jk_block)
+    jk_tiled = n_jk * jk_block
+    if jk_tiled != n_pad:
+        positions = jnp.pad(positions, ((0, 0), (0, jk_tiled - n_pad), (0, 0)))
+        species_id = jnp.pad(
+            species_id, (0, jk_tiled - n_pad), constant_values=-1
+        )
+        # keep the center grid consistent with the padded atom count
+        n_pad = jk_tiled
+        n_blocks = n_pad // c_block
+    lo, hi = ADF_BIN_RANGE
+    dtype = positions.dtype
+    s_count = triple_table.shape[0]
+    sid = species_id
+    atom_ids = jnp.arange(n_pad, dtype=jnp.int32)
+
+    def center_block(c0):
+        pos_c = jax.lax.dynamic_slice_in_dim(positions, c0, c_block, axis=1)
+        sid_c = jax.lax.dynamic_slice_in_dim(sid, c0, c_block, axis=0)
+        c_ids = c0 + jnp.arange(c_block, dtype=jnp.int32)
+
+        def leg(j0):
+            """Displacements and masks center -> one jk tile."""
+            pos_j = jax.lax.dynamic_slice_in_dim(
+                positions, j0, jk_block, axis=1
+            )
+            sid_j = jax.lax.dynamic_slice_in_dim(sid, j0, jk_block, axis=0)
+            ids_j = jax.lax.dynamic_slice_in_dim(atom_ids, j0, jk_block, axis=0)
+            r = pos_j[:, None, :, :] - pos_c[:, :, None, :]
+            if box is not None:
+                r = minimum_image(r, box.astype(dtype))
+            d = jnp.sqrt(jnp.sum(r * r, axis=-1))  # (F, C, TJ)
+            neigh = (
+                (d < cutoff)
+                & (ids_j[None, None, :] != c_ids[None, :, None])
+                & (sid_j[None, None, :] >= 0)
+                & (sid_c[None, :, None] >= 0)
+            )
+            return r, d, neigh, sid_j
+
+        def jk_pair(step):
+            jb = step // n_jk
+            kb = step % n_jk
+            r_j, d_j, m_j, s_j = leg(jb * jk_block)
+            r_k, d_k, m_k, s_k = leg(kb * jk_block)
+            gram = jnp.einsum(
+                "fcjd,fckd->fcjk", r_j, r_k,
+                preferred_element_type=jnp.float32,
+            )
+            denom = d_j[:, :, :, None] * d_k[:, :, None, :]
+            cos = gram / jnp.where(denom > 0, denom, 1.0)
+            angle = jnp.arccos(jnp.clip(cos, -1.0, 1.0))
+
+            a_id = jnp.maximum(sid_c, 0).astype(jnp.float32)[:, None, None]
+            b_id = jnp.maximum(s_j, 0).astype(jnp.float32)[None, :, None]
+            cc_id = jnp.maximum(s_k, 0).astype(jnp.float32)[None, None, :]
+            s_f = float(s_count)
+            sa = s_f - a_id
+            block_a = (
+                s_f * (s_f + 1.0) * (s_f + 2.0)
+                - sa * (sa + 1.0) * (sa + 2.0)
+            ) / 6.0
+            bb = b_id - a_id
+            t_id_f = (
+                block_a + bb * (s_f - a_id) - bb * (bb - 1.0) * 0.5
+                + (cc_id - b_id)
+            )
+            ordered = (a_id <= b_id) & (b_id <= cc_id)
+            t_id = jnp.where(ordered, t_id_f, -1.0).astype(jnp.int32)
+
+            ids_j = jb * jk_block + jnp.arange(jk_block, dtype=jnp.int32)
+            ids_k = kb * jk_block + jnp.arange(jk_block, dtype=jnp.int32)
+            mask = (
+                m_j[:, :, :, None]
+                & m_k[:, :, None, :]
+                & (ids_j[:, None] != ids_k[None, :])[None, None, :, :]
+                & (t_id >= 0)[None]
+            )
+            weight = jnp.where(
+                mask, 1.0 / jnp.where(denom > 0, denom, 1.0) ** norm_power,
+                0.0,
+            ).astype(jnp.float32)
+            bins = bin_indices(angle, lo, hi, n_bins)
+            combined = jnp.maximum(t_id, 0)[None] * n_bins + bins
+            return masked_histogram(
+                combined, weight, n_triples * n_bins, "scatter"
+            )
+
+        steps = jnp.arange(n_jk * n_jk, dtype=jnp.int32)
+        return jnp.sum(jax.lax.map(jk_pair, steps), axis=0)
+
+    starts = jnp.arange(n_blocks, dtype=jnp.int32) * c_block
+    hists = jax.lax.map(center_block, starts)
+    return jnp.sum(hists, axis=0).reshape(n_triples, n_bins)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("n_bins", "n_triples", "c_block", "norm_power"),
 )
 def adf_histogram(

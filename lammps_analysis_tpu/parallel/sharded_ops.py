@@ -117,19 +117,37 @@ def sharded_adf_histogram(
     norm_power: int = 4,
     c_block: int = 8,
     mesh=None,
+    tiled: bool | None = None,
 ) -> jnp.ndarray:
-    """ADF histogram with the frame axis sharded over the mesh."""
+    """ADF histogram with the frame axis sharded over the mesh.
+
+    ``tiled`` selects the memory-bounded (center, j, k)-tile kernel; by
+    default it engages automatically for systems above ~1.5k atoms.
+    """
     mesh = mesh or get_default_mesh()
     n_dev = _n_mesh_devices(mesh)
     f = positions.shape[0]
-    kernel = functools.partial(
-        adf_ops.adf_histogram,
-        cutoff=cutoff,
-        n_bins=n_bins,
-        n_triples=n_triples,
-        norm_power=norm_power,
-        c_block=c_block,
-    )
+    if tiled is None:
+        tiled = positions.shape[1] > 1536
+    if tiled:
+        kernel = functools.partial(
+            adf_ops.adf_histogram_tiled,
+            cutoff=cutoff,
+            n_bins=n_bins,
+            n_triples=n_triples,
+            norm_power=norm_power,
+            c_block=min(c_block, 4),
+            jk_block=1024,
+        )
+    else:
+        kernel = functools.partial(
+            adf_ops.adf_histogram,
+            cutoff=cutoff,
+            n_bins=n_bins,
+            n_triples=n_triples,
+            norm_power=norm_power,
+            c_block=c_block,
+        )
     if n_dev == 1 or f < n_dev:
         return kernel(positions, species_id, triple_table, box)
 

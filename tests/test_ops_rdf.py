@@ -162,3 +162,23 @@ def test_adf_histogram_matches_direct(rng):
     assert order == list(
         itertools.combinations_with_replacement(range(2), 3)
     )
+
+
+def test_adf_tiled_matches_full(rng):
+    counts = [20, 12]
+    box = np.array([5.0, 5.0, 5.0])
+    sid, npad, _, _, _ = R.build_species_layout(counts, pad_to=8)
+    ttab, order = A.build_triple_table(2)
+    pos = np.zeros((2, npad, 3))
+    pos[:, :32] = rng.uniform(0, 5, size=(2, 32, 3))
+    args = (jnp.asarray(pos), jnp.asarray(sid), jnp.asarray(ttab),
+            jnp.asarray(box))
+    h_full = np.asarray(
+        A.adf_histogram(*args, 2.2, 36, len(order), norm_power=4, c_block=8)
+    )
+    h_tiled = np.asarray(
+        A.adf_histogram_tiled(
+            *args, 2.2, 36, len(order), norm_power=4, c_block=4, jk_block=16
+        )
+    )
+    np.testing.assert_allclose(h_tiled, h_full, rtol=1e-5)
