@@ -130,14 +130,20 @@ def sharded_adf_histogram(
     if tiled is None:
         tiled = positions.shape[1] > 1536
     if tiled:
+        # large systems: neighbor-list kernel, O(N K^2); K sized from the
+        # density so every within-cutoff neighbor fits (with headroom)
+        volume = float(np.prod(np.asarray(box)))
+        rho = positions.shape[1] / max(volume, 1e-30)
+        expected = rho * 4.0 / 3.0 * np.pi * float(cutoff) ** 3
+        k_n = int(np.clip(-(-2 * expected // 8) * 8 + 16, 24, 512))
         kernel = functools.partial(
-            adf_ops.adf_histogram_tiled,
+            adf_ops.adf_histogram_neighbors,
             cutoff=cutoff,
             n_bins=n_bins,
             n_triples=n_triples,
             norm_power=norm_power,
-            c_block=min(c_block, 4),
-            jk_block=1024,
+            c_block=64,
+            max_neighbors=k_n,
         )
     else:
         kernel = functools.partial(

@@ -182,3 +182,24 @@ def test_adf_tiled_matches_full(rng):
         )
     )
     np.testing.assert_allclose(h_tiled, h_full, rtol=1e-5)
+
+
+def test_adf_neighbor_list_matches_full(rng):
+    counts = [20, 12]
+    box = np.array([5.0, 5.0, 5.0])
+    sid, npad, _, _, _ = R.build_species_layout(counts, pad_to=8)
+    ttab, order = A.build_triple_table(2)
+    pos = np.zeros((2, npad, 3))
+    pos[:, :32] = rng.uniform(0, 5, size=(2, 32, 3))
+    args = (jnp.asarray(pos), jnp.asarray(sid), jnp.asarray(ttab),
+            jnp.asarray(box))
+    h_full = np.asarray(
+        A.adf_histogram(*args, 2.2, 36, len(order), norm_power=4, c_block=8)
+    )
+    h_nb = np.asarray(
+        A.adf_histogram_neighbors(
+            *args, 2.2, 36, len(order), norm_power=4, c_block=8,
+            max_neighbors=32,
+        )
+    )
+    np.testing.assert_allclose(h_nb, h_full, rtol=2e-4, atol=1e-4)
