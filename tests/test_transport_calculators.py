@@ -191,3 +191,43 @@ def test_distinct_diffusion_runs(tmp_path, rng):
     )
     for key in res_gk.keys():
         assert np.isfinite(res_gk[key]["diffusion_coefficient"])
+
+
+def test_gk_ionic_conductivity_metal_units(tmp_path, rng):
+    """Unit plumbing: same analytic oracle expressed in LAMMPS metal units."""
+    from lammps_analysis_tpu.utils.units import METAL
+
+    n_frames, n_each, sigma_v, dt = 4000, 16, 3.0, 0.01  # A/ps, ps
+    box = 12.0  # Angstrom
+    sp = [
+        SpeciesInfo("Na", n_each, [VEL]),
+        SpeciesInfo("Cl", n_each, [VEL]),
+    ]
+    meta = TrajectoryMetadata(
+        n_configurations=n_frames, species_list=sp, box_l=[box] * 3,
+        sample_rate=1, temperature=300.0,
+    )
+    chunk = TrajectoryChunkData(sp, n_frames)
+    for name in ("Na", "Cl"):
+        chunk.add_data(
+            rng.normal(scale=sigma_v, size=(n_frames, n_each, 3)), 0, name,
+            "Velocities",
+        )
+    project = latpu.Project(name="proj", storage_path=tmp_path)
+    exp = project.add_experiment(
+        "metal", timestep=dt, temperature=300.0, units="metal",
+        simulation_data=ScriptInput(chunk, meta, "m_data"),
+    )
+    exp.set_charge("Na", 1.0)
+    exp.set_charge("Cl", -1.0)
+    res = exp.run.GreenKuboIonicConductivity(
+        data_range=64, correlation_time=32, plot=False
+    )
+    sigma = res["System"]["ionic_conductivity"][0]
+    # sigma = e^2 L_u^2 * N_tot sigma_v^2 * dt_sim / (2 kB T V_sim V_u t_u)
+    expected = (
+        elementary_charge**2 * METAL.length**2 * 32 * sigma_v**2 * dt
+        / (2 * boltzmann_constant * 300.0 * box**3 * METAL.volume * METAL.time)
+    )
+    assert abs(sigma - expected) / expected < 0.15
+    assert sigma > 0
