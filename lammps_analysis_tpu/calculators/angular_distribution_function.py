@@ -15,7 +15,6 @@ rolled-r_ijk index extraction; frames shard over the device mesh.
 
 from __future__ import annotations
 
-import itertools
 import logging
 from typing import Any, Dict
 

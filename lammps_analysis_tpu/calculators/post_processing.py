@@ -29,7 +29,6 @@ from scipy.signal import find_peaks
 
 from ..data.form_factors import form_factor
 from ..database.results_db import Computation
-from ..utils.fitting import fit_einstein_curve  # noqa: F401 (API surface)
 from ..utils.meta import golden_section_search, smooth_series
 from ..utils.units import boltzmann_constant, elementary_charge
 from .base import Calculator

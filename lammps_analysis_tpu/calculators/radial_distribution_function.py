@@ -23,7 +23,6 @@ from ..database.properties import mdsuite_properties as mp
 from ..database.trajectory_store import join_path
 from ..ops import rdf as rdf_ops
 from ..parallel.sharded_ops import sharded_rdf_histogram
-from ..utils.config import config
 from .base import TrajectoryCalculator
 
 log = logging.getLogger(__name__)

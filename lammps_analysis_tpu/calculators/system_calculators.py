@@ -35,7 +35,6 @@ import numpy as np
 from scipy.integrate import cumulative_trapezoid
 
 from ..database.properties import mdsuite_properties as mp
-from ..database.trajectory_store import join_path
 from ..ops.correlation import windowed_acf_sum
 from ..ops.msd import windowed_msd_sum
 from ..utils.constants import DatasetKeys

@@ -19,7 +19,7 @@ TPU-native re-design of the reference simulation database
 from __future__ import annotations
 
 import pathlib
-from typing import Dict, Iterable, List, Optional, Sequence, Union
+from typing import Dict, List, Optional, Sequence, Union
 
 import h5py
 import numpy as np

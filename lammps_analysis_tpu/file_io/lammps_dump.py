@@ -17,7 +17,6 @@ import numpy as np
 
 from ..database.contracts import TrajectoryMetadata
 from ..database.properties import mdsuite_properties as mp
-from ..utils.meta import sort_array_by_column
 from .tabular import (
     TabularReaderSpec,
     TabularTextReader,

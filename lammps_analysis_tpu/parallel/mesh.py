@@ -12,7 +12,7 @@ is available for pairwise kernels on very large systems.
 from __future__ import annotations
 
 import contextlib
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

@@ -15,7 +15,6 @@ Stress components use LAMMPS Voigt order ``[xx, yy, zz, xy, xz, yz]``.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
 
 import jax.numpy as jnp
 

@@ -7,7 +7,6 @@ string switcher ``calculators/transformations_reference.py:27-34``).
 
 from __future__ import annotations
 
-from typing import Optional
 
 from .coordinate_transforms import (
     CoordinateUnwrapper,

@@ -13,7 +13,6 @@ import logging
 import pathlib
 from typing import List, Optional
 
-import numpy as np
 
 from ..database.trajectory_store import join_path
 
