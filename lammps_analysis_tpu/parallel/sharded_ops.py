@@ -175,6 +175,84 @@ def sharded_adf_histogram(
     return hist
 
 
+def sharded_rdf_histogram_2d(
+    positions: jnp.ndarray,
+    species_id: jnp.ndarray,
+    pair_table: jnp.ndarray,
+    box: jnp.ndarray,
+    cutoff: float,
+    n_bins: int,
+    n_pairs: int,
+    mesh,
+    i_block: int = 128,
+) -> jnp.ndarray:
+    """RDF over a 2-D ``(data, atoms)`` mesh.
+
+    Frames shard over ``data`` (pure data parallelism); the i-atom axis
+    shards over ``atoms`` (the tensor-parallel analog): each device holds
+    its i-rows, ``all_gather``s the full j-side positions over ICI, computes
+    the rectangular (i-shard x all-j) partial histogram with the triangle
+    mask evaluated on GLOBAL indices, and the partials ``psum`` over both
+    axes. Exact: every unordered pair is counted exactly once.
+    """
+    n_data = mesh.shape["data"]
+    n_atoms_axis = mesh.shape["atoms"]
+    f, n_pad, _ = positions.shape
+    assert f % n_data == 0, "frame count must divide the data axis"
+    assert n_pad % n_atoms_axis == 0, "atom padding must divide the atoms axis"
+
+    i_shard = n_pad // n_atoms_axis
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P("data", "atoms", None),  # positions: frames x i-rows
+            P("atoms"),  # species ids of the local i-rows
+            P(),
+            P(),
+            P(),
+        ),
+        out_specs=P(),
+    )
+    def sharded(pos_i_shard, sid_i_shard, sid_full, ptab, box_):
+        # j side needs every atom: gather the i-shards over the atoms axis
+        pos_full = jax.lax.all_gather(
+            pos_i_shard, "atoms", axis=1, tiled=True
+        )  # (f_local, n_pad, 3)
+        atom_rank = jax.lax.axis_index("atoms")
+        i0 = atom_rank * i_shard
+
+        # rectangular partial histogram: local i-rows vs all j, with the
+        # global triangle/species masks (same math as ops.rdf.rdf_histogram
+        # restricted to one i-stripe)
+        from ..ops.geometry import minimum_image
+        from ..ops.histogram import bin_indices, masked_histogram
+
+        i_ids = i0 + jnp.arange(i_shard, dtype=jnp.int32)
+        j_ids = jnp.arange(pos_full.shape[1], dtype=jnp.int32)
+        r = pos_i_shard[:, :, None, :] - pos_full[:, None, :, :]
+        r = minimum_image(r, box_.astype(pos_full.dtype))
+        d = jnp.sqrt(jnp.sum(r * r, axis=-1))
+        triu = j_ids[None, :] > i_ids[:, None]
+        valid = (sid_i_shard[:, None] >= 0) & (sid_full[None, :] >= 0)
+        mask = (triu & valid)[None] & (d < cutoff)
+        pair_id = ptab[
+            jnp.maximum(sid_i_shard, 0)[:, None],
+            jnp.maximum(sid_full, 0)[None, :],
+        ]
+        bins = bin_indices(d, 0.0, cutoff, n_bins)
+        combined = pair_id[None] * n_bins + bins
+        h = masked_histogram(
+            combined, mask.astype(jnp.float32), n_pairs * n_bins, "scatter"
+        )
+        h = jax.lax.psum(h, "atoms")
+        return jax.lax.psum(h, "data")
+
+    hist = sharded(positions, species_id, species_id, pair_table, box)
+    return hist.reshape(n_pairs, n_bins)
+
+
 def sharded_windowed_msd(
     x: jnp.ndarray,
     tau_values: jnp.ndarray,

@@ -111,3 +111,29 @@ def test_graft_entry_multichip():
     fn, args = __graft_entry__.entry()
     out = jax.jit(fn)(*args)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_rdf_2d_mesh_matches_1d(system):
+    """(data, atoms) 2-D mesh RDF == single-device counts exactly."""
+    from lammps_analysis_tpu.parallel.mesh import make_2d_mesh
+    from lammps_analysis_tpu.parallel.sharded_ops import (
+        sharded_rdf_histogram_2d,
+    )
+
+    sid, n_pad, ptab, n_pairs, pos, box = system
+    ref = np.asarray(
+        rdf_ops.rdf_histogram(
+            jnp.asarray(pos), jnp.asarray(sid), jnp.asarray(ptab),
+            jnp.asarray(box), cutoff=2.4, n_bins=60, n_pairs=n_pairs,
+            i_block=8,
+        )
+    )
+    mesh = make_2d_mesh(data=2, atoms=4)
+    h = np.asarray(
+        sharded_rdf_histogram_2d(
+            jnp.asarray(pos), jnp.asarray(sid), jnp.asarray(ptab),
+            jnp.asarray(box), cutoff=2.4, n_bins=60, n_pairs=n_pairs,
+            mesh=mesh,
+        )
+    )
+    np.testing.assert_array_equal(h, ref)
