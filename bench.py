@@ -59,6 +59,62 @@ def measure_rdf_pairs_per_s(n_atoms, n_frames, n_bins, repeats=5):
     return pairs / elapsed
 
 
+def measure_gk_corr_frames_per_s(t=16384, n=256, window=512, stride=256,
+                                 repeats=3):
+    """Green-Kubo windowed-ACF throughput (particle-window-frames/s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lammps_analysis_tpu.ops.correlation import windowed_acf_sum
+
+    rng = np.random.default_rng(1)
+    vel = jnp.asarray(rng.normal(size=(t, n, 3)).astype(np.float32))
+    out = windowed_acf_sum(vel, window, stride, chunk=16)
+    np.asarray(out[0])  # compile + execute + fetch
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = windowed_acf_sum(vel, window, stride, chunk=16)
+    jax.block_until_ready(out)
+    elapsed = (time.perf_counter() - t0) / repeats
+    n_windows = (t - window) // stride + 1
+    return n_windows * window * n / elapsed
+
+
+def measure_ingest_mb_per_s(n_frames=50, n_atoms=2000):
+    """Native-parser LAMMPS dump ingestion throughput."""
+    import io
+    import tempfile
+
+    from lammps_analysis_tpu.file_io.lammps_dump import LAMMPSDumpFile
+
+    rng = np.random.default_rng(2)
+    pos = rng.uniform(0, 30, size=(n_frames, n_atoms, 3))
+    buf = io.StringIO()
+    for t in range(n_frames):
+        buf.write(f"ITEM: TIMESTEP\n{t}\nITEM: NUMBER OF ATOMS\n{n_atoms}\n")
+        buf.write("ITEM: BOX BOUNDS pp pp pp\n0 30\n0 30\n0 30\n")
+        buf.write("ITEM: ATOMS id element x y z\n")
+        for i in range(n_atoms):
+            buf.write(
+                f"{i + 1} {'Na' if i % 2 else 'Cl'} "
+                f"{pos[t, i, 0]:.8f} {pos[t, i, 1]:.8f} {pos[t, i, 2]:.8f}\n"
+            )
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".lammpstraj", delete=False
+    ) as f:
+        f.write(buf.getvalue())
+        path = f.name
+    size_mb = pathlib.Path(path).stat().st_size / 2**20
+    reader = LAMMPSDumpFile(path)
+    reader.spec  # metadata scan excluded from the timing
+    t0 = time.perf_counter()
+    for _ in reader.get_configurations_generator():
+        pass
+    elapsed = time.perf_counter() - t0
+    pathlib.Path(path).unlink()
+    return size_mb / elapsed
+
+
 def tf_baseline_value():
     path = REPO / "benchmarks" / "tf_baseline.json"
     if path.exists():
@@ -70,6 +126,15 @@ def main():
     value = measure_rdf_pairs_per_s(**WORKLOAD)
     baseline = tf_baseline_value()
     vs = value / baseline if baseline else None
+    extras = {}
+    try:
+        extras["gk_corr_frames_per_s"] = round(measure_gk_corr_frames_per_s())
+    except Exception as err:  # pragma: no cover
+        extras["gk_error"] = str(err)[:120]
+    try:
+        extras["ingest_mb_per_s"] = round(measure_ingest_mb_per_s(), 1)
+    except Exception as err:  # pragma: no cover
+        extras["ingest_error"] = str(err)[:120]
     print(
         json.dumps(
             {
@@ -77,6 +142,7 @@ def main():
                 "value": value,
                 "unit": "pairs/s",
                 "vs_baseline": vs,
+                "extras": extras,
             }
         )
     )
