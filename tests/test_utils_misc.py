@@ -1,0 +1,137 @@
+"""Unit tests for support modules: units, planner, prefetch, data tables."""
+
+import time
+
+import numpy as np
+import pytest
+
+from lammps_analysis_tpu.data.elements import COVALENT_RADII, mass_of
+from lammps_analysis_tpu.data.form_factors import form_factor
+from lammps_analysis_tpu.memory.planner import BatchPlanner
+from lammps_analysis_tpu.pipeline.prefetch import prefetch_to_device
+from lammps_analysis_tpu.utils.config import change_memory_fraction, config
+from lammps_analysis_tpu.utils.meta import (
+    get_dimensionality,
+    get_machine_properties,
+    smooth_series,
+    sort_array_by_column,
+)
+from lammps_analysis_tpu.utils.scale_functions import (
+    SCALE_FUNCTIONS,
+    resolve_scale_function,
+)
+from lammps_analysis_tpu.utils.units import (
+    METAL,
+    REAL,
+    SI,
+    UnitSystem,
+    resolve_units,
+)
+
+
+def test_unit_systems():
+    assert resolve_units("metal") is METAL
+    assert resolve_units("REAL") is REAL
+    assert resolve_units(SI) is SI
+    with pytest.raises(ValueError, match="Unknown unit system"):
+        resolve_units("bogus")
+    assert METAL.volume == METAL.length**3
+    assert REAL.time == 1e-15 and REAL.length == 1e-10
+
+
+def test_element_tables():
+    assert abs(mass_of("Na") - 22.990) < 1e-3
+    assert mass_of("Na1") == mass_of("Na")  # numeric suffixes strip
+    assert mass_of("Unobtainium", default=7.0) == 7.0
+    assert COVALENT_RADII["O"] < COVALENT_RADII["Na"]
+
+
+def test_form_factors():
+    q = np.linspace(0.5, 12, 50)
+    f_na = form_factor("Na", q)
+    # f(q->0) approaches the electron count; monotone decreasing overall
+    assert 10.0 < f_na[0] < 11.5
+    assert f_na[0] > f_na[-1]
+    with pytest.raises(KeyError, match="Cromer-Mann"):
+        form_factor("Xx", q)
+
+
+def test_scale_functions():
+    fn, kwargs = resolve_scale_function({"quadratic": {"outer_scale_factor": 3}})
+    assert fn(2.0, **kwargs) == 12.0
+    fn, kwargs = resolve_scale_function(None)
+    assert fn(5.0, **kwargs) == 5.0
+    assert set(SCALE_FUNCTIONS) == {
+        "linear", "log-linear", "quadratic", "polynomial"
+    }
+
+
+def test_config_context():
+    before = config.memory_fraction
+    with change_memory_fraction(0.01):
+        assert config.memory_fraction == 0.01
+    assert config.memory_fraction == before
+
+
+def test_meta_helpers(rng):
+    arr = np.array([[3, 30.0], [1, 10.0], [2, 20.0]])
+    out = sort_array_by_column(arr, 0)
+    np.testing.assert_array_equal(out[:, 1], [10.0, 20.0, 30.0])
+    assert get_dimensionality([1.0, 2.0, 3.0]) == 3
+    assert get_dimensionality([1.0, 2.0, 0.0]) == 2
+    y = rng.normal(size=50)
+    sm = smooth_series(y, window=11, order=2)
+    assert sm.shape == y.shape
+    assert np.std(sm) < np.std(y)
+    props = get_machine_properties()
+    assert props["memory"] > 0 and props["cpu_count"] >= 1
+
+
+def test_window_plan():
+    assert BatchPlanner.window_plan(100, 20, 10) == 9
+    assert BatchPlanner.window_plan(10, 20, 1) == 0
+    assert BatchPlanner.window_plan(20, 20, 5) == 1
+
+
+def test_prefetch_order_and_overlap():
+    loads = []
+
+    def load(i):
+        loads.append(i)
+        time.sleep(0.01)
+        return np.full((4,), i, dtype=np.float64)
+
+    out = list(prefetch_to_device(load, list(range(7)), depth=2))
+    assert [int(np.asarray(o)[0]) for o in out] == list(range(7))
+    assert sorted(loads) == list(range(7))
+    assert list(prefetch_to_device(load, [], depth=2)) == []
+
+
+def test_profiling_stopwatch():
+    from lammps_analysis_tpu.utils.profiling import Stopwatch, device_trace
+
+    sw = Stopwatch()
+    with sw.section("a"):
+        time.sleep(0.01)
+    with sw.section("a"):
+        pass
+    assert sw.counts["a"] == 2
+    assert sw.totals["a"] >= 0.01
+    assert "a:" in sw.report()
+    assert sw.throughput("a", 100) > 0
+    with device_trace(None):  # no-op path
+        pass
+
+
+def test_chemfiles_gate():
+    from lammps_analysis_tpu.file_io import chemfiles_io
+
+    if not chemfiles_io.CHEMFILES_AVAILABLE:
+        with pytest.raises(ImportError, match="chemfiles"):
+            chemfiles_io.ChemfilesRead("x.trr")
+
+
+def test_multihost_helpers():
+    from lammps_analysis_tpu.parallel import multihost
+
+    assert multihost.is_multihost() is False
