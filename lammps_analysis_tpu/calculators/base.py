@@ -42,7 +42,8 @@ class Calculator(abc.ABC):
     #: True -> operates on the Observables group, one System subject
     system_property: bool = False
 
-    def __init__(self, experiment=None, experiments=None, plot: bool = False):
+    def __init__(self, experiment=None, experiments=None, plot: bool = True):
+        # plotting defaults ON for reference API parity (calculator.py:94)
         self.experiment = experiment
         self.experiments = experiments or ([experiment] if experiment else [])
         self.plot = plot
