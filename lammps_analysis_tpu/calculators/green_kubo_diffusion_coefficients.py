@@ -82,10 +82,12 @@ class GreenKuboDiffusionCoefficients(TrajectoryCalculator):
                 n_windows = per_window.shape[0]
                 count += n_windows * (n_particles + 1)
                 # per-window integrals for the SEM (reference :199-206)
-                for w in np.asarray(per_window, dtype=np.float64):
-                    sigmas.append(
-                        cumulative_trapezoid(vel_scale * w, x=times)
+                sigmas.append(
+                    cumulative_trapezoid(
+                        vel_scale * np.asarray(per_window, dtype=np.float64),
+                        x=times, axis=1,
                     )
+                )
 
             if count == 0:
                 raise ValueError(
@@ -94,7 +96,7 @@ class GreenKuboDiffusionCoefficients(TrajectoryCalculator):
                 )
             acf = acf_sum / count
             sigma = cumulative_trapezoid(acf, x=times)
-            sigmas = np.asarray(sigmas)
+            sigmas = np.concatenate(sigmas, axis=0)
             sigma_sem = np.std(sigmas, axis=0) / np.sqrt(len(sigmas))
 
             ir = a["integration_range"] - 1
