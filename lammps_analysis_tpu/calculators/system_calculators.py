@@ -116,8 +116,12 @@ class _SystemWindowedCalculator(TrajectoryCalculator):
         count = 0
         for s, per_window in self._series_windows_acf():
             acf_sum += acf_scale * np.asarray(s, dtype=np.float64)
-            for w in np.asarray(per_window, dtype=np.float64):
-                sigmas.append(cumulative_trapezoid(acf_scale * w, x=times))
+            sigmas.append(
+                cumulative_trapezoid(
+                    acf_scale * np.asarray(per_window, dtype=np.float64),
+                    x=times, axis=1,
+                )
+            )
             count += per_window.shape[0]
         if count == 0:
             raise ValueError(
@@ -126,7 +130,7 @@ class _SystemWindowedCalculator(TrajectoryCalculator):
             )
         acf = acf_sum / count
         sigma = cumulative_trapezoid(acf, x=times)
-        sigmas = np.asarray(sigmas)
+        sigmas = np.concatenate(sigmas, axis=0)
         sigma_sem = np.std(sigmas, axis=0) / np.sqrt(len(sigmas))
         # cumtrapz yields W-1 points; integration_range == data_range means
         # "integrate the full window" (reference trapz[:integration_range])
