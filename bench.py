@@ -6,7 +6,7 @@ Prints ONE JSON line:
 ``vs_baseline`` compares against the reference's TF kernel measured on CPU
 (``benchmarks/tf_reference_baseline.py``; the reference publishes no numbers
 — BASELINE.md): value / tf_cpu_value on the identical synthetic workload
-(2048 atoms, 8 frames, 300 bins, minimum-image cutoff histogram).
+(north star: 10240 atoms, 500 bins, minimum-image cutoff histogram).
 """
 
 from __future__ import annotations
@@ -18,7 +18,9 @@ import time
 import numpy as np
 
 REPO = pathlib.Path(__file__).parent
-WORKLOAD = dict(n_atoms=2048, n_frames=8, n_bins=300)
+# the BASELINE.json north-star size; the TF-CPU reference kernel was
+# measured on the same workload (benchmarks/tf_baseline_10k.json)
+WORKLOAD = dict(n_atoms=10240, n_frames=4, n_bins=500)
 
 
 def measure_rdf_pairs_per_s(n_atoms, n_frames, n_bins, repeats=5):
@@ -29,8 +31,8 @@ def measure_rdf_pairs_per_s(n_atoms, n_frames, n_bins, repeats=5):
     from lammps_analysis_tpu.parallel.sharded_ops import sharded_rdf_histogram
 
     rng = np.random.default_rng(0)
-    box = 20.0
-    cutoff = 9.9
+    box = 40.0
+    cutoff = 19.9
     half = n_atoms // 2
     sid, n_pad, ptab, n_pairs, _ = build_species_layout([half, n_atoms - half],
                                                         pad_to=128)
@@ -116,9 +118,10 @@ def measure_ingest_mb_per_s(n_frames=50, n_atoms=2000):
 
 
 def tf_baseline_value():
-    path = REPO / "benchmarks" / "tf_baseline.json"
-    if path.exists():
-        return json.loads(path.read_text())["value"]
+    for name in ("tf_baseline_10k.json", "tf_baseline.json"):
+        path = REPO / "benchmarks" / name
+        if path.exists():
+            return json.loads(path.read_text())["value"]
     return None
 
 

@@ -77,38 +77,42 @@ def build_experiment(workdir, n_atoms, n_frames, box=40.0, chunk_frames=2000):
 def main():
     n_atoms = int(sys.argv[1]) if len(sys.argv) > 1 else 10240
     n_frames = int(sys.argv[2]) if len(sys.argv) > 2 else 5000
+    only = sys.argv[3] if len(sys.argv) > 3 else "all"
     workdir = pathlib.Path(tempfile.mkdtemp(prefix="e2e_bench_"))
     try:
         exp, ingest_s = build_experiment(workdir, n_atoms, n_frames)
         results = {"n_atoms": n_atoms, "n_frames": n_frames,
                    "store_write_s": round(ingest_s, 2)}
 
-        t0 = time.perf_counter()
-        exp.run.RadialDistributionFunction(
-            number_of_configurations=500, number_of_bins=300, plot=False
-        )
-        rdf_s = time.perf_counter() - t0
-        results["rdf_s"] = round(rdf_s, 2)
-        results["rdf_pairs_per_s"] = round(
-            500 * n_atoms * (n_atoms - 1) / 2 / rdf_s
-        )
+        if only in ("all", "rdf"):
+            t0 = time.perf_counter()
+            exp.run.RadialDistributionFunction(
+                number_of_configurations=500, number_of_bins=300, plot=False
+            )
+            rdf_s = time.perf_counter() - t0
+            results["rdf_s"] = round(rdf_s, 2)
+            results["rdf_pairs_per_s"] = round(
+                500 * n_atoms * (n_atoms - 1) / 2 / rdf_s
+            )
 
-        t0 = time.perf_counter()
-        exp.run.GreenKuboDiffusionCoefficients(
-            data_range=512, correlation_time=256, plot=False
-        )
-        gk_s = time.perf_counter() - t0
-        n_windows = (n_frames - 512) // 256 + 1
-        results["gk_s"] = round(gk_s, 2)
-        results["gk_corr_frames_per_s"] = round(
-            n_windows * 512 * n_atoms / gk_s
-        )
+        if only in ("all", "gk"):
+            t0 = time.perf_counter()
+            exp.run.GreenKuboDiffusionCoefficients(
+                data_range=512, correlation_time=256, plot=False
+            )
+            gk_s = time.perf_counter() - t0
+            n_windows = (n_frames - 512) // 256 + 1
+            results["gk_s"] = round(gk_s, 2)
+            results["gk_corr_frames_per_s"] = round(
+                n_windows * 512 * n_atoms / gk_s
+            )
 
-        t0 = time.perf_counter()
-        exp.run.EinsteinDiffusionCoefficients(
-            data_range=512, correlation_time=256, plot=False
-        )
-        results["einstein_s"] = round(time.perf_counter() - t0, 2)
+        if only == "all":
+            t0 = time.perf_counter()
+            exp.run.EinsteinDiffusionCoefficients(
+                data_range=512, correlation_time=256, plot=False
+            )
+            results["einstein_s"] = round(time.perf_counter() - t0, 2)
 
         print(json.dumps(results))
     finally:
