@@ -103,7 +103,7 @@ class AngularDistributionFunction(TrajectoryCalculator):
         n_batches = -(-len(sample_configs) // frames_per_batch)
         for b in range(n_batches):
             idx = sample_configs[b * frames_per_batch : (b + 1) * frames_per_batch]
-            pos = self._load_concat(species, idx, n_pad, dtype)
+            pos = self.load_concat_positions(species, idx, n_pad, dtype)
             # ~10 (F, C, N, N) intermediates are live in the ADF tile; keep each
             # under ~128 MB so the peak stays well inside HBM
             per_center = max(pos.shape[0] * n_pad * n_pad * 4, 1)
@@ -139,12 +139,3 @@ class AngularDistributionFunction(TrajectoryCalculator):
             }
         return results
 
-    def _load_concat(self, species, frame_idx, n_pad, dtype):
-        exp = self.experiment
-        paths = [join_path(sp, self.loaded_property.name) for sp in species]
-        data = exp.store.load(paths, frames=np.asarray(frame_idx), dtype=dtype)
-        pos = np.concatenate([data[p] for p in paths], axis=1)
-        if pos.shape[1] < n_pad:
-            pad = np.zeros((pos.shape[0], n_pad - pos.shape[1], 3), dtype=pos.dtype)
-            pos = np.concatenate([pos, pad], axis=1)
-        return pos

@@ -212,6 +212,35 @@ class TrajectoryCalculator(Calculator):
             return np.asarray(per_species) if per_species is not None else None
         return np.asarray(encoded)
 
+    # --------------------------------------------------------------- loading
+    def load_concat_positions(self, species, frame_idx, n_pad, dtype):
+        """Sampled frames for several species, concatenated + padded.
+
+        Shared by the structural calculators (RDF/ADF/SDF): loads the
+        calculator's ``loaded_property`` for each species at the given
+        frame indices (honoring atom selections), concatenates along the
+        atom axis and zero-pads to ``n_pad``.
+        """
+        exp = self.experiment
+        paths = [join_path(sp, self.loaded_property.name) for sp in species]
+        parts = []
+        for sp, p in zip(species, paths):
+            sel = self.resolve_atom_selection(
+                self.args.get("atom_selection"), sp
+            )
+            parts.append(
+                exp.store.load(
+                    [p], frames=np.asarray(frame_idx), atoms=sel, dtype=dtype
+                )[p]
+            )
+        pos = np.concatenate(parts, axis=1)
+        if pos.shape[1] < n_pad:
+            pad = np.zeros(
+                (pos.shape[0], n_pad - pos.shape[1], 3), dtype=pos.dtype
+            )
+            pos = np.concatenate([pos, pad], axis=1)
+        return pos
+
     # --------------------------------------------------------------- streaming
     def _plan_for(self, paths: List[str], data_range: Optional[int] = None) -> BatchPlan:
         n_frames = self.experiment.number_of_configurations

@@ -124,7 +124,7 @@ class RadialDistributionFunction(TrajectoryCalculator):
             for b in range(n_batches)
         ]
         for batch_pos in prefetch_to_device(
-            lambda idx: self._load_concat_positions(species, idx, n_pad, dtype),
+            lambda idx: self.load_concat_positions(species, idx, n_pad, dtype),
             batches,
         ):
             h = sharded_rdf_histogram(
@@ -166,24 +166,3 @@ class RadialDistributionFunction(TrajectoryCalculator):
             results[key] = {"x": x_nm.tolist(), "y": g.tolist()}
         return results
 
-    def _load_concat_positions(self, species, frame_idx, n_pad, dtype):
-        """Load sampled frames for all species, concatenated + padded."""
-        exp = self.experiment
-        paths = [join_path(sp, self.loaded_property.name) for sp in species]
-        parts = []
-        for sp, p in zip(species, paths):
-            sel = self.resolve_atom_selection(
-                self.args.get("atom_selection"), sp
-            )
-            parts.append(
-                exp.store.load(
-                    [p], frames=np.asarray(frame_idx), atoms=sel, dtype=dtype
-                )[p]
-            )
-        pos = np.concatenate(parts, axis=1)
-        if pos.shape[1] < n_pad:
-            pad = np.zeros(
-                (pos.shape[0], n_pad - pos.shape[1], 3), dtype=pos.dtype
-            )
-            pos = np.concatenate([pos, pad], axis=1)
-        return pos
