@@ -50,7 +50,7 @@ def measure_rdf_pairs_per_s(n_atoms, n_frames, n_bins, repeats=5):
         )
         return h
 
-    np.asarray(run())  # compile + execute + fetch
+    first = np.asarray(run())  # compile + execute + fetch
     t0 = time.perf_counter()
     h = None
     for _ in range(repeats):
@@ -58,7 +58,24 @@ def measure_rdf_pairs_per_s(n_atoms, n_frames, n_bins, repeats=5):
     jax.block_until_ready(h)
     elapsed = (time.perf_counter() - t0) / repeats
     pairs = n_frames * n_atoms * (n_atoms - 1) / 2
+
+    # cross-kernel consistency check: the production path (Pallas on TPU)
+    # must agree with the independent XLA outer-product kernel
+    from lammps_analysis_tpu.ops.rdf import rdf_histogram
+
+    ref = np.asarray(
+        rdf_histogram(
+            pos_j, sid_j, ptab_j, box_j, cutoff, n_bins, n_pairs,
+            i_block=256, strategy="outer",
+        )
+    )
+    rel = abs(first.sum() - ref.sum()) / max(ref.sum(), 1.0)
+    global _CONSISTENCY
+    _CONSISTENCY = {"rel_count_err_vs_xla": float(rel)}
     return pairs / elapsed
+
+
+_CONSISTENCY = {}
 
 
 def measure_gk_corr_frames_per_s(t=16384, n=256, window=512, stride=256,
@@ -138,6 +155,7 @@ def main():
         extras["ingest_mb_per_s"] = round(measure_ingest_mb_per_s(), 1)
     except Exception as err:  # pragma: no cover
         extras["ingest_error"] = str(err)[:120]
+    extras.update(_CONSISTENCY)
     print(
         json.dumps(
             {
