@@ -173,7 +173,9 @@ class TrajectoryCalculator(Calculator):
             path = join_path(sp, prop)
             if self.experiment.store.check_existence(path):
                 continue
-            producer = transformation_for_property(prop)
+            producer = transformation_for_property(
+                prop, experiment=self.experiment, species=sp
+            )
             if producer is None:
                 raise ValueError(
                     f"{self.name}: required property {prop} missing for "

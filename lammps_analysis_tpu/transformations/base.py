@@ -169,7 +169,9 @@ class Transformation(abc.ABC):
         # ``get_prop_through_transformation``, transformations.py:352-388)
         from .registry import transformation_for_property
 
-        producer = transformation_for_property(prop.name)
+        producer = transformation_for_property(
+            prop.name, experiment=experiment, species=sp_name
+        )
         if producer is None:
             raise CannotFindPropertyError(
                 f"Property {prop.name!r} for species {sp_name!r} is neither "

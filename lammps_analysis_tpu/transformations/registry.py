@@ -58,9 +58,23 @@ ALL_TRANSFORMATIONS = {
 }
 
 
-def transformation_for_property(prop_name: str):
-    """Instantiate the preferred producer of ``prop_name`` (or None)."""
+def transformation_for_property(
+    prop_name: str, experiment=None, species: str = None
+):
+    """Instantiate the preferred producer of ``prop_name`` (or None).
+
+    With experiment context, unwrapping prefers the dump's own image
+    counters when they are stored (reference ``_unwrap_choice``,
+    ``calculators/trajectory_calculator.py:181-194``).
+    """
     classes = PROPERTY_TO_TRANSFORMATION.get(prop_name)
     if not classes:
         return None
+    if (
+        prop_name == "Unwrapped_Positions"
+        and experiment is not None
+        and species is not None
+        and experiment.store.check_existence(f"{species}/Box_Images")
+    ):
+        return UnwrapViaIndices()
     return classes[0]()

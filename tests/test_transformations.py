@@ -202,3 +202,38 @@ def test_kinaci_carryover_chains(rng):
         np.asarray(full),
         atol=1e-10,
     )
+
+
+def test_unwrap_choice_prefers_box_images(tmp_path, rng):
+    """With Box_Images stored, dependency resolution uses UnwrapViaIndices
+    (reference _unwrap_choice, trajectory_calculator.py:181-194)."""
+    import lammps_analysis_tpu as latpu
+    from lammps_analysis_tpu.database import (
+        PropertyInfo, SpeciesInfo, TrajectoryChunkData, TrajectoryMetadata,
+    )
+    from lammps_analysis_tpu.file_io import ScriptInput
+
+    box = 3.0
+    n_frames, n_atoms = 60, 5
+    true_pos = np.cumsum(rng.normal(scale=0.3, size=(n_frames, n_atoms, 3)), axis=0)
+    images = np.floor(true_pos / box)
+    wrapped = true_pos - images * box
+    props = [PropertyInfo("Positions", 3), PropertyInfo("Box_Images", 3)]
+    sp = [SpeciesInfo("X", n_atoms, props)]
+    meta = TrajectoryMetadata(
+        n_configurations=n_frames, species_list=sp, box_l=[box] * 3, sample_rate=1
+    )
+    chunk = TrajectoryChunkData(sp, n_frames)
+    chunk.add_data(wrapped, 0, "X", "Positions")
+    chunk.add_data(images, 0, "X", "Box_Images")
+    project = latpu.Project(name="p", storage_path=tmp_path)
+    exp = project.add_experiment(
+        "e", timestep=0.1, units="si",
+        simulation_data=ScriptInput(chunk, meta, "d"),
+    )
+    exp.run.EinsteinDiffusionCoefficients(data_range=20, correlation_time=10,
+                                          plot=False)
+    # image-based unwrap reproduces the TRUE positions exactly (no carry
+    # heuristics) — that is the signature of UnwrapViaIndices
+    got = exp.load_matrix("Unwrapped_Positions", ["X"])["X"]
+    np.testing.assert_allclose(got, true_pos, atol=1e-10)
