@@ -231,3 +231,58 @@ def test_gk_ionic_conductivity_metal_units(tmp_path, rng):
     )
     assert abs(sigma - expected) / expected < 0.15
     assert sigma > 0
+
+
+def test_thermal_chain_from_per_atom_data(tmp_path, rng):
+    """Per-atom stress/KE/PE/velocities -> ThermalFlux trafo -> GK kappa,
+    plus the Einstein-Helfand and Kinaci chains from the same store."""
+    n_frames, n_atoms, dt = 1500, 12, 0.1
+    props = [
+        PropertyInfo("Stress", 6), PropertyInfo("Velocities", 3),
+        PropertyInfo("KE", 1), PropertyInfo("PE", 1),
+        PropertyInfo("Unwrapped_Positions", 3), PropertyInfo("Forces", 3),
+    ]
+    sp = [SpeciesInfo("X", n_atoms, props)]
+    meta = TrajectoryMetadata(
+        n_configurations=n_frames, species_list=sp, box_l=[10.0] * 3,
+        sample_rate=1, temperature=300.0,
+    )
+    chunk = TrajectoryChunkData(sp, n_frames)
+    chunk.add_data(rng.normal(size=(n_frames, n_atoms, 6)), 0, "X", "Stress")
+    chunk.add_data(rng.normal(size=(n_frames, n_atoms, 3)), 0, "X", "Velocities")
+    chunk.add_data(rng.normal(size=(n_frames, n_atoms, 1)) ** 2, 0, "X", "KE")
+    chunk.add_data(-rng.normal(size=(n_frames, n_atoms, 1)) ** 2, 0, "X", "PE")
+    chunk.add_data(
+        np.cumsum(rng.normal(scale=0.05, size=(n_frames, n_atoms, 3)), axis=0),
+        0, "X", "Unwrapped_Positions",
+    )
+    chunk.add_data(rng.normal(size=(n_frames, n_atoms, 3)), 0, "X", "Forces")
+
+    project = latpu.Project(name="proj", storage_path=tmp_path)
+    exp = project.add_experiment(
+        "thermal", timestep=dt, temperature=300.0, units="si",
+        simulation_data=ScriptInput(chunk, meta, "t_data"),
+    )
+    res = exp.run.GreenKuboThermalConductivity(
+        data_range=64, correlation_time=64, plot=False
+    )
+    assert exp.store.check_existence("Observables/Thermal_Flux")
+    assert np.isfinite(res["System"]["thermal_conductivity"][0])
+
+    res_eh = exp.run.EinsteinHelfandThermalConductivity(
+        data_range=64, correlation_time=64, plot=False
+    )
+    assert exp.store.check_existence("Observables/Integrated_Heat_Current")
+    assert np.isfinite(res_eh["System"]["thermal_conductivity"])
+
+    res_kin = exp.run.EinsteinHelfandThermalKinaci(
+        data_range=64, correlation_time=64, plot=False
+    )
+    assert exp.store.check_existence("Observables/Kinaci_Heat_Current")
+    assert np.isfinite(res_kin["System"]["thermal_conductivity"])
+
+    res_visc = exp.run.GreenKuboViscosity(
+        data_range=64, correlation_time=64, plot=False
+    )
+    assert exp.store.check_existence("Observables/Momentum_Flux")
+    assert np.isfinite(res_visc["System"]["viscosity"][0])
