@@ -13,7 +13,11 @@ Run:  python examples/molten_nacl_analysis.py
 import pathlib
 import tempfile
 
+import sys
+
 import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import lammps_analysis_tpu as latpu
 
