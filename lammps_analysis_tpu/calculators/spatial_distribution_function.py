@@ -98,8 +98,12 @@ class SpatialDistributionFunction(TrajectoryCalculator):
 
         theta_idx = bin_indices(rtp[..., 1], 0.0, math.pi, n_bins)
         phi_idx = bin_indices(rtp[..., 2], -math.pi, math.pi, n_bins)
+        # "outer" strategy: the 2-D histogram is n_bins^2 wide — the MXU
+        # outer-product path compiles and runs well on TPU where the
+        # scatter lowering is pathologically slow to compile
         hist = histogram2d_masked(
-            theta_idx, phi_idx, mask.astype(jnp.float32), n_bins, n_bins
+            theta_idx, phi_idx, mask.astype(jnp.float32), n_bins, n_bins,
+            strategy="outer",
         )
 
         sphere = self._unit_sphere(n_bins)
