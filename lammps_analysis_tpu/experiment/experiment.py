@@ -194,6 +194,16 @@ class Experiment:
         self.db.set_attribute(self.name, "species", raw)
 
     @property
+    def simulation_data(self) -> Dict[str, object]:
+        """Free-form simulation metadata dict (reference
+        ``experiment_database.py:377-409``)."""
+        return self.db.get_attribute(self.name, "simulation_data", {}) or {}
+
+    @simulation_data.setter
+    def simulation_data(self, value: Dict[str, object]):
+        self.db.set_attribute(self.name, "simulation_data", value)
+
+    @property
     def molecules(self) -> Dict[str, dict]:
         return self.db.get_attribute(self.name, "molecules", {}) or {}
 
