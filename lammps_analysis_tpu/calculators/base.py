@@ -157,9 +157,19 @@ class TrajectoryCalculator(Calculator):
         if self.loaded_property is None:
             return
         prop = self.loaded_property.name
+        exp = self.experiment
+
+        def complete(path):
+            # present AND covering every configuration (appended data must
+            # re-trigger the producing transformation)
+            return (
+                exp.store.check_existence(path)
+                and exp.store.get_cursor(path) >= exp.number_of_configurations
+            )
+
         if self.system_property:
             path = join_path(DatasetKeys.OBSERVABLES, prop)
-            if self.experiment.store.check_existence(path):
+            if complete(path):
                 return
             producer = transformation_for_property(prop)
             if producer is None:
@@ -171,7 +181,7 @@ class TrajectoryCalculator(Calculator):
             return
         for sp in species or self.args.get("species", []):
             path = join_path(sp, prop)
-            if self.experiment.store.check_existence(path):
+            if complete(path):
                 continue
             producer = transformation_for_property(
                 prop, experiment=self.experiment, species=sp

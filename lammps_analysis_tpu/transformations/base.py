@@ -68,6 +68,17 @@ class Transformation(abc.ABC):
         ``N_out = 1`` for system series.
         """
 
+    def bootstrap_carry(self, experiment, sp_name: str, offset: int):
+        """Reconstruct the carry when resuming a stateful transformation at
+        ``offset`` (appended data). Default: no carry (fresh seam) — see
+        :class:`CoordinateUnwrapper` for a seam-free reconstruction."""
+        log.warning(
+            "%s resumes at frame %d without carry state; results before "
+            "and after the append boundary may be discontinuous.",
+            type(self).__name__, offset,
+        )
+        return None
+
     # ------------------------------------------------------------------ runner
     def run_transformation(self, experiment, species: Optional[List[str]] = None):
         """Execute against an experiment, writing results into its store.
@@ -102,10 +113,12 @@ class Transformation(abc.ABC):
         n_particles = experiment.species[sp_name].n_particles
         self._ensure_output(experiment, sp_name, n_particles, n_configs)
 
-        carry = None
         offset = experiment.store.get_cursor(
             join_path(sp_name, self.output_property.name)
         )
+        carry = None
+        if offset > 0 and self.requires_carryover:
+            carry = self.bootstrap_carry(experiment, sp_name, offset)
         for start, stop in self._batches(experiment, n_configs, offset):
             batch = {
                 name: fetch(start, stop) for name, fetch in sources.items()

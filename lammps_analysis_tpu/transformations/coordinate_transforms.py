@@ -54,6 +54,24 @@ class CoordinateUnwrapper(Transformation):
         unwrapped = pos + image * box
         return unwrapped, (pos[-1], image[-1])
 
+    def bootstrap_carry(self, experiment, sp_name: str, offset: int):
+        """Seam-free resume: reconstruct (last wrapped pos, last image count)
+        from the already-stored frame ``offset - 1``."""
+        import numpy as np
+
+        from ..database.trajectory_store import join_path
+
+        frames = slice(offset - 1, offset)
+        pos = experiment.store.load(
+            [join_path(sp_name, mp.positions.name)], frames=frames
+        )[join_path(sp_name, mp.positions.name)][0]
+        unwrapped = experiment.store.load(
+            [join_path(sp_name, mp.unwrapped_positions.name)], frames=frames
+        )[join_path(sp_name, mp.unwrapped_positions.name)][0]
+        box = np.asarray(experiment.box_array)
+        image = np.round((unwrapped - pos) / box)
+        return jnp.asarray(pos), jnp.asarray(image)
+
 
 class UnwrapViaIndices(Transformation):
     """Unwrap using the dump's box-image counters: ``pos + images * box``."""
