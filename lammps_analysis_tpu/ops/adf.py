@@ -165,7 +165,7 @@ def adf_histogram_tiled(
             bins = bin_indices(angle, lo, hi, n_bins)
             combined = jnp.maximum(t_id, 0)[None] * n_bins + bins
             return masked_histogram(
-                combined, weight, n_triples * n_bins, "scatter"
+                combined, weight, n_triples * n_bins, "auto"
             )
 
         steps = jnp.arange(n_jk * n_jk, dtype=jnp.int32)
@@ -280,7 +280,7 @@ def adf_histogram_neighbors(
         bins = bin_indices(angle, lo, hi, n_bins)
         combined = jnp.maximum(t_id, 0) * n_bins + bins
         return masked_histogram(
-            combined, weight, n_triples * n_bins, "scatter"
+            combined, weight, n_triples * n_bins, "auto"
         )
 
     starts = jnp.arange(n_blocks, dtype=jnp.int32) * c_block
@@ -395,7 +395,7 @@ def adf_histogram(
 
         bins = bin_indices(angle, lo, hi, n_bins)
         combined = jnp.maximum(t_id, 0)[None] * n_bins + bins
-        return masked_histogram(combined, weight, n_triples * n_bins, "scatter")
+        return masked_histogram(combined, weight, n_triples * n_bins, "auto")
 
     starts = jnp.arange(n_blocks, dtype=jnp.int32) * c_block
     hists = jax.lax.map(block_hist, starts)

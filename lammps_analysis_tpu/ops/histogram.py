@@ -7,15 +7,16 @@ primitives here keep everything statically shaped: values carry a weight
 mask (0 for padded / out-of-range entries) and bins are computed for every
 element.
 
-Two execution strategies, selectable per call (benchmarked on hardware by
-``bench.py``):
+Execution strategies (``"auto"`` picks per backend — scatter on CPU, the
+MXU outer-product on TPU; measured comparisons in ``docs/design.md``):
 
-* ``scatter`` — ``zeros.at[idx].add(w)``: one pass over the data, XLA
-  lowers to sorted scatter-add. Default.
-* ``compare`` — for each chunk of bins, a fused
-  ``sum(w * (idx == bin))`` broadcast-compare-reduce. No gather/scatter at
-  all, pure VPU streaming; the bin chunking bounds the fused intermediate
-  so nothing of shape ``(M, n_bins)`` is ever materialised.
+* ``scatter`` — ``zeros.at[idx].add(w)``: one pass, native-fast on CPU,
+  pathologically slow to compile on TPU;
+* ``compare`` — per bin-chunk fused ``sum(w * (idx == bin))``
+  broadcast-compare-reduce; pure VPU streaming, nothing of shape
+  ``(M, n_bins)`` materialises;
+* ``outer`` — split ``idx = hi*K + lo`` into two narrow one-hots and
+  contract them on the MXU; the fast wide-histogram path on TPU.
 """
 
 from __future__ import annotations
@@ -128,12 +129,20 @@ def masked_histogram_outer(
     return hist2d.reshape(-1)[:n_bins]
 
 
+def default_strategy() -> str:
+    """Backend-appropriate default: scatter is native-fast on CPU but has
+    pathological compile times on TPU, where the MXU outer-product wins."""
+    return "outer" if jax.default_backend() == "tpu" else "scatter"
+
+
 def masked_histogram(
     idx: jnp.ndarray,
     weights: jnp.ndarray,
     n_bins: int,
-    strategy: str = "scatter",
+    strategy: str = "auto",
 ) -> jnp.ndarray:
+    if strategy == "auto":
+        strategy = default_strategy()
     if strategy == "compare":
         return masked_histogram_compare(idx, weights, n_bins)
     if strategy == "outer":
@@ -150,7 +159,7 @@ def histogram_fixed_width(
     range_max: float,
     n_bins: int,
     weights: jnp.ndarray | None = None,
-    strategy: str = "scatter",
+    strategy: str = "auto",
 ) -> jnp.ndarray:
     """Drop-in analog of ``tf.histogram_fixed_width`` with optional weights."""
     idx = bin_indices(values, range_min, range_max, n_bins)
@@ -165,7 +174,7 @@ def histogram2d_masked(
     weights: jnp.ndarray,
     n_x: int,
     n_y: int,
-    strategy: str = "scatter",
+    strategy: str = "auto",
 ) -> jnp.ndarray:
     """2-D weighted histogram (used by the spatial distribution function).
 

@@ -72,7 +72,7 @@ def rdf_histogram(
     n_bins: int,
     n_pairs: int,
     i_block: int = 128,
-    strategy: str = "scatter",
+    strategy: str = "auto",
 ) -> jnp.ndarray:
     """Per-species-pair distance histograms over a batch of frames.
 
