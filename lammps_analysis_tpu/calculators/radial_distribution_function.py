@@ -105,8 +105,15 @@ class RadialDistributionFunction(TrajectoryCalculator):
         plan = self._plan_for(
             [join_path(sp, self.loaded_property.name) for sp in species]
         )
-        frames_per_batch = max(
-            1, min(plan.frame_batch, n_sampled)
+        # The kernels tile the pairwise work, so the device working set is
+        # LINEAR in the frame count: positions (F*N*12 B) plus per-i-block
+        # intermediates (~F * i_block * N * 24 B). The generic quadratic
+        # plan would collapse to ~1 frame/batch and leave the run
+        # dispatch-bound; size the frame batch from the true footprint.
+        per_frame_bytes = plan.atom_block * n_pad * 24 + n_pad * 12
+        budget = max(int(0.25 * self.experiment.planner.budget_bytes), 1)
+        frames_per_batch = int(
+            np.clip(budget // max(per_frame_bytes, 1), 1, n_sampled)
         )
 
         dtype = np.float32 if self.dtype == "float32" else np.float64

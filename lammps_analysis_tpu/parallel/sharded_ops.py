@@ -37,9 +37,24 @@ def _rdf_backend_kernel(
         box_tuple = tuple(float(b) for b in np.asarray(box))
 
         def kernel(pos, sid, _ptab, _box):
-            return rdf_histogram_pallas(
-                pos, sid, cutoff, n_bins, n_species, box_tuple
-            )
+            # the kernel's flat (F*N, 1) column operands occupy
+            # F*N*128*4 B of VMEM each (lane padding); cap frames per call
+            # so three of them plus working tiles stay within ~60 MB
+            n = pos.shape[1]
+            f = pos.shape[0]
+            f_max = max(1, int(60 * 2**20 // (3 * n * 128 * 4)))
+            if f <= f_max:
+                return rdf_histogram_pallas(
+                    pos, sid, cutoff, n_bins, n_species, box_tuple
+                )
+            total = None
+            for s in range(0, f, f_max):
+                h = rdf_histogram_pallas(
+                    pos[s : s + f_max], sid, cutoff, n_bins, n_species,
+                    box_tuple,
+                )
+                total = h if total is None else total + h
+            return total
 
         return kernel
 
