@@ -15,7 +15,9 @@ REPO = pathlib.Path(__file__).resolve().parents[1]
 
 
 @pytest.mark.parametrize(
-    "script", ["molten_nacl_analysis.py", "water_molecule_study.py"]
+    "script",
+    ["molten_nacl_analysis.py", "water_molecule_study.py",
+     "flux_transport_analysis.py"],
 )
 def test_example_runs(script, tmp_path):
     env = {
