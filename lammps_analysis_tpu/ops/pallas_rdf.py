@@ -55,10 +55,18 @@ def rdf_histogram_pallas(
     n_bins: int,
     n_species: int,
     box,
+    n_valid_frames=None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Per-species-pair distance histograms; returns (n_pairs, n_bins) f32."""
+    """Per-species-pair distance histograms; returns (n_pairs, n_bins) f32.
+
+    ``n_valid_frames`` (traced) lets callers pad the frame axis to a fixed
+    block size — only frames ``< n_valid_frames`` are processed, so one
+    compiled program serves every batch size of a given system.
+    """
     f, n, _ = positions.shape
+    if n_valid_frames is None:
+        n_valid_frames = f
     n_pairs = n_species * (n_species + 1) // 2
     n_total_bins = n_pairs * n_bins
 
@@ -91,11 +99,12 @@ def rdf_histogram_pallas(
     # box / cutoff are runtime parameters (no recompile when they change)
     box_arr = jnp.asarray(box, dtype=jnp.float32).reshape(3)
     cutoff_f = jnp.asarray(cutoff, dtype=jnp.float32).reshape(())
+    n_valid = jnp.asarray(n_valid_frames, dtype=jnp.float32).reshape(())
     params = jnp.stack(
         [box_arr[0], box_arr[1], box_arr[2],
          1.0 / box_arr[0], 1.0 / box_arr[1], 1.0 / box_arr[2],
-         cutoff_f, n_bins / cutoff_f]
-    )[None, :]  # (1, 8)
+         cutoff_f, n_bins / cutoff_f, n_valid]
+    )[None, :]  # (1, 9)
 
     def kernel(
         px_ref, py_ref, pz_ref, pxc_ref, pyc_ref, pzc_ref,
@@ -112,6 +121,7 @@ def rdf_histogram_pallas(
         ibz = params_ref[0, 5]
         cutoff_v = params_ref[0, 6]
         inv_bin = params_ref[0, 7]
+        n_valid_i = params_ref[0, 8].astype(jnp.int32)
 
         @pl.when(i == 0)
         def _():
@@ -201,7 +211,8 @@ def rdf_histogram_pallas(
             )
             return 0
 
-        jax.lax.fori_loop(0, f * n_j_blocks, tile_body, 0)
+        # dynamic trip count: padded frames beyond n_valid never execute
+        jax.lax.fori_loop(0, n_valid_i * n_j_blocks, tile_body, 0)
 
         @pl.when(i == pl.num_programs(0) - 1)
         def _():

@@ -39,19 +39,26 @@ def _rdf_backend_kernel(
         def kernel(pos, sid, _ptab, _box):
             # the kernel's flat (F*N, 1) column operands occupy
             # F*N*128*4 B of VMEM each (lane padding); cap frames per call
-            # so three of them plus working tiles stay within ~60 MB
+            # so three of them plus working tiles stay within ~60 MB. Every
+            # chunk is padded to exactly f_max frames with a dynamic
+            # valid-frame bound, so ONE compiled program serves all batch
+            # sizes of a given system.
+            import jax.numpy as jnp
+
             n = pos.shape[1]
             f = pos.shape[0]
             f_max = max(1, int(60 * 2**20 // (3 * n * 128 * 4)))
-            if f <= f_max:
-                return rdf_histogram_pallas(
-                    pos, sid, cutoff, n_bins, n_species, box_tuple
-                )
             total = None
             for s in range(0, f, f_max):
+                chunk = pos[s : s + f_max]
+                n_valid = chunk.shape[0]
+                if n_valid < f_max:
+                    chunk = jnp.pad(
+                        chunk, ((0, f_max - n_valid), (0, 0), (0, 0))
+                    )
                 h = rdf_histogram_pallas(
-                    pos[s : s + f_max], sid, cutoff, n_bins, n_species,
-                    box_tuple,
+                    chunk, sid, cutoff, n_bins, n_species, box_tuple,
+                    n_valid_frames=n_valid,
                 )
                 total = h if total is None else total + h
             return total
