@@ -34,6 +34,39 @@ def test_pallas_matches_xla(rng, counts):
     np.testing.assert_array_equal(h_pal, h_ref)
 
 
+def test_pallas_multi_jblock_triangle_and_valid_frames(rng):
+    """N > TJ exercises the diagonal-start j-sweep; padded frames beyond
+    ``n_valid_frames`` must contribute nothing (garbage in the pad)."""
+    n_total = 2100  # > _TJ_MAX -> two j-blocks, i-tiles skip the lower one
+    box = (30.0, 30.0, 30.0)
+    sid, n_pad, ptab, n_pairs, _ = build_species_layout(
+        [n_total // 2, n_total - n_total // 2], pad_to=8
+    )
+    pos = np.zeros((1, n_pad, 3), np.float32)
+    pos[:, :n_total] = rng.uniform(0, 30, size=(1, n_total, 3)).astype(
+        np.float32
+    )
+    cutoff, n_bins = 9.9, 75
+    h_ref = np.asarray(
+        rdf_histogram(
+            jnp.asarray(pos), jnp.asarray(sid), jnp.asarray(ptab),
+            jnp.asarray(np.array(box, np.float32)), cutoff, n_bins,
+            n_pairs, i_block=128,
+        )
+    )
+    # pad the frame axis with garbage; the dynamic bound must mask it out
+    pos_padded = np.concatenate(
+        [pos, np.full((1, n_pad, 3), 1e6, np.float32)], axis=0
+    )
+    h_pal = np.asarray(
+        rdf_histogram_pallas(
+            jnp.asarray(pos_padded), jnp.asarray(sid), cutoff, n_bins,
+            2, box, n_valid_frames=1, interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(h_pal, h_ref)
+
+
 def test_pallas_pair_index_formula():
     """Closed-form combinations-with-replacement index == table order."""
     for s in (1, 2, 3, 5):
