@@ -193,7 +193,7 @@ def adf_histogram_neighbors(
     norm_power: int = 4,
     c_block: int = 64,
     max_neighbors: int = 64,
-) -> jnp.ndarray:
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Neighbor-list ADF: O(N * K^2) instead of O(N^3).
 
     For each center a fixed-size ``max_neighbors`` list is selected with
@@ -203,6 +203,12 @@ def adf_histogram_neighbors(
     at most ``max_neighbors`` atoms inside the cutoff (callers size K from
     the density); also returns identical numerics to the brute-force
     kernels in that regime.
+
+    Returns ``(hist, max_count)`` where ``max_count`` is the largest
+    number of in-cutoff neighbors any center saw. ``max_count ==
+    max_neighbors`` means the list may have saturated (a heterogeneous
+    system denser locally than the average) and results may be missing
+    triples — callers retry with a larger K.
     """
     f, n_pad0, _ = positions.shape
     n_blocks = -(-n_pad0 // c_block)
@@ -279,13 +285,19 @@ def adf_histogram_neighbors(
         ).astype(jnp.float32)
         bins = bin_indices(angle, lo, hi, n_bins)
         combined = jnp.maximum(t_id, 0) * n_bins + bins
-        return masked_histogram(
+        hist = masked_histogram(
             combined, weight, n_triples * n_bins, "auto"
         )
+        # saturation diagnostic: free (valid is already materialised)
+        max_count = jnp.max(jnp.sum(valid, axis=2))
+        return hist, max_count
 
     starts = jnp.arange(n_blocks, dtype=jnp.int32) * c_block
-    hists = jax.lax.map(center_block, starts)
-    return jnp.sum(hists, axis=0).reshape(n_triples, n_bins)
+    hists, max_counts = jax.lax.map(center_block, starts)
+    return (
+        jnp.sum(hists, axis=0).reshape(n_triples, n_bins),
+        jnp.max(max_counts),
+    )
 
 
 @functools.partial(

@@ -151,13 +151,59 @@ def sharded_adf_histogram(
     f = positions.shape[0]
     if tiled is None:
         tiled = positions.shape[1] > 1536
-    if tiled:
-        # large systems: neighbor-list kernel, O(N K^2); K sized from the
-        # density so every within-cutoff neighbor fits (with headroom)
-        volume = float(np.prod(np.asarray(box)))
-        rho = positions.shape[1] / max(volume, 1e-30)
-        expected = rho * 4.0 / 3.0 * np.pi * float(cutoff) ** 3
-        k_n = int(np.clip(-(-2 * expected // 8) * 8 + 16, 24, 512))
+
+    def run(kernel, with_count):
+        out_spec = (P(), P()) if with_count else P()
+        if n_dev == 1 or f < n_dev:
+            return kernel(positions, species_id, triple_table, box)
+
+        main = (f // n_dev) * n_dev
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P("data"), P(), P(), P()),
+            out_specs=out_spec,
+        )
+        def sharded(pos_shard, sid, ttab, box_):
+            out = kernel(pos_shard, sid, ttab, box_)
+            if with_count:
+                h, mc = out
+                return jax.lax.psum(h, "data"), jax.lax.pmax(mc, "data")
+            return jax.lax.psum(out, "data")
+
+        out = sharded(positions[:main], species_id, triple_table, box)
+        if main < f:
+            tail = kernel(positions[main:], species_id, triple_table, box)
+            if with_count:
+                out = (out[0] + tail[0], jnp.maximum(out[1], tail[1]))
+            else:
+                out = out + tail
+        return out
+
+    if not tiled:
+        kernel = functools.partial(
+            adf_ops.adf_histogram,
+            cutoff=cutoff,
+            n_bins=n_bins,
+            n_triples=n_triples,
+            norm_power=norm_power,
+            c_block=c_block,
+        )
+        return run(kernel, with_count=False)
+
+    # large systems: neighbor-list kernel, O(N K^2). K starts from the
+    # average density; the kernel reports the max in-cutoff neighbor count
+    # it actually saw, and a saturated list (max_count == K: locally denser
+    # than the average, e.g. clusters) retries with doubled K — so the
+    # result is exact for any geometry, not just homogeneous ones.
+    volume = float(np.prod(np.asarray(box)))
+    rho = positions.shape[1] / max(volume, 1e-30)
+    expected = rho * 4.0 / 3.0 * np.pi * float(cutoff) ** 3
+    n_avail = int(positions.shape[1])
+    k_n = int(np.clip(-(-2 * expected // 8) * 8 + 16, 24, 512))
+    k_n = min(k_n, n_avail)
+    while True:
         kernel = functools.partial(
             adf_ops.adf_histogram_neighbors,
             cutoff=cutoff,
@@ -167,34 +213,10 @@ def sharded_adf_histogram(
             c_block=64,
             max_neighbors=k_n,
         )
-    else:
-        kernel = functools.partial(
-            adf_ops.adf_histogram,
-            cutoff=cutoff,
-            n_bins=n_bins,
-            n_triples=n_triples,
-            norm_power=norm_power,
-            c_block=c_block,
-        )
-    if n_dev == 1 or f < n_dev:
-        return kernel(positions, species_id, triple_table, box)
-
-    main = (f // n_dev) * n_dev
-
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P("data"), P(), P(), P()),
-        out_specs=P(),
-    )
-    def sharded(pos_shard, sid, ttab, box_):
-        h = kernel(pos_shard, sid, ttab, box_)
-        return jax.lax.psum(h, "data")
-
-    hist = sharded(positions[:main], species_id, triple_table, box)
-    if main < f:
-        hist = hist + kernel(positions[main:], species_id, triple_table, box)
-    return hist
+        hist, max_count = run(kernel, with_count=True)
+        if int(max_count) < k_n or k_n >= n_avail:
+            return hist
+        k_n = min(2 * k_n, n_avail)
 
 
 def sharded_rdf_histogram_2d(

@@ -196,10 +196,36 @@ def test_adf_neighbor_list_matches_full(rng):
     h_full = np.asarray(
         A.adf_histogram(*args, 2.2, 36, len(order), norm_power=4, c_block=8)
     )
+    h_nb, max_count = A.adf_histogram_neighbors(
+        *args, 2.2, 36, len(order), norm_power=4, c_block=8,
+        max_neighbors=32,
+    )
+    h_nb = np.asarray(h_nb)
+    assert int(max_count) <= 32
+    np.testing.assert_allclose(h_nb, h_full, rtol=2e-4, atol=1e-4)
+
+
+def test_adf_neighbor_saturation_retry(rng):
+    """A dense cluster exceeds the density-sized K; the wrapper must
+    detect list saturation and retry until the result is exact."""
+    from lammps_analysis_tpu.parallel.sharded_ops import sharded_adf_histogram
+
+    counts = [24, 16]
+    box = np.array([50.0, 50.0, 50.0])  # avg density tiny -> minimal K
+    sid, npad, _, _, _ = R.build_species_layout(counts, pad_to=8)
+    ttab, order = A.build_triple_table(2)
+    pos = np.zeros((2, npad, 3))
+    # all atoms inside a 1.5 Angstrom ball: every center sees all others
+    pos[:, :40] = 25.0 + rng.uniform(-0.75, 0.75, size=(2, 40, 3))
+    args = (jnp.asarray(pos), jnp.asarray(sid), jnp.asarray(ttab),
+            jnp.asarray(box))
+    h_full = np.asarray(
+        A.adf_histogram(*args, 3.0, 36, len(order), norm_power=4, c_block=8)
+    )
     h_nb = np.asarray(
-        A.adf_histogram_neighbors(
-            *args, 2.2, 36, len(order), norm_power=4, c_block=8,
-            max_neighbors=32,
+        sharded_adf_histogram(
+            *args, cutoff=3.0, n_bins=36, n_triples=len(order),
+            norm_power=4, tiled=True,
         )
     )
     np.testing.assert_allclose(h_nb, h_full, rtol=2e-4, atol=1e-4)
