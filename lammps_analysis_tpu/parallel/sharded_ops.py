@@ -47,7 +47,14 @@ def _rdf_backend_kernel(
 
             n = pos.shape[1]
             f = pos.shape[0]
-            f_max = max(1, int(60 * 2**20 // (3 * n * 128 * 4)))
+            f_max = int(60 * 2**20 // (3 * n * 128 * 4))
+            if f_max < 1:
+                # a single frame's lane-padded column operands would blow
+                # the VMEM budget (N > ~40k): use the HBM-tiled XLA kernel
+                return rdf_ops.rdf_histogram(
+                    pos, sid, _ptab, _box, cutoff=cutoff, n_bins=n_bins,
+                    n_pairs=n_pairs, i_block=i_block,
+                )
             total = None
             for s in range(0, f, f_max):
                 chunk = pos[s : s + f_max]
