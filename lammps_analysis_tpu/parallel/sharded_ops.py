@@ -26,6 +26,11 @@ def _n_mesh_devices(mesh) -> int:
     return int(mesh.devices.size)
 
 
+# VMEM budget for the Pallas RDF kernel's lane-padded column operands;
+# module-level so tests can exercise the XLA fallback at small N
+PALLAS_RDF_VMEM_BUDGET = 60 * 2**20
+
+
 def _rdf_backend_kernel(
     pair_table, box, cutoff, n_bins, n_pairs, i_block, use_pallas
 ):
@@ -47,7 +52,7 @@ def _rdf_backend_kernel(
 
             n = pos.shape[1]
             f = pos.shape[0]
-            f_max = int(60 * 2**20 // (3 * n * 128 * 4))
+            f_max = int(PALLAS_RDF_VMEM_BUDGET // (3 * n * 128 * 4))
             if f_max < 1:
                 # a single frame's lane-padded column operands would blow
                 # the VMEM budget (N > ~40k): use the HBM-tiled XLA kernel

@@ -137,3 +137,29 @@ def test_rdf_2d_mesh_matches_1d(system):
         )
     )
     np.testing.assert_array_equal(h, ref)
+
+
+def test_rdf_pallas_vmem_fallback(system, monkeypatch):
+    """When a single frame exceeds the Pallas VMEM budget the backend must
+    silently fall back to the XLA kernel (exercised here by shrinking the
+    budget; in production this is the N > ~40k atoms regime)."""
+    from lammps_analysis_tpu.parallel import sharded_ops
+
+    sid, n_pad, ptab, n_pairs, pos, box = system
+    ref = np.asarray(
+        rdf_ops.rdf_histogram(
+            jnp.asarray(pos), jnp.asarray(sid), jnp.asarray(ptab),
+            jnp.asarray(box), cutoff=2.4, n_bins=60, n_pairs=n_pairs,
+            i_block=8,
+        )
+    )
+    monkeypatch.setattr(sharded_ops, "PALLAS_RDF_VMEM_BUDGET", 1)
+    with use_mesh(make_data_mesh(1)):
+        h = np.asarray(
+            sharded_rdf_histogram(
+                jnp.asarray(pos), jnp.asarray(sid), jnp.asarray(ptab),
+                jnp.asarray(box), cutoff=2.4, n_bins=60, n_pairs=n_pairs,
+                i_block=8, use_pallas=True,
+            )
+        )
+    np.testing.assert_array_equal(h, ref)
