@@ -44,6 +44,7 @@ __all__ = [
     "Molecule",
     "Report",
     "units",
+    "utils",
     "config",
     "properties",
     "mdsuite_properties",
