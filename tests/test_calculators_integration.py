@@ -217,3 +217,32 @@ def test_project_multi_experiment_dispatch(tmp_path, rng):
     from lammps_analysis_tpu.database.results_db import Computation
 
     assert isinstance(res2, Computation)  # single active experiment
+
+
+def test_run_hub_exposes_full_reference_surface(tmp_path):
+    """API parity: every calculator/transformation name the reference's
+    RunComputation exposes (mdsuite/experiment/run.py:114-316) must resolve
+    on ``exp.run`` here, so reference users can switch without renames."""
+    reference_names = [
+        "AngularDistributionFunction", "CoordinateUnwrapper",
+        "CoordinateWrapper", "CoordinationNumbers",
+        "EinsteinDiffusionCoefficients",
+        "EinsteinDistinctDiffusionCoefficients",
+        "EinsteinHelfandIonicConductivity",
+        "EinsteinHelfandThermalConductivity", "EinsteinHelfandThermalKinaci",
+        "GreenKuboDiffusionCoefficients",
+        "GreenKuboDistinctDiffusionCoefficients", "GreenKuboIonicConductivity",
+        "GreenKuboThermalConductivity", "GreenKuboViscosity",
+        "GreenKuboViscosityFlux", "IntegratedHeatCurrent", "IonicCurrent",
+        "KinaciIntegratedHeatCurrent", "KirkwoodBuffIntegral", "MolecularMap",
+        "MomentumFlux", "NernstEinsteinIonicConductivity",
+        "PotentialOfMeanForce", "RadialDistributionFunction",
+        "ScaleCoordinates", "SpatialDistributionFunction", "StructureFactor",
+        "ThermalFlux", "TranslationalDipoleMoment", "UnwrapViaIndices",
+        "VelocityFromPositions",
+    ]
+    exp = latpu.Project(name="parity", storage_path=tmp_path).add_experiment(
+        "e", timestep=1.0, temperature=300.0, units="metal"
+    )
+    missing = [n for n in reference_names if not hasattr(exp.run, n)]
+    assert not missing, f"run hub missing reference names: {missing}"
