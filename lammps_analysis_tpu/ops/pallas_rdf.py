@@ -44,6 +44,22 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _j_block_for(n: int) -> int:
+    """j-tile width. Above 1024 atoms, split j so the triangle skip has
+    at least two blocks to work with (the half point keeps padding at the
+    single-block level); below that the tiles are too small to win."""
+    if n <= 1024:
+        return _round_up(n, 128)
+    return min(_TJ_MAX, _round_up(n, 256) // 2)
+
+
+def padded_atom_count(n: int) -> int:
+    """The atom count the kernel actually pads to — callers sizing VMEM
+    (frames per call) must use THIS, not the raw count: the lane-padded
+    column operands scale with the padded value."""
+    return _round_up(n, max(_j_block_for(n), _TI * 16))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_bins", "n_species", "interpret"),
@@ -77,11 +93,8 @@ def rdf_histogram_pallas(
     hi_pad = _round_up(n_hi, 8)
     k_pad = _round_up(k, 128)
 
-    # small systems would otherwise sweep a single j-block with no
-    # triangle skip (half the rectangle masked): split j in two so the
-    # upper i-tiles skip the lower half — worth ~25% below _TJ_MAX atoms
-    j_block = min(_TJ_MAX, max(512, _round_up(n, 256) // 2))
-    n_pad = _round_up(n, max(j_block, _TI * 16))
+    j_block = _j_block_for(n)
+    n_pad = padded_atom_count(n)
     if n_pad != n:
         positions = jnp.pad(positions, ((0, 0), (0, n_pad - n), (0, 0)))
         species_id = jnp.pad(species_id, (0, n_pad - n), constant_values=-1)

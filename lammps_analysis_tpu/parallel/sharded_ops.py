@@ -36,7 +36,7 @@ def _rdf_backend_kernel(
 ):
     """Pick the fused Pallas kernel on TPU, the XLA kernel elsewhere."""
     if use_pallas:
-        from ..ops.pallas_rdf import rdf_histogram_pallas
+        from ..ops.pallas_rdf import padded_atom_count, rdf_histogram_pallas
 
         n_species = int(pair_table.shape[0])
         box_tuple = tuple(float(b) for b in np.asarray(box))
@@ -50,7 +50,10 @@ def _rdf_backend_kernel(
             # sizes of a given system.
             import jax.numpy as jnp
 
-            n = pos.shape[1]
+            # size frames per call from the count the kernel PADS to —
+            # sizing from the raw count underestimates VMEM (a 216-atom
+            # system pads to 256; compile-time scoped-vmem OOM otherwise)
+            n = padded_atom_count(pos.shape[1])
             f = pos.shape[0]
             f_max = int(PALLAS_RDF_VMEM_BUDGET // (3 * n * 128 * 4))
             if f_max < 1:
