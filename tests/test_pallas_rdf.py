@@ -76,3 +76,16 @@ def test_pallas_pair_index_formula():
                 lo, hi = min(a, b), max(a, b)
                 formula = lo * s - lo * (lo - 1) // 2 + (hi - lo)
                 assert formula == ptab[a, b], (s, a, b)
+
+
+def test_padded_atom_count_golden():
+    """The wrapper sizes frames-per-call (VMEM) from ``padded_atom_count``;
+    these goldens lock the kernel/wrapper agreement that, when broken,
+    produced a compile-time scoped-VMEM OOM on small systems."""
+    from lammps_analysis_tpu.ops.pallas_rdf import padded_atom_count
+
+    goldens = {8: 128, 216: 256, 512: 512, 1024: 1024, 1025: 1280,
+               1500: 1536, 2048: 2048, 10240: 10240}
+    for n, expect in goldens.items():
+        assert padded_atom_count(n) == expect, (n, padded_atom_count(n))
+        assert padded_atom_count(n) >= n
