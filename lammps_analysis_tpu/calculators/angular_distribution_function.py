@@ -70,6 +70,7 @@ class AngularDistributionFunction(TrajectoryCalculator):
             "species": list(species),
             "norm_power": int(norm_power),
             "molecules": bool(molecules),
+            "atom_selection": self.encode_atom_selection(atom_selection),
         }
 
     def run_calculator(self) -> Dict[str, dict]:
@@ -82,7 +83,7 @@ class AngularDistributionFunction(TrajectoryCalculator):
             np.linspace(a["start"], a["stop"], a["number_of_configurations"],
                         dtype=int)
         )
-        n_per_species = [exp.entity(sp).n_particles for sp in species]
+        n_per_species = self.selected_counts(species)
         sid, n_pad, _, _, _ = rdf_ops.build_species_layout(n_per_species, pad_to=8)
         ttab, triple_order = adf_ops.build_triple_table(len(species))
         n_triples = len(triple_order)

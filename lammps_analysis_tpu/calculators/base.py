@@ -127,6 +127,8 @@ class TrajectoryCalculator(Calculator):
         """
         tau = self.args.get("tau_values", None)
         data_range = self.args["data_range"]
+        if isinstance(tau, dict) and "slice" in tau:
+            tau = slice(*tau["slice"])  # canonical encoded form
         if isinstance(tau, int):
             self.data_resolution = tau
             tau = np.linspace(0, data_range - 1, tau, dtype=int)
@@ -193,6 +195,24 @@ class TrajectoryCalculator(Calculator):
                 )
             producer.run_transformation(self.experiment, [sp])
 
+    @staticmethod
+    def encode_tau_values(tau) -> object:
+        """Canonical JSON-able form of ``tau_values`` (cache-key safe).
+
+        Accepts None / int (sub-sample count) / list / ndarray of lag
+        indices / slice. The encoded form round-trips through
+        :meth:`_handle_tau_values`.
+        """
+        if tau is None:
+            return None
+        if isinstance(tau, slice):
+            if tau == slice(None):
+                return None
+            return {"slice": [tau.start, tau.stop, tau.step]}
+        if isinstance(tau, (int, np.integer)):
+            return int(tau)
+        return [int(t) for t in tau]
+
     # ---------------------------------------------------------- atom selection
     @staticmethod
     def encode_atom_selection(sel) -> object:
@@ -223,6 +243,26 @@ class TrajectoryCalculator(Calculator):
             per_species = encoded.get(species)
             return np.asarray(per_species) if per_species is not None else None
         return np.asarray(encoded)
+
+    def selected_counts(self, species) -> List[int]:
+        """Per-species particle counts after applying ``args['atom_selection']``.
+
+        Structural calculators must size their padded layouts from the
+        *selected* atoms so the loaded slabs match the kernel shapes.
+        """
+        counts = []
+        for sp in species:
+            sel = self.resolve_atom_selection(
+                self.args.get("atom_selection"), sp
+            )
+            full = self.experiment.entity(sp).n_particles
+            if sel is None:
+                counts.append(full)
+            elif isinstance(sel, slice):
+                counts.append(len(range(*sel.indices(full))))
+            else:
+                counts.append(len(sel))
+        return counts
 
     # --------------------------------------------------------------- loading
     def load_concat_positions(self, species, frame_idx, n_pad, dtype):

@@ -61,6 +61,14 @@ class EinsteinDistinctDiffusionCoefficients(TrajectoryCalculator):
     ) -> Dict[str, Any]:
         if species is None:
             species = list(self.experiment.species)
+        if atom_selection is not None:
+            raise NotImplementedError(
+                f"{self.name}: atom_selection is not supported for the "
+                "distinct (cross-particle) calculators."
+            )
+        tau_enc = self.encode_tau_values(tau_values)
+        if isinstance(tau_enc, list):
+            data_range = tau_enc[-1] + 1
         if fit_range == -1:
             fit_range = int(data_range - 1)
         return {
@@ -69,7 +77,7 @@ class EinsteinDistinctDiffusionCoefficients(TrajectoryCalculator):
             "correlation_time": int(correlation_time),
             "fit_range": int(fit_range),
             "molecules": bool(molecules),
-            "tau_values": None,
+            "tau_values": tau_enc,
         }
 
     def run_calculator(self) -> Dict[str, dict]:
@@ -78,20 +86,21 @@ class EinsteinDistinctDiffusionCoefficients(TrajectoryCalculator):
         self._run_dependency_check(a["species"])
         times = self._handle_tau_values() * exp.units.time
         w = a["data_range"]
+        tau_idx = np.asarray(self.tau_values)
         results = {}
         for sp_a, sp_b in itertools.combinations_with_replacement(a["species"], 2):
             data = exp.load_matrix(
                 self.loaded_property.name, [sp_a, sp_b]
             )
             xa, xb = data[sp_a], data[sp_b]
-            msd_sum = np.zeros(w)
+            msd_sum = np.zeros(self.data_resolution)
             n_windows = 0
             for seg_a, seg_b in zip(
                 _window_slabs(xa, w, a["correlation_time"]),
                 _window_slabs(xb, w, a["correlation_time"]),
             ):
-                da = seg_a - seg_a[0]  # (W, Na, 3)
-                db = seg_b - seg_b[0]
+                da = seg_a[tau_idx] - seg_a[0]  # (R, Na, 3)
+                db = seg_b[tau_idx] - seg_b[0]
                 cross = np.mean(
                     da.mean(axis=1) * db.mean(axis=1), axis=-1
                 )  # (W,)
@@ -153,6 +162,14 @@ class GreenKuboDistinctDiffusionCoefficients(TrajectoryCalculator):
     ) -> Dict[str, Any]:
         if species is None:
             species = list(self.experiment.species)
+        if atom_selection is not None:
+            raise NotImplementedError(
+                f"{self.name}: atom_selection is not supported for the "
+                "distinct (cross-particle) calculators."
+            )
+        tau_enc = self.encode_tau_values(tau_values)
+        if isinstance(tau_enc, list):
+            data_range = tau_enc[-1] + 1
         if integration_range is None:
             integration_range = data_range - 1
         return {
@@ -161,7 +178,7 @@ class GreenKuboDistinctDiffusionCoefficients(TrajectoryCalculator):
             "correlation_time": int(correlation_time),
             "integration_range": int(integration_range),
             "molecules": bool(molecules),
-            "tau_values": None,
+            "tau_values": tau_enc,
         }
 
     @staticmethod
@@ -184,18 +201,22 @@ class GreenKuboDistinctDiffusionCoefficients(TrajectoryCalculator):
         self._run_dependency_check(a["species"])
         times = self._handle_tau_values()  # raw sim units (reference parity)
         w = a["data_range"]
+        tau_idx = np.asarray(self.tau_values)
         prefactor = exp.units.length**2 / (exp.units.time * (w - 1))
         results = {}
         for sp_a, sp_b in itertools.combinations_with_replacement(a["species"], 2):
             data = exp.load_matrix(self.loaded_property.name, [sp_a, sp_b])
             xa, xb = data[sp_a], data[sp_b]
             n_a, n_b = xa.shape[1], xb.shape[1]
-            vacf_sum = np.zeros(w)
+            vacf_sum = np.zeros(self.data_resolution)
             sigmas = []
-            for seg_a, seg_b in zip(
+            for full_a, full_b in zip(
                 _window_slabs(xa, w, a["correlation_time"]),
                 _window_slabs(xb, w, a["correlation_time"]),
             ):
+                # gather the window at the requested lags before correlating
+                # (reference gathers the ensemble at tau_values)
+                seg_a, seg_b = full_a[tau_idx], full_b[tau_idx]
                 # bilinearity: mean_{ij} corr(a_i, b_j) = corr(mean a, mean b)
                 cross = self._raw_cross_corr(
                     seg_a.mean(axis=1), seg_b.mean(axis=1)

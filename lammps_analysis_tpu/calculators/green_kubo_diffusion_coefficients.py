@@ -46,6 +46,9 @@ class GreenKuboDiffusionCoefficients(TrajectoryCalculator):
         exp = self.experiment
         if species is None:
             species = list(exp.molecules) if molecules else list(exp.species)
+        tau_enc = self.encode_tau_values(tau_values)
+        if isinstance(tau_enc, list):
+            data_range = tau_enc[-1] + 1
         if integration_range is None:
             integration_range = data_range - 1
         return {
@@ -54,7 +57,7 @@ class GreenKuboDiffusionCoefficients(TrajectoryCalculator):
             "correlation_time": int(correlation_time),
             "molecules": bool(molecules),
             "integration_range": int(integration_range),
-            "tau_values": None,
+            "tau_values": tau_enc,
             "atom_selection": self.encode_atom_selection(atom_selection),
         }
 
@@ -67,15 +70,21 @@ class GreenKuboDiffusionCoefficients(TrajectoryCalculator):
             self._run_dependency_check([sp])
             times = self._handle_tau_values() * exp.units.time
             data_range = a["data_range"]
+            tau = (
+                None
+                if a.get("tau_values") is None
+                else jnp.asarray(self.tau_values)
+            )
 
-            acf_sum = np.zeros(data_range)
+            acf_sum = np.zeros(self.data_resolution)
             sigmas = []
             count = 0
             for slab in self._stream_property(
                 sp, self.loaded_property.name, data_range, a["correlation_time"]
             ):
                 s, per_window = windowed_acf_sum(
-                    jnp.asarray(slab), data_range, a["correlation_time"]
+                    jnp.asarray(slab), data_range, a["correlation_time"],
+                    tau=tau,
                 )
                 acf_sum += vel_scale * np.asarray(s, dtype=np.float64)
                 n_particles = slab.shape[1]
@@ -99,7 +108,7 @@ class GreenKuboDiffusionCoefficients(TrajectoryCalculator):
             sigmas = np.concatenate(sigmas, axis=0)
             sigma_sem = np.std(sigmas, axis=0) / np.sqrt(len(sigmas))
 
-            ir = a["integration_range"] - 1
+            ir = min(a["integration_range"] - 1, len(sigma) - 1)
             results[sp] = {
                 "diffusion_coefficient": [float(sigma[ir] / 3.0)],
                 "uncertainty": [float(sigma_sem[ir] / 3.0)],

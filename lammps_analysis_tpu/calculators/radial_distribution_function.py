@@ -87,17 +87,7 @@ class RadialDistributionFunction(TrajectoryCalculator):
         sample_configs = np.unique(sample_configs)
         n_sampled = len(sample_configs)
 
-        n_per_species = []
-        for sp in species:
-            sel = self.resolve_atom_selection(a.get("atom_selection"), sp)
-            if sel is None:
-                n_per_species.append(exp.entity(sp).n_particles)
-            elif isinstance(sel, slice):
-                n_per_species.append(
-                    len(range(*sel.indices(exp.entity(sp).n_particles)))
-                )
-            else:
-                n_per_species.append(len(sel))
+        n_per_species = self.selected_counts(species)
         sid, n_pad, pair_table, n_pairs, pair_order = (
             rdf_ops.build_species_layout(n_per_species, pad_to=8)
         )

@@ -59,10 +59,15 @@ class _SystemWindowedCalculator(TrajectoryCalculator):
         fit_range: int = -1,
         **kwargs,
     ) -> Dict[str, Any]:
+        tau_enc = self.encode_tau_values(tau_values)
+        if isinstance(tau_enc, list):
+            # explicit lag list pins the window length
+            # (reference ``trajectory_calculator.py:210-214``)
+            data_range = tau_enc[-1] + 1
         args = {
             "data_range": int(data_range),
             "correlation_time": int(correlation_time),
-            "tau_values": None,
+            "tau_values": tau_enc,
         }
         if self._uses_integration:
             if integration_range is None:
@@ -82,8 +87,18 @@ class _SystemWindowedCalculator(TrajectoryCalculator):
 
     # -- data access ----------------------------------------------------------
     def _series_windows_acf(self):
-        """Yield per-slab (acf_sum (W,), per_window (n_w, W)) over Observables."""
+        """Yield per-slab (acf_sum (R,), per_window (n_w, R)) over Observables.
+
+        When ``tau_values`` sub-samples the window, each window is gathered
+        at those lags before the ACF (reference
+        ``green_kubo_ionic_conductivity.py:201``).
+        """
         a = self.args
+        tau = (
+            None
+            if a.get("tau_values") is None
+            else jnp.asarray(self.tau_values)
+        )
         for slab in self._stream_property(
             DatasetKeys.OBSERVABLES,
             self.loaded_property.name,
@@ -91,7 +106,10 @@ class _SystemWindowedCalculator(TrajectoryCalculator):
             a["correlation_time"],
         ):
             yield windowed_acf_sum(
-                jnp.asarray(slab), a["data_range"], a["correlation_time"]
+                jnp.asarray(slab),
+                a["data_range"],
+                a["correlation_time"],
+                tau=tau,
             )
 
     def _series_windows_msd(self, tau):
@@ -111,7 +129,7 @@ class _SystemWindowedCalculator(TrajectoryCalculator):
         """Window-averaged ACF -> cumtrapz -> prefactor * integral + SEM."""
         a = self.args
         times = self._handle_tau_values()  # raw sim units (reference parity)
-        acf_sum = np.zeros(a["data_range"])
+        acf_sum = np.zeros(self.data_resolution)
         sigmas = []
         count = 0
         for s, per_window in self._series_windows_acf():

@@ -75,7 +75,7 @@ def window_starts(total: int, window: int, stride: int) -> jnp.ndarray:
     jax.jit, static_argnames=("window", "stride", "chunk")
 )
 def windowed_acf_sum(
-    x: jnp.ndarray, window: int, stride: int, chunk: int = 32
+    x: jnp.ndarray, window: int, stride: int, chunk: int = 32, tau=None
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Sum of per-window biased ACFs plus per-window particle-mean integral input.
 
@@ -84,26 +84,34 @@ def windowed_acf_sum(
     x : (T, N, D) time series (frames, particles, components).
     window, stride : ensemble window length and correlation_time stride.
     chunk : windows processed per scan step (memory knob).
+    tau : optional (R,) int lag indices — each window is gathered at these
+        indices BEFORE the ACF (reference semantics:
+        ``green_kubo_ionic_conductivity.py:201`` gathers the ensemble at
+        ``tau_values`` and autocorrelates the sub-sampled series).
 
     Returns
     -------
-    acf_sum : (window,) — sum over windows and particles, summed over D, of
-        the per-window biased ACF (the reference accumulates exactly this).
-    per_window : (n_windows, window) — per-window particle-MEAN ACF summed
+    acf_sum : (R,) — sum over windows and particles, summed over D, of
+        the per-window biased ACF (the reference accumulates exactly this);
+        ``R = window`` when ``tau`` is None.
+    per_window : (n_windows, R) — per-window particle-MEAN ACF summed
         over D; used for the SEM of the running integral
         (``green_kubo_self_diffusion_coefficients.py:199-206``).
     """
     total = x.shape[0]
     starts = window_starts(total, window, stride)
     n_windows = int(starts.shape[0])
+    r = window if tau is None else int(tau.shape[0])
     if n_windows == 0:
         return (
-            jnp.zeros((window,), x.dtype),
-            jnp.zeros((0, window), x.dtype),
+            jnp.zeros((r,), x.dtype),
+            jnp.zeros((0, r), x.dtype),
         )
 
     def one_window(s):
         seg = jax.lax.dynamic_slice_in_dim(x, s, window, axis=0)  # (W, N, D)
+        if tau is not None:
+            seg = jnp.take(seg, tau, axis=0)  # (R, N, D)
         seg = jnp.moveaxis(seg, 0, -1)  # (N, D, W)
         acf = acf_biased(seg, axis=-1)  # (N, D, W)
         acf_nd = jnp.sum(acf, axis=1)  # (N, W) summed over components

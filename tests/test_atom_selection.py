@@ -81,3 +81,95 @@ def test_rdf_atom_selection_dict(exp):
         number_of_configurations=50, plot=False
     )
     assert not np.array_equal(g, np.asarray(full["A_A"]["y"]))
+
+
+def test_adf_atom_selection(exp):
+    """ADF must honor atom_selection (it was silently discarded once)."""
+    sel = exp.run.AngularDistributionFunction(
+        number_of_configurations=5, cutoff=6.0, number_of_bins=60,
+        atom_selection={"A": list(range(10))}, plot=False,
+    )
+    full = exp.run.AngularDistributionFunction(
+        number_of_configurations=5, cutoff=6.0, number_of_bins=60, plot=False,
+    )
+    g_sel = np.asarray(sel["A_A_A"]["adf"])
+    g_full = np.asarray(full["A_A_A"]["adf"])
+    assert np.isfinite(g_sel).all() and np.isfinite(g_full).all()
+    assert not np.array_equal(g_sel, g_full)
+    # identical selection -> cache hit returns identical data
+    again = exp.run.AngularDistributionFunction(
+        number_of_configurations=5, cutoff=6.0, number_of_bins=60,
+        atom_selection={"A": list(range(10))}, plot=False,
+    )
+    assert np.array_equal(np.asarray(again["A_A_A"]["adf"]), g_sel)
+
+
+def test_adf_selection_matches_reduced_system(tmp_path, rng):
+    """ADF on a selection == ADF on a system containing only those atoms."""
+    n_frames, box = 4, 10.0
+    pos_all = rng.uniform(0, box, size=(n_frames, 12, 3))
+    proj = latpu.Project(name="p2", storage_path=tmp_path)
+
+    sp_full = [SpeciesInfo("A", 12, [POSITIONS])]
+    meta_f = TrajectoryMetadata(
+        n_configurations=n_frames, species_list=sp_full, box_l=[box] * 3,
+        sample_rate=1,
+    )
+    ch_f = TrajectoryChunkData(sp_full, n_frames)
+    ch_f.add_data(pos_all, 0, "A", "Positions")
+    e_full = proj.add_experiment(
+        "full", timestep=0.1, units="si",
+        simulation_data=ScriptInput(ch_f, meta_f, "df"),
+    )
+
+    sp_red = [SpeciesInfo("A", 6, [POSITIONS])]
+    meta_r = TrajectoryMetadata(
+        n_configurations=n_frames, species_list=sp_red, box_l=[box] * 3,
+        sample_rate=1,
+    )
+    ch_r = TrajectoryChunkData(sp_red, n_frames)
+    ch_r.add_data(pos_all[:, :6], 0, "A", "Positions")
+    e_red = proj.add_experiment(
+        "red", timestep=0.1, units="si",
+        simulation_data=ScriptInput(ch_r, meta_r, "dr"),
+    )
+
+    kwargs = dict(
+        number_of_configurations=n_frames, cutoff=5.0, number_of_bins=40,
+        start=0, stop=n_frames - 1, plot=False,
+    )
+    a_sel = e_full.run.AngularDistributionFunction(
+        atom_selection={"A": list(range(6))}, **kwargs
+    )
+    a_red = e_red.run.AngularDistributionFunction(**kwargs)
+    np.testing.assert_allclose(
+        np.asarray(a_sel["A_A_A"]["adf"]),
+        np.asarray(a_red["A_A_A"]["adf"]),
+        rtol=1e-6,
+    )
+
+
+def test_structural_start_stop_asymmetry(exp):
+    """start/stop sampling must flow through RDF and ADF (distinct caches)."""
+    early = exp.run.RadialDistributionFunction(
+        number_of_configurations=20, start=0, stop=80, plot=False
+    )
+    late = exp.run.RadialDistributionFunction(
+        number_of_configurations=20, start=100, stop=199, plot=False
+    )
+    g_e = np.asarray(early["A_A"]["y"])
+    g_l = np.asarray(late["A_A"]["y"])
+    assert np.isfinite(g_e).all() and np.isfinite(g_l).all()
+    assert not np.array_equal(g_e, g_l)
+
+    a_early = exp.run.AngularDistributionFunction(
+        number_of_configurations=4, start=0, stop=80,
+        number_of_bins=50, plot=False,
+    )
+    a_late = exp.run.AngularDistributionFunction(
+        number_of_configurations=4, start=100, stop=199,
+        number_of_bins=50, plot=False,
+    )
+    assert not np.array_equal(
+        np.asarray(a_early["A_A_A"]["adf"]), np.asarray(a_late["A_A_A"]["adf"])
+    )
