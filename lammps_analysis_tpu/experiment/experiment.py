@@ -304,7 +304,6 @@ class Experiment:
         meta: TrajectoryMetadata = processor.metadata
         self._merge_metadata(meta, update_with_pubchempy)
 
-        existing = self.number_of_configurations - meta.n_configurations
         self.store.initialize(
             TrajectoryMetadata(
                 n_configurations=self.number_of_configurations,
@@ -334,8 +333,17 @@ class Experiment:
                 for k, v in existing.items()
                 if k != DatasetKeys.OBSERVABLES
             }
-            overlap = set(names_new) & set(names_old)
-            for k in overlap:
+            if set(names_new) != set(names_old):
+                # A disjoint append would leave the missing species' datasets
+                # short while number_of_configurations grows — later loads
+                # would silently read resized-but-unwritten (zero) frames.
+                raise ValueError(
+                    "Appended data source must cover the same species as the "
+                    f"experiment: existing {sorted(names_old)}, new source "
+                    f"{sorted(names_new)}. Use a separate experiment for "
+                    "disjoint species sets."
+                )
+            for k in names_new:
                 if names_new[k] != names_old[k]:
                     raise ValueError(
                         f"Species {k!r} particle count changed between data "

@@ -81,38 +81,53 @@ def optimize_batch_size(
 
 
 def golden_section_search(
-    data: Sequence[np.ndarray], a: float, b: float
+    data: Sequence[np.ndarray], a: float, b: float, tol: float = 1e-5
 ) -> tuple:
-    """Golden-section search for the minimum of sampled data on [b, a].
+    """Golden-section search for the minimum of sampled data on [a, b].
 
-    Reference analog: ``meta_functions.py:376-437``. ``data`` is ``(x, y)``;
-    returns the bracketing x-pair around the minimum.
+    Textbook iterative golden-section bracketing, evaluated at the nearest
+    sampled grid points (reference analog ``meta_functions.py:376-437``,
+    which implements the same recursion). ``data`` is ``(x, y)``; bound
+    order is normalised; returns ``(lo, hi)`` bracketing the minimum.
     """
     x, y = np.asarray(data[0]), np.asarray(data[1])
 
-    def f(val):
-        idx = np.argmin(np.abs(x - val))
-        return y[idx]
+    def snap(val):
+        return int(np.argmin(np.abs(x - val)))
 
-    h = a - b
-    if h <= 0:
-        return b, a
-    n = int(np.ceil(np.log(1e-5 / h) / np.log(1 / golden_ratio))) if h > 1e-5 else 1
-    c = a - h / golden_ratio
-    d = b + h / golden_ratio
-    yc, yd = f(c), f(d)
-    for _ in range(max(n, 1)):
+    inv_phi = 1.0 / golden_ratio  # 0.618...
+    inv_phi2 = 1.0 / golden_ratio**2  # 0.381...
+    a, b = (min(a, b), max(a, b))
+    h = b - a
+    if h <= tol:
+        return a, b
+    c = a + inv_phi2 * h
+    d = a + inv_phi * h
+    ic, idx = snap(c), snap(d)
+    yc, yd = y[ic], y[idx]
+    n = int(np.ceil(np.log(tol / h) / np.log(inv_phi)))
+    for _ in range(n):
+        if ic == idx:
+            # both probes snap to the same sample — the grid can't resolve
+            # the interval any further; [a, b] brackets the minimum.
+            return a, b
         if yc < yd:
-            a, d = d, c
-            h /= golden_ratio
-            c = a - h / golden_ratio
-            yd, yc = yc, f(c)
+            # minimum in [a, d]: d becomes the upper bound, c the new d
+            b, d, idx, yd = d, c, ic, yc
+            h *= inv_phi
+            c = a + inv_phi2 * h
+            ic = snap(c)
+            yc = y[ic]
         else:
-            b, c = c, d
-            h /= golden_ratio
-            d = b + h / golden_ratio
-            yc, yd = yd, f(d)
-    return (min(a, b), max(a, b)) if yc < yd else (min(a, b), max(a, b))
+            # minimum in [c, b]: c becomes the lower bound, d the new c
+            a, c, ic, yc = c, d, idx, yd
+            h *= inv_phi
+            d = a + inv_phi * h
+            idx = snap(d)
+            yd = y[idx]
+        if h <= tol:
+            break
+    return (a, d) if yc < yd else (c, b)
 
 
 def smooth_series(y: np.ndarray, window: int = 17, order: int = 2) -> np.ndarray:

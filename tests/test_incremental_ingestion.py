@@ -69,3 +69,42 @@ def test_append_extends_transformations_and_invalidates_cache(tmp_path, rng):
     d_true = true_pos[70] - true_pos[50]
     d_got = got[70] - got[50]
     np.testing.assert_allclose(d_got, d_true, atol=1e-9)
+
+
+def test_disjoint_species_append_rejected(tmp_path, rng):
+    """Appending a source missing an existing species must raise.
+
+    Regression: a disjoint append used to leave the missing species'
+    datasets short while number_of_configurations grew, so later loads
+    read resized-but-unwritten zero frames.
+    """
+    import pytest
+
+    sp_xy = [
+        SpeciesInfo("X", 4, [POSITIONS]),
+        SpeciesInfo("Y", 4, [POSITIONS]),
+    ]
+    meta_xy = TrajectoryMetadata(
+        n_configurations=10, species_list=sp_xy, box_l=[10.0] * 3,
+        sample_rate=1,
+    )
+    chunk = TrajectoryChunkData(sp_xy, 10)
+    for name in ("X", "Y"):
+        chunk.add_data(rng.uniform(0, 10, (10, 4, 3)), 0, name, "Positions")
+    project = latpu.Project(name="pdisj", storage_path=tmp_path)
+    exp = project.add_experiment(
+        "e", timestep=0.1, units="si",
+        simulation_data=ScriptInput(chunk, meta_xy, "both"),
+    )
+
+    sp_x = [SpeciesInfo("X", 4, [POSITIONS])]
+    meta_x = TrajectoryMetadata(
+        n_configurations=10, species_list=sp_x, box_l=[10.0] * 3,
+        sample_rate=1,
+    )
+    chunk_x = TrajectoryChunkData(sp_x, 10)
+    chunk_x.add_data(rng.uniform(0, 10, (10, 4, 3)), 0, "X", "Positions")
+    with pytest.raises(ValueError, match="same species"):
+        exp.add_data(ScriptInput(chunk_x, meta_x, "only_x"))
+    # the failed append must not corrupt the frame count
+    assert exp.number_of_configurations == 10

@@ -135,3 +135,53 @@ def test_multihost_helpers():
     from lammps_analysis_tpu.parallel import multihost
 
     assert multihost.is_multihost() is False
+
+
+def test_golden_section_search_brackets_minimum(rng):
+    """Golden-section search must bracket the true sampled minimum.
+
+    Regression: a dead branch once returned the same tuple regardless of
+    which side held the minimum. Checked against brute-force argmin on an
+    RDF-like double-peak curve and a quadratic.
+    """
+    from lammps_analysis_tpu.utils.meta import golden_section_search
+
+    x = np.linspace(0.0, 5.0, 2001)
+    # quadratic with min at 2.7
+    y = (x - 2.7) ** 2
+    lo, hi = golden_section_search([x, y], 0.5, 4.5)
+    assert lo <= 2.7 <= hi
+    assert hi - lo < 0.01
+
+    # RDF-like double peak, minimum in between (like CN shell finding)
+    g = (
+        2.5 * np.exp(-((x - 1.0) ** 2) / 0.02)
+        + 1.6 * np.exp(-((x - 2.2) ** 2) / 0.08)
+        + 1.0 / (1.0 + np.exp(-(x - 0.8) * 10))
+        - 1.0 / (1.0 + np.exp(-(x - 0.8) * 10))
+    )
+    a, b = 1.0, 2.2  # search between the two peaks
+    mask = (x >= a) & (x <= b)
+    true_min = x[mask][np.argmin(g[mask])]
+    lo, hi = golden_section_search([x, g], a, b)
+    assert lo - 0.01 <= true_min <= hi + 0.01
+    # bound order must not matter
+    lo2, hi2 = golden_section_search([x, g], b, a)
+    assert (lo2, hi2) == (lo, hi)
+
+    # degenerate interval returns immediately
+    assert golden_section_search([x, g], 1.0, 1.0) == (1.0, 1.0)
+
+
+def test_golden_section_matches_scipy_golden():
+    """Against scipy.optimize.golden on a smooth interpolable function."""
+    from scipy.optimize import golden as scipy_golden
+
+    from lammps_analysis_tpu.utils.meta import golden_section_search
+
+    x = np.linspace(0.0, 4.0, 4001)
+    f = lambda v: np.sin(3 * v) + 0.5 * v  # min near 1.57 in [1, 2.5]
+    y = f(x)
+    ref = scipy_golden(f, brack=(1.0, 1.8, 2.5), tol=1e-8)
+    lo, hi = golden_section_search([x, y], 1.0, 2.5)
+    assert lo - 1e-3 <= ref <= hi + 1e-3
