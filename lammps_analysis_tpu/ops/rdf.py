@@ -178,7 +178,11 @@ def rdf_prefactors(
     same-species pairs (each unordered pair counted once), ideal-gas shell
     volume times partner density times observer count times frames.
     """
-    bin_width = bin_edges[1] - bin_edges[0] if len(bin_edges) > 1 else 1.0
+    # the histogram bins are [i, i+1) * cutoff / n_bins — the TRUE bin width
+    # is cutoff / n_bins, NOT the x-axis spacing cutoff / (n_bins - 1)
+    # (the reference's bin_width, radial_distribution_function.py:822)
+    cutoff = float(bin_edges[-1]) if len(bin_edges) > 1 else 1.0
+    bin_width = cutoff / len(bin_edges)
     ideal = ideal_gas_correction(bin_edges, box_l) * bin_width
     out = np.zeros((len(n_pairs_order), len(bin_edges)))
     with np.errstate(divide="ignore", invalid="ignore"):

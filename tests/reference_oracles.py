@@ -1,0 +1,296 @@
+"""Test-only numpy ports of the reference's observable math.
+
+Each function re-derives, directly from the reference implementation
+(file:line cited per function, paths relative to ``/root/reference/``),
+the COMPLETE normalisation chain of one observable — windowing, counters,
+prefactors, unit conversions. The parity tests run the framework and these
+oracles on the same synthetic trajectory and require agreement at 1e-5 or
+better, which is the BASELINE.md numerical-parity target.
+
+Nothing here is imported by the package; this is the independent check.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.integrate import cumulative_trapezoid
+
+# physical constants exactly as the reference defines them
+# (mdsuite/utils/units.py:29-42)
+BOLTZMANN = 1.380649e-23
+ELEMENTARY_CHARGE = 1.602176634e-19
+
+
+# --------------------------------------------------------------------- RDF
+def rdf_reference(
+    pos_by_species: dict,
+    sample_idx: np.ndarray,
+    box: np.ndarray,
+    volume: float,
+    cutoff: float,
+    n_bins: int,
+    units_length: float,
+):
+    """g(r) per species pair, reference math.
+
+    Ports ``calculators/radial_distribution_function.py``: sampled
+    configurations (:264), triu minimum-image distances (get_dij :648-689),
+    ``tf.histogram_fixed_width`` over [0, cutoff] after the cutoff mask
+    (bin_minibatch :617-645, apply_system_cutoff utils/linalg.py:125-137),
+    prefactor with factor 2 for like pairs and the ideal-gas shell term
+    (_calculate_prefactor :299-345, ideal_correction :719-826 — the
+    spherical 4*pi*r^2 branch; tests stay below L/2), Angstrom -> nm x-axis
+    (_ang_to_nm :384).
+    """
+    species = list(pos_by_species)
+    concat = np.concatenate([pos_by_species[s] for s in species], axis=1)
+    counts = [pos_by_species[s].shape[1] for s in species]
+    offsets = np.cumsum([0] + counts)
+    sid = np.concatenate(
+        [np.full(c, k, dtype=int) for k, c in enumerate(counts)]
+    )
+
+    hists = {}
+    for a in range(len(species)):
+        for b in range(a, len(species)):
+            hists[(a, b)] = np.zeros(n_bins, dtype=np.int64)
+
+    for f in sample_idx:
+        pos = concat[f]
+        n = pos.shape[0]
+        iu, ju = np.triu_indices(n, k=1)
+        r = pos[ju] - pos[iu]
+        r -= box * np.round(r / box)
+        d = np.linalg.norm(r, axis=-1)
+        sa, sb = sid[iu], sid[ju]
+        lo = np.minimum(sa, sb)
+        hi = np.maximum(sa, sb)
+        for (a, b), h in hists.items():
+            sel = d[(lo == a) & (hi == b) & (d < cutoff)]
+            # tf.histogram_fixed_width: n_bins equal bins over [0, cutoff],
+            # out-of-range clamped (values are already < cutoff here)
+            idx = np.clip(
+                (sel * n_bins / cutoff).astype(int), 0, n_bins - 1
+            )
+            np.add.at(h, idx, 1)
+
+    bin_edges = np.linspace(0.0, cutoff, n_bins)
+    bin_width = cutoff / n_bins
+    assert cutoff <= box[0] / 2, "oracle implements the spherical branch"
+    ideal = 4.0 * np.pi * bin_edges**2 * bin_width
+    x_nm = (units_length / 1e-9) * bin_edges
+
+    out = {}
+    n_frames = len(sample_idx)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for (a, b), h in hists.items():
+            scale = 2.0 if a == b else 1.0
+            rho = counts[b] / volume
+            denom = n_frames * rho * ideal * counts[a]
+            g = np.where(denom > 0, scale * h / np.where(denom > 0, denom, 1), 0.0)
+            out[f"{species[a]}_{species[b]}"] = (x_nm, g)
+    return out
+
+
+# ---------------------------------------------------------------- windows
+def _window_starts(total: int, window: int, stride: int) -> np.ndarray:
+    n = (total - window) // stride + 1 if total >= window else 0
+    return np.arange(max(n, 0)) * stride
+
+
+def biased_acf(x: np.ndarray) -> np.ndarray:
+    """tfp.stats.auto_correlation(center=False, normalize=False) along axis 0.
+
+    ``acf[k] = (1/W) sum_t x[t] x[t+k]`` (every lag divided by W).
+    Direct O(W^2) sum — deliberately not FFT, to be independent of the
+    framework's estimator.
+    """
+    w = x.shape[0]
+    out = np.zeros_like(x)
+    for k in range(w):
+        out[k] = np.sum(x[: w - k] * x[k:], axis=0) / w
+    return out
+
+
+# ----------------------------------------------------------- Einstein MSD
+def einstein_msd_reference(
+    x: np.ndarray, data_range: int, correlation_time: int, dt: float,
+    sample_rate: int, units_length: float, units_time: float,
+):
+    """(time_si, msd_si) — ``einstein_diffusion_coefficients.py:168-205``.
+
+    Per window: sum over particles and dims of squared displacement from the
+    window origin; the reference counter adds ``n_particles`` per window in
+    ``ensemble_operation`` (:176, ``msd.shape[0]``) and 1 per window in the
+    ensemble loop (:245), i.e. total ``n_windows * (n_particles + 1)``.
+    """
+    t, n, _ = x.shape
+    starts = _window_starts(t, data_range, correlation_time)
+    msd = np.zeros(data_range)
+    for s in starts:
+        seg = x[s : s + data_range]
+        msd += np.sum((seg - seg[0]) ** 2, axis=(1, 2))
+    count = len(starts) * (n + 1)
+    msd = msd / count * units_length**2
+    times = np.arange(data_range) * dt * sample_rate * units_time
+    return times, msd
+
+
+# ------------------------------------------------- GK ionic conductivity
+def gk_ionic_conductivity_reference(
+    vel_by_species: dict,
+    charges: dict,
+    data_range: int,
+    correlation_time: int,
+    integration_range: int,
+    dt: float,
+    sample_rate: int,
+    temperature: float,
+    volume: float,
+    units_length: float,
+    units_volume: float,
+    units_time: float,
+):
+    """sigma — ``green_kubo_ionic_conductivity.py:151-233`` + the
+    IonicCurrent transformation (``transformations/ionic_current.py:40-60``:
+    J(t) = sum_species sum_atoms q * v).
+
+    Per window: biased ACF of J summed over components; ACF averaged over
+    windows; cumulative trapezoid against raw-sim-unit times; value =
+    prefactor * sigma[integration_range - 1] with
+    prefactor = e^2 L^2 / (3 kB T V V_u t_u) (:167-186).
+    """
+    species = list(vel_by_species)
+    j = sum(
+        charges[s] * vel_by_species[s].sum(axis=1) for s in species
+    )  # (T, 3)
+    starts = _window_starts(j.shape[0], data_range, correlation_time)
+    times = np.arange(data_range) * dt * sample_rate
+    acf_sum = np.zeros(data_range)
+    per_window = []
+    for s in starts:
+        seg = j[s : s + data_range]
+        jacf = biased_acf(seg).sum(axis=-1)
+        acf_sum += jacf
+        per_window.append(cumulative_trapezoid(jacf, x=times))
+    acf = acf_sum / len(starts)
+    sigma = cumulative_trapezoid(acf, x=times)
+    sem = np.std(np.asarray(per_window), axis=0) / np.sqrt(len(per_window))
+
+    numerator = ELEMENTARY_CHARGE**2 * units_length**2
+    denominator = (
+        3 * BOLTZMANN * temperature * volume * units_volume * units_time
+    )
+    prefactor = numerator / denominator
+    ir = min(integration_range - 1, len(sigma) - 1)
+    return prefactor * sigma[ir], prefactor * sem[ir], acf, sigma
+
+
+# -------------------------------------------- GK thermal (both formulations)
+def gk_thermal_window_integrals_reference(
+    flux: np.ndarray,
+    data_range: int,
+    correlation_time: int,
+    integration_range: int,
+    dt: float,
+    sample_rate: int,
+    temperature: float,
+    volume: float,
+    units,
+):
+    """Per-window integrals + prefactor for GK thermal conductivity.
+
+    Reference ``green_kubo_thermal_conductivity.py:153-233``: per window
+    jacf = data_range * biased_acf(J) summed over components; per-window
+    sigma_w = trapz(jacf[:integration_range], t[:integration_range]);
+    the reference then reports ``prefactor * sigma[0]`` as the value and
+    ``prefactor * sigma[1]`` as the uncertainty (:215-225) — i.e. the FIRST
+    window's integral, not an average (its integration test is disabled
+    upstream). The build instead reports
+    ``prefactor * mean_w(sigma_w)`` (+ SEM), which reduces to the same
+    number in expectation and equals the reference exactly when there is
+    one window. Returns (prefactor, per-window sigma array).
+    """
+    starts = _window_starts(flux.shape[0], data_range, correlation_time)
+    times = np.arange(data_range) * dt * sample_rate
+    sigmas = []
+    for s in starts:
+        seg = flux[s : s + data_range]
+        jacf = data_range * biased_acf(seg).sum(axis=-1)
+        sigmas.append(
+            np.trapezoid(
+                jacf[:integration_range], x=times[:integration_range]
+            )
+        )
+    denominator = (
+        3 * (data_range - 1) * temperature**2 * units.boltzmann * volume
+    )
+    prefactor_units = units.energy / units.length / units.time
+    prefactor = prefactor_units / denominator
+    return prefactor, np.asarray(sigmas)
+
+
+# ------------------------------------------------------------------- ADF
+def adf_reference(
+    pos_by_species: dict,
+    sample_idx: np.ndarray,
+    box: np.ndarray,
+    cutoff: float,
+    n_bins: int,
+    norm_power: int,
+):
+    """ADF histograms per species triple, reference counting convention.
+
+    Ports ``angular_distribution_function.py:330-430`` +
+    ``utils/neighbour_list.py:112-177``: for every central atom i, every
+    ORDERED pair of distinct neighbors (j, k) within the cutoff contributes
+    the angle j-i-k weighted by ``1/(|r_ij| |r_ik|)^norm_power``; only
+    triple keys with non-decreasing species indices
+    (``combinations_with_replacement``) are kept. Histogram over
+    [0, 3.15] rad; per-batch density normalisation (:421-429); degrees via
+    the literal 180/3.14159 (:457-459).
+    """
+    import itertools
+
+    species = list(pos_by_species)
+    concat = np.concatenate([pos_by_species[s] for s in species], axis=1)
+    counts = [pos_by_species[s].shape[1] for s in species]
+    sid = np.concatenate(
+        [np.full(c, k, dtype=int) for k, c in enumerate(counts)]
+    )
+    keys = list(
+        itertools.combinations_with_replacement(range(len(species)), 3)
+    )
+    hists = {k: np.zeros(n_bins) for k in keys}
+    lo, hi = 0.0, 3.15
+    bw = (hi - lo) / n_bins
+
+    for f in sample_idx:
+        pos = concat[f]
+        n = pos.shape[0]
+        r = pos[None, :, :] - pos[:, None, :]  # r[i, j] = pos_j - pos_i
+        r -= box * np.round(r / box)
+        d = np.linalg.norm(r, axis=-1)
+        np.fill_diagonal(d, np.inf)
+        for i in range(n):
+            nb = np.where(d[i] < cutoff)[0]
+            for j, k in itertools.permutations(nb, 2):
+                key = (sid[i], sid[j], sid[k])
+                if not (key[0] <= key[1] <= key[2]):
+                    continue
+                v1, v2 = r[i, j], r[i, k]
+                cos = np.dot(v1, v2) / (d[i, j] * d[i, k])
+                ang = np.arccos(np.clip(cos, -1.0, 1.0))
+                w = 1.0 / (d[i, j] * d[i, k]) ** norm_power
+                b = min(int((ang - lo) / bw), n_bins - 1)
+                hists[key][b] += w
+
+    angles_deg = np.linspace(
+        lo * (180 / 3.14159), hi * (180 / 3.14159), n_bins
+    )
+    out = {}
+    for key, h in hists.items():
+        total = h.sum()
+        name = "_".join(species[s] for s in key)
+        out[name] = (angles_deg, h / (total * bw) if total > 0 else h)
+    return out
