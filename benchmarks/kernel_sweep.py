@@ -73,6 +73,49 @@ def sweep_rdf(n_atoms, n_frames, n_bins, strategies, repeats=5):
     return out
 
 
+def sweep_adf(n_atoms, n_frames, n_bins, repeats=3):
+    """XLA neighbor-list ADF vs the fused Pallas pipeline at 10k atoms."""
+    import jax
+    import jax.numpy as jnp
+
+    from lammps_analysis_tpu.ops import adf as A
+    from lammps_analysis_tpu.ops.pallas_adf import adf_histogram_pallas
+
+    rng = np.random.default_rng(2)
+    box, cutoff = 40.0, 5.5  # ~110 neighbors: inside the K=128 pallas list
+    half = n_atoms // 2
+    sid = np.concatenate(
+        [np.zeros(half, np.int32), np.ones(n_atoms - half, np.int32)]
+    )
+    pos = jnp.asarray(
+        rng.uniform(0, box, size=(n_frames, n_atoms, 3)).astype(np.float32)
+    )
+    sid_j = jnp.asarray(sid)
+    ttab, order = A.build_triple_table(2)
+    box_j = jnp.asarray(np.array([box] * 3, np.float32))
+    out = {}
+    dt = _time(
+        lambda: A.adf_histogram_neighbors(
+            pos, sid_j, jnp.asarray(ttab), box_j, cutoff, n_bins,
+            len(order), norm_power=4, max_neighbors=128,
+        )[0],
+        np.asarray,
+        repeats,
+    )
+    out["xla_neighbor_s_per_frame"] = round(dt / n_frames, 4)
+    if jax.default_backend() == "tpu":
+        dt_p = _time(
+            lambda: adf_histogram_pallas(
+                pos, sid_j, box_j, cutoff, n_bins, 2, norm_power=4
+            )[0],
+            np.asarray,
+            repeats,
+        )
+        out["pallas_s_per_frame"] = round(dt_p / n_frames, 4)
+        out["pallas_speedup_vs_xla"] = round(dt / dt_p, 2)
+    return out
+
+
 def sweep_correlations(repeats=3):
     import jax.numpy as jnp
 
@@ -109,6 +152,7 @@ def main():
     results["rdf_2048_300bins"] = sweep_rdf(2048, 8, 300, strategies)
     if not quick:
         results["rdf_10240_500bins"] = sweep_rdf(10240, 4, 500, ("outer",))
+        results["adf_10240_500bins"] = sweep_adf(10240, 2, 500)
     results["correlations"] = sweep_correlations()
     path = pathlib.Path(__file__).parent / "kernel_sweep_results.json"
     path.write_text(json.dumps(results, indent=2))

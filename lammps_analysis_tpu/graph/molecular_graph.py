@@ -9,13 +9,16 @@ against a pysmiles-built reference graph. Here:
   (JAX kernel, chunked);
 * decomposition uses ``scipy.sparse.csgraph.connected_components`` — exact
   and O(N + E);
-* molecule identification is by composition (exact per-species atom
-  counts), with the SMILES string parsed by the in-package minimal parser
-  (:mod:`lammps_analysis_tpu.graph.smiles`) when no explicit
-  ``species_dict`` is given. Full subgraph-isomorphism checking is
-  intentionally not reproduced — composition + connectivity within a bond
-  cutoff identifies molecules in MD trajectories; networkx remains
-  available for users needing stricter checks.
+* molecule identification uses composition (exact per-species atom
+  counts) as a fast pre-filter, then a full bond-graph isomorphism check
+  (networkx VF2 with categorical element matching) against the
+  SMILES-derived reference graph
+  (:func:`lammps_analysis_tpu.graph.smiles.smiles_graph`) — so isomers or
+  accidental clusters with the right atom counts but the wrong bonding are
+  rejected. This goes beyond the reference, whose adjacency-graph
+  isomorphism test raises ``NotImplementedError``
+  (``molecular_graph.py:287-300``); its shipped checks are count +
+  composition only (``:227-285``).
 """
 
 from __future__ import annotations
@@ -66,13 +69,17 @@ def build_adjacency(
 
 
 def find_molecules(
-    adjacency: csr_matrix, species_of_atom: Sequence[str]
-) -> List[Dict[str, List[int]]]:
+    adjacency: csr_matrix,
+    species_of_atom: Sequence[str],
+    return_atom_ids: bool = False,
+):
     """Decompose the graph into per-molecule ``{species: [atom indices]}``.
 
     Atom indices are per-species (the index within that species' dataset),
     matching the reference's group bookkeeping
-    (``molecular_graph.py:170-225`` + ``map_molecules.py``).
+    (``molecular_graph.py:170-225`` + ``map_molecules.py``). With
+    ``return_atom_ids`` also returns, per molecule, the GLOBAL atom indices
+    into the concatenated layout (needed for bond-graph isomorphism).
     """
     n_components, labels = connected_components(adjacency, directed=False)
     species_of_atom = list(species_of_atom)
@@ -86,10 +93,52 @@ def find_molecules(
     molecules: List[Dict[str, List[int]]] = [
         {} for _ in range(n_components)
     ]
+    atom_ids: List[List[int]] = [[] for _ in range(n_components)]
     for atom, label in enumerate(labels):
         sp = species_of_atom[atom]
         molecules[label].setdefault(sp, []).append(per_species_index[atom])
+        atom_ids[label].append(atom)
+    if return_atom_ids:
+        return molecules, atom_ids
     return molecules
+
+
+def cluster_graph(
+    adjacency: csr_matrix,
+    atom_ids: Sequence[int],
+    species_of_atom: Sequence[str],
+):
+    """Bond graph of one candidate cluster as a networkx Graph.
+
+    Nodes are local indices with an ``element`` attribute (the species
+    name); edges are the within-cutoff adjacency restricted to the cluster.
+    """
+    import networkx as nx
+
+    atom_ids = np.asarray(atom_ids)
+    sub = adjacency[atom_ids][:, atom_ids]
+    g = nx.from_scipy_sparse_array(sub)
+    for local, a in enumerate(atom_ids):
+        g.nodes[local]["element"] = species_of_atom[a]
+    return g
+
+
+def is_isomorphic_to_reference(graph, reference_graph) -> bool:
+    """Element-labelled graph isomorphism (networkx VF2).
+
+    The capability the reference intends via pysmiles + networkx
+    (``molecular_graph.py:287-300``, unimplemented upstream): the candidate
+    cluster's bond graph must match the SMILES-derived reference graph with
+    elements as node labels.
+    """
+    import networkx as nx
+    from networkx.algorithms import isomorphism
+
+    return nx.is_isomorphic(
+        graph,
+        reference_graph,
+        node_match=isomorphism.categorical_node_match("element", None),
+    )
 
 
 def composition_of(group: Dict[str, List[int]]) -> Tuple[Tuple[str, int], ...]:

@@ -132,10 +132,42 @@ class MolecularMap:
         box = np.asarray(experiment.box_array)
 
         adjacency = build_adjacency(positions, box, molecule.cutoff)
-        all_molecules = find_molecules(adjacency, species_of_atom)
-        grouped = group_molecules_by_composition(all_molecules)
+        all_molecules, atom_ids = find_molecules(
+            adjacency, species_of_atom, return_atom_ids=True
+        )
         key = tuple(sorted(composition.items()))
-        return grouped.get(key, [])
+        # composition as a fast pre-filter
+        candidates = [
+            (mol, ids)
+            for mol, ids in zip(all_molecules, atom_ids)
+            if composition_of(mol) == key
+        ]
+        if not molecule.smiles:
+            # no reference bonding available (species_dict molecules)
+            return [mol for mol, _ in candidates]
+        # bond-graph isomorphism against the SMILES-derived reference graph
+        # — rejects isomers / accidental clusters with matching counts
+        from ..graph.molecular_graph import (
+            cluster_graph,
+            is_isomorphic_to_reference,
+        )
+        from ..graph.smiles import smiles_graph
+
+        reference_graph = smiles_graph(molecule.smiles)
+        accepted, rejected = [], 0
+        for mol, ids in candidates:
+            g = cluster_graph(adjacency, ids, species_of_atom)
+            if is_isomorphic_to_reference(g, reference_graph):
+                accepted.append(mol)
+            else:
+                rejected += 1
+        if rejected:
+            log.warning(
+                "molecule %s: rejected %d same-composition cluster(s) whose "
+                "bond graph is not isomorphic to the SMILES reference",
+                molecule.name, rejected,
+            )
+        return accepted
 
     def _reduce_com(self, experiment, molecule, groups, species_names):
         """Stream frames; COM = weight-matrix @ PBC-corrected positions."""

@@ -164,3 +164,93 @@ def test_script_input_roundtrip(rng):
     out = list(reader.get_configurations_generator())
     assert len(out) == 1
     np.testing.assert_array_equal(out[0].get_data("X", "Positions"), data)
+
+
+def test_chemfiles_reader_with_stub(tmp_path, rng, monkeypatch):
+    """Drive the chemfiles frame->chunk logic with a stub chemfiles module.
+
+    The real dependency is absent in CI images; the reader's chunking,
+    species-row slicing, and velocity handling are exercised against a
+    minimal fake implementing the used API surface (Trajectory.nsteps /
+    read / set_topology, Frame.atoms/cell/positions/velocities).
+    """
+    import types
+
+    import numpy as np
+
+    from lammps_analysis_tpu.file_io import chemfiles_io
+
+    n_frames, names = 7, ["O", "H", "H"]
+    pos_all = rng.uniform(0, 5.0, size=(n_frames, 3, 3))
+    vel_all = rng.normal(size=(n_frames, 3, 3))
+
+    class FakeAtom:
+        def __init__(self, name):
+            self.name = name
+
+    class FakeCell:
+        lengths = (5.0, 5.0, 5.0)
+
+    class FakeFrame:
+        def __init__(self, k):
+            self.atoms = [FakeAtom(n) for n in names]
+            self.cell = FakeCell()
+            self.positions = pos_all[k]
+            self.velocities = vel_all[k]
+
+        def has_velocities(self):
+            return True
+
+    class FakeTrajectory:
+        def __init__(self, path):
+            self.path = path
+            self._cursor = 0
+            self.nsteps = n_frames
+
+        def set_topology(self, path):
+            self.topology_set = path
+
+        def read(self):
+            frame = FakeFrame(self._cursor)
+            self._cursor += 1
+            return frame
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+    fake = types.SimpleNamespace(Trajectory=FakeTrajectory)
+    monkeypatch.setattr(chemfiles_io, "chemfiles", fake)
+    monkeypatch.setattr(chemfiles_io, "CHEMFILES_AVAILABLE", True)
+
+    reader = chemfiles_io.ChemfilesRead(
+        tmp_path / "traj.trr", topol_file_path=str(tmp_path / "top.gro"),
+        frames_per_chunk=3,
+    )
+    meta = reader.metadata
+    assert meta.n_configurations == n_frames
+    assert sorted(meta.species_names) == ["H", "O"]
+    assert meta.box_l == [5.0, 5.0, 5.0]
+
+    chunks = list(reader.get_configurations_generator())
+    assert [c.chunk_size for c in chunks] == [3, 3, 1]
+    # species-row slicing: H rows are atoms 1 and 2 of every frame
+    h0 = chunks[0].get_data("H", "Positions")
+    np.testing.assert_allclose(h0, pos_all[:3][:, [1, 2]])
+    o_v = chunks[1].get_data("O", "Velocities")
+    np.testing.assert_allclose(o_v, vel_all[3:6][:, [0]])
+
+    # end-to-end: ingest through an Experiment
+    import lammps_analysis_tpu as latpu
+
+    project = latpu.Project(name="chem", storage_path=tmp_path)
+    exp = project.add_experiment(
+        "e", timestep=0.1, temperature=300.0, units="si",
+        simulation_data=reader,
+    )
+    assert exp.number_of_configurations == n_frames
+    loaded = exp.load_matrix("Positions", ["O", "H"])
+    np.testing.assert_allclose(loaded["O"], pos_all[:, [0]])
+    np.testing.assert_allclose(loaded["H"], pos_all[:, [1, 2]])

@@ -156,3 +156,89 @@ def test_bad_molecule_spec(tmp_path, rng):
                                cutoff=0.1)
             ]
         )
+
+
+def test_smiles_graph():
+    from lammps_analysis_tpu.graph.smiles import smiles_graph
+
+    water = smiles_graph("O")
+    assert water.number_of_nodes() == 3 and water.number_of_edges() == 2
+    elems = sorted(d["element"] for _, d in water.nodes(data=True))
+    assert elems == ["H", "H", "O"]
+    # the degree-2 node must be the oxygen (H-O-H)
+    center = [n for n in water if water.degree(n) == 2]
+    assert [water.nodes[n]["element"] for n in center] == ["O"]
+
+    ethanol = smiles_graph("CCO")  # C2H6O
+    assert ethanol.number_of_nodes() == 9
+    assert ethanol.number_of_edges() == 8
+
+
+def test_isomorphism_distinguishes_same_composition():
+    """Two H2O-composition clusters with different bonding must differ.
+
+    The reference's adjacency-isomorphism test is NotImplementedError
+    upstream (``molecular_graph.py:287-300``); this build implements it.
+    """
+    import numpy as np
+
+    from lammps_analysis_tpu.graph.molecular_graph import (
+        build_adjacency,
+        cluster_graph,
+        find_molecules,
+        is_isomorphic_to_reference,
+    )
+    from lammps_analysis_tpu.graph.smiles import smiles_graph
+
+    # cluster A: bent water H-O-H; cluster B: linear chain H-H-O
+    pos = np.array([
+        [0.0, 0.0, 0.0],     # O (A)
+        [0.95, 0.0, 0.0],    # H (A) bonded to O
+        [-0.3, 0.9, 0.0],    # H (A) bonded to O, far from other H
+        [10.0, 0.0, 0.0],    # H (B)
+        [10.95, 0.0, 0.0],   # H (B) bonded to previous H
+        [11.9, 0.0, 0.0],    # O (B) bonded to second H only
+    ])
+    species = ["O", "H", "H", "H", "H", "O"]
+    adj = build_adjacency(pos, None, cutoff=1.2)
+    mols, ids = find_molecules(adj, species, return_atom_ids=True)
+    assert len(mols) == 2
+    ref = smiles_graph("O")
+    verdicts = {}
+    for mol, atom_ids in zip(mols, ids):
+        g = cluster_graph(adj, atom_ids, species)
+        verdicts[min(atom_ids)] = is_isomorphic_to_reference(g, ref)
+    assert verdicts[0] is True    # bent water matches
+    assert verdicts[3] is False   # H-H-O chain rejected
+
+
+def test_mapping_rejects_misbonded_cluster(tmp_path, rng):
+    """End-to-end: MolecularMap drops a same-composition mis-bonded cluster."""
+    box, n_frames = 20.0, 4
+    # one real water + one H-H-O chain, both composition H2O
+    o_pos = np.array([[2.0, 2.0, 2.0], [12.9, 2.0, 2.0]])
+    h_pos = np.array([
+        [2.95, 2.0, 2.0], [1.7, 2.9, 2.0],   # bonded to O[0]
+        [11.0, 2.0, 2.0], [11.95, 2.0, 2.0],  # chain: H-H then H-O
+    ])
+    sp = [
+        SpeciesInfo("H", 4, [POSITIONS]),
+        SpeciesInfo("O", 2, [POSITIONS]),
+    ]
+    meta = TrajectoryMetadata(
+        n_configurations=n_frames, species_list=sp, box_l=[box] * 3,
+        sample_rate=1, temperature=300.0,
+    )
+    chunk = TrajectoryChunkData(sp, n_frames)
+    chunk.add_data(np.repeat(h_pos[None], n_frames, 0), 0, "H", "Positions")
+    chunk.add_data(np.repeat(o_pos[None], n_frames, 0), 0, "O", "Positions")
+    project = latpu.Project(name="iso", storage_path=tmp_path)
+    exp = project.add_experiment(
+        "e", timestep=0.1, temperature=300.0, units="real",
+        simulation_data=ScriptInput(chunk, meta, "d"),
+    )
+    exp.run.MolecularMap(molecules=[
+        latpu.Molecule(name="water", smiles="O", amount=1, cutoff=1.2)
+    ])
+    water = exp.molecules["water"]
+    assert water["n_particles"] == 1  # the chain cluster was rejected
