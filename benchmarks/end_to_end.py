@@ -48,7 +48,8 @@ def build_experiment(workdir, n_atoms, n_frames, box=40.0, chunk_frames=2000):
         "big", timestep=0.002, temperature=1400.0, units="metal"
     )
 
-    t0 = time.perf_counter()
+    ingest_s = 0.0  # store-write time only (data generation is not the
+    # framework's work — the real ingest path is the native text parser)
     done = 0
     while done < n_frames:
         n = min(chunk_frames, n_frames - done)
@@ -66,11 +67,12 @@ def build_experiment(workdir, n_atoms, n_frames, box=40.0, chunk_frames=2000):
                 rng.normal(size=(n, sp.n_particles, 3)), 0, sp.name,
                 "Velocities",
             )
+        t0 = time.perf_counter()
         exp.add_data(
             ScriptInput(chunk, meta, f"chunk{done}"),
         )
+        ingest_s += time.perf_counter() - t0
         done += n
-    ingest_s = time.perf_counter() - t0
     return exp, ingest_s
 
 

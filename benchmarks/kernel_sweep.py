@@ -74,12 +74,24 @@ def sweep_rdf(n_atoms, n_frames, n_bins, strategies, repeats=5):
 
 
 def sweep_adf(n_atoms, n_frames, n_bins, repeats=3):
-    """XLA neighbor-list ADF vs the fused Pallas pipeline at 10k atoms."""
+    """XLA neighbor-list ADF vs the fused Pallas pipeline at 10k atoms.
+
+    Both paths run at EXACT f32 numerics (the gram einsums force
+    Precision.HIGHEST — at TPU default precision the angle stage is ~2x
+    faster but bins ~2/3 of the weighted counts into wrong bins, measured
+    vs an f64 oracle). The stage split shows where time goes: the exact
+    top_k over all N dominates and is insensitive to k (hierarchical and
+    approx_max_k variants measured within 10-20%).
+    """
     import jax
     import jax.numpy as jnp
 
     from lammps_analysis_tpu.ops import adf as A
-    from lammps_analysis_tpu.ops.pallas_adf import adf_histogram_pallas
+    from lammps_analysis_tpu.ops.pallas_adf import (
+        adf_histogram_pallas,
+        adf_neighbor_lists,
+        adf_pairs_histogram_pallas,
+    )
 
     rng = np.random.default_rng(2)
     box, cutoff = 40.0, 5.5  # ~110 neighbors: inside the K=128 pallas list
@@ -113,6 +125,22 @@ def sweep_adf(n_atoms, n_frames, n_bins, repeats=3):
         )
         out["pallas_s_per_frame"] = round(dt_p / n_frames, 4)
         out["pallas_speedup_vs_xla"] = round(dt / dt_p, 2)
+        # stage split: neighbor-list construction vs fused angle histogram
+        dt_s1 = _time(
+            lambda: adf_neighbor_lists(pos, sid_j, box_j, cutoff, k_n=128),
+            lambda o: np.asarray(o[1]),
+            repeats,
+        )
+        lists = adf_neighbor_lists(pos, sid_j, box_j, cutoff, k_n=128)
+        dt_s2 = _time(
+            lambda: adf_pairs_histogram_pallas(
+                *lists[:4], n_bins, 2, norm_power=4
+            ),
+            np.asarray,
+            repeats,
+        )
+        out["stage1_topk_s_per_frame"] = round(dt_s1 / n_frames, 4)
+        out["stage2_pallas_s_per_frame"] = round(dt_s2 / n_frames, 4)
     return out
 
 

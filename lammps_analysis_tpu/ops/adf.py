@@ -128,6 +128,7 @@ def adf_histogram_tiled(
             gram = jnp.einsum(
                 "fcjd,fckd->fcjk", r_j, r_k,
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
             denom = d_j[:, :, :, None] * d_k[:, :, None, :]
             cos = gram / jnp.where(denom > 0, denom, 1.0)
@@ -251,7 +252,8 @@ def adf_histogram_neighbors(
         sid_n = sid[idx]  # (F, C, K)
 
         gram = jnp.einsum(
-            "fcjd,fckd->fcjk", r_n, r_n, preferred_element_type=jnp.float32
+            "fcjd,fckd->fcjk", r_n, r_n, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         denom = d_n[:, :, :, None] * d_n[:, :, None, :]
         cos = gram / jnp.where(denom > 0, denom, 1.0)
@@ -366,7 +368,8 @@ def adf_histogram(
 
         # Gram matrix of displacement vectors -> MXU.
         gram = jnp.einsum(
-            "fcjd,fckd->fcjk", r, r, preferred_element_type=jnp.float32
+            "fcjd,fckd->fcjk", r, r, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         dj = d[:, :, :, None]
         dk = d[:, :, None, :]
@@ -411,4 +414,92 @@ def adf_histogram(
 
     starts = jnp.arange(n_blocks, dtype=jnp.int32) * c_block
     hists = jax.lax.map(block_hist, starts)
+    return jnp.sum(hists, axis=0).reshape(n_triples, n_bins)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_bins", "n_species", "norm_power", "c_block"),
+)
+def adf_pairs_histogram_xla(
+    r_n: jnp.ndarray,  # (F, N, K, 3) neighbor displacements
+    d_n: jnp.ndarray,  # (F, N, K) neighbor distances
+    sid_n: jnp.ndarray,  # (F, N, K) neighbor species, -1 invalid
+    sid_c: jnp.ndarray,  # (N,) center species, -1 padding
+    n_bins: int,
+    n_species: int,
+    norm_power: int = 4,
+    c_block: int = 64,
+) -> jnp.ndarray:
+    """XLA angle stage on precomputed neighbor lists.
+
+    The angle/histogram half of :func:`adf_histogram_neighbors`, decoupled
+    so the neighbor-list stage can come from cell lists
+    (``ops.cells.neighbor_lists_cells``) or the O(N^2) scan. Numerics are
+    identical to the fused function.
+    """
+    f, n, k_nn = r_n.shape[:3]
+    n_pad = -(-n // c_block) * c_block
+    if n_pad != n:
+        r_n = jnp.pad(r_n, ((0, 0), (0, n_pad - n), (0, 0), (0, 0)))
+        d_n = jnp.pad(d_n, ((0, 0), (0, n_pad - n), (0, 0)))
+        sid_n = jnp.pad(
+            sid_n, ((0, 0), (0, n_pad - n), (0, 0)), constant_values=-1
+        )
+        sid_c = jnp.pad(sid_c, (0, n_pad - n), constant_values=-1)
+        n = n_pad
+    lo, hi = ADF_BIN_RANGE
+    s_f = float(n_species)
+    n_triples = n_species * (n_species + 1) * (n_species + 2) // 6
+    sid_cf = sid_c.astype(jnp.float32)
+
+    def center_block(c0):
+        r_b = jax.lax.dynamic_slice_in_dim(r_n, c0, c_block, axis=1)
+        d_b = jax.lax.dynamic_slice_in_dim(d_n, c0, c_block, axis=1)
+        s_b = jax.lax.dynamic_slice_in_dim(sid_n, c0, c_block, axis=1)
+        sc_b = jax.lax.dynamic_slice_in_dim(sid_cf, c0, c_block, axis=0)
+
+        gram = jnp.einsum(
+            "fcjd,fckd->fcjk", r_b, r_b, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        denom = d_b[:, :, :, None] * d_b[:, :, None, :]
+        cos = gram / jnp.where(denom > 0, denom, 1.0)
+        angle = jnp.arccos(jnp.clip(cos, -1.0, 1.0))
+
+        a_id = jnp.maximum(sc_b, 0.0)[None, :, None, None]
+        b_id = jnp.maximum(s_b, 0).astype(jnp.float32)[:, :, :, None]
+        cc_id = jnp.maximum(s_b, 0).astype(jnp.float32)[:, :, None, :]
+        sa = s_f - a_id
+        block_a = (
+            s_f * (s_f + 1.0) * (s_f + 2.0) - sa * (sa + 1.0) * (sa + 2.0)
+        ) / 6.0
+        bb = b_id - a_id
+        t_id_f = (
+            block_a + bb * (s_f - a_id) - bb * (bb - 1.0) * 0.5 + (cc_id - b_id)
+        )
+        ordered = (a_id <= b_id) & (b_id <= cc_id)
+        t_id = jnp.where(ordered, t_id_f, -1.0).astype(jnp.int32)
+
+        pos_j = jax.lax.broadcasted_iota(jnp.int32, (k_nn, k_nn), 0)
+        pos_k = jax.lax.broadcasted_iota(jnp.int32, (k_nn, k_nn), 1)
+        mask = (
+            (s_b >= 0)[:, :, :, None]
+            & (s_b >= 0)[:, :, None, :]
+            & (sc_b >= 0.0)[None, :, None, None]
+            & (pos_j != pos_k)[None, None, :, :]
+            & (t_id >= 0)
+        )
+        weight = jnp.where(
+            mask,
+            1.0 / jnp.where(denom > 0, denom, 1.0) ** norm_power,
+            0.0,
+        ).astype(jnp.float32)
+        bins = bin_indices(angle, lo, hi, n_bins)
+        combined = jnp.maximum(t_id, 0) * n_bins + bins
+        return masked_histogram(combined, weight, n_triples * n_bins, "auto")
+
+    n_blocks = n // c_block
+    starts = jnp.arange(n_blocks, dtype=jnp.int32) * c_block
+    hists = jax.lax.map(center_block, starts)
     return jnp.sum(hists, axis=0).reshape(n_triples, n_bins)

@@ -179,7 +179,9 @@ def adf_pairs_histogram_pallas(
     ``adf_histogram_neighbors``.
     """
     f, n, k = r_n.shape[:3]
-    assert k == PALLAS_ADF_K, f"kernel is built for K={PALLAS_ADF_K}, got {k}"
+    assert k % 128 == 0 and k >= 128, (
+        f"neighbor-list width must be a positive multiple of 128, got {k}"
+    )
     assert sid_c.shape[0] == n, (
         f"center species length {sid_c.shape[0]} != padded atom count {n} — "
         "pass the padded sid returned by adf_neighbor_lists"
@@ -230,9 +232,11 @@ def adf_pairs_histogram_pallas(
         def _():
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
-        hi_ids = jax.lax.broadcasted_iota(
-            jnp.int32, (hi_pad, 1), 0
-        ).astype(jnp.float32)
+        # stacked one-hot rows: rows [0, hi_pad) select the high weight
+        # half, rows [hi_pad, 2 hi_pad) the low half -> ONE matmul for both
+        rows2 = jax.lax.broadcasted_iota(jnp.int32, (2 * hi_pad, 1), 0)
+        hi_ids2 = (rows2 % hi_pad).astype(jnp.float32)
+        row_is_high = rows2 < hi_pad
         lo_ids = jax.lax.broadcasted_iota(
             jnp.int32, (k_lo, 1), 0
         ).astype(jnp.float32)
@@ -334,23 +338,16 @@ def adf_pairs_histogram_pallas(
                 jnp.bfloat16
             )  # (128, CR*K)
             hi_flat = hi_buf[...]
-            hi_match = hi_flat == hi_ids
-            oh_hi_h = jnp.where(hi_match, wh_buf[...], 0.0).astype(
+            sel_w = jnp.where(row_is_high, wh_buf[...], wl_buf[...])
+            oh_hi = jnp.where(hi_flat == hi_ids2, sel_w, 0.0).astype(
                 jnp.bfloat16
-            )  # (HI, CR*K); wh is bf16-representable -> lossless
-            oh_hi_l = jnp.where(hi_match, wl_buf[...], 0.0).astype(
-                jnp.bfloat16
-            )
-            acc_ref[...] += jax.lax.dot_general(
-                oh_hi_h, oh_lo,
+            )  # (2 HI, CR*K); both weight halves are bf16-representable
+            out2 = jax.lax.dot_general(
+                oh_hi, oh_lo,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )
-            acc_ref[...] += jax.lax.dot_general(
-                oh_hi_l, oh_lo,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            )  # (2 HI, 128)
+            acc_ref[...] += out2[0:hi_pad, :] + out2[hi_pad : 2 * hi_pad, :]
             return 0
 
         jax.lax.fori_loop(0, _TC * n_chunks, chunk_body, 0)
@@ -391,6 +388,50 @@ def adf_pairs_histogram_pallas(
     return flat.reshape(n_triples, n_bins)
 
 
+def auto_neighbor_lists(
+    positions: jnp.ndarray,
+    species_id: jnp.ndarray,
+    box: jnp.ndarray | None,
+    cutoff,
+    k_n: int = PALLAS_ADF_K,
+):
+    """Neighbor lists via cell lists when applicable, O(N^2) otherwise.
+
+    Cell lists (``ops.cells``) replace the top_k-over-all-N bottleneck
+    (83 of 119 ms/frame at 10k atoms) with a top_k over the 27-cell
+    candidate set; cell-capacity overflow retries with doubled capacity
+    (exact for any geometry). Returns the ``adf_neighbor_lists`` tuple.
+    """
+    from .cells import cell_lists_applicable, neighbor_lists_cells
+
+    n = positions.shape[1]
+    box_np = None if box is None else np.asarray(box)
+    # TPU gathers make cell lists slower below ~32k atoms (measured);
+    # the O(N^2) masked top_k wins at benchmark scales.
+    use_cells = (
+        box_np is not None
+        and n >= 32768
+        and cell_lists_applicable(box_np, float(cutoff))
+    )
+    if not use_cells:
+        return adf_neighbor_lists(positions, species_id, box, cutoff, k_n=k_n)
+
+    n_dim = int(np.min(box_np) // float(cutoff))
+    mean_occ = n / n_dim**3
+    capacity = max(8, _round_up(int(np.ceil(1.75 * mean_occ)), 8))
+    while True:
+        if 27 * capacity < k_n:
+            capacity = _round_up(-(-k_n // 27), 8)
+            continue
+        r_n, d_n, sid_n, sid_pad, max_count, max_occ = neighbor_lists_cells(
+            positions, species_id, box, cutoff,
+            k_n=k_n, n_dim=n_dim, capacity=capacity,
+        )
+        if int(max_occ) <= capacity:
+            return r_n, d_n, sid_n, sid_pad, max_count
+        capacity *= 2
+
+
 def adf_histogram_pallas(
     positions: jnp.ndarray,
     species_id: jnp.ndarray,
@@ -399,17 +440,18 @@ def adf_histogram_pallas(
     n_bins: int,
     n_species: int,
     norm_power: int = 4,
+    k_n: int = PALLAS_ADF_K,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Full fused-ADF pipeline: XLA neighbor lists -> Pallas angle histogram.
+    """Full fused-ADF pipeline: neighbor lists -> Pallas angle histogram.
 
     Returns ``(hist (n_triples, n_bins), max_count)`` — same contract as
-    ``adf_histogram_neighbors`` (``max_count == PALLAS_ADF_K`` means the
-    fixed neighbor list may have saturated; results then under-count and
-    callers must fall back to the exact tiled kernel).
+    ``adf_histogram_neighbors`` (``max_count == k_n`` means the fixed
+    neighbor list may have saturated; results then under-count and callers
+    must retry with a larger multiple-of-128 ``k_n``).
     """
-    r_n, d_n, sid_n, sid_pad, max_count = adf_neighbor_lists(
-        positions, species_id, box, cutoff, k_n=PALLAS_ADF_K
+    r_n, d_n, sid_n, sid_pad, max_count = auto_neighbor_lists(
+        positions, species_id, box, cutoff, k_n=k_n
     )
     hist = adf_pairs_histogram_pallas(
         r_n, d_n, sid_n, sid_pad, n_bins, n_species,
