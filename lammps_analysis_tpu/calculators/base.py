@@ -97,10 +97,19 @@ class Calculator(abc.ABC):
         """Run the analysis; return ``{subject_key: result_dict}``."""
 
     def plot_results(self, computation: Computation) -> None:
-        """Default plot: every subject's first series pair to one figure."""
+        """Default plots: a PNG grid plus a self-contained interactive HTML
+        (the reference writes bokeh HTML per analysis,
+        ``visualizer/d2_data_visualization.py:36-140``)."""
+        from ..visualizer.html_plots import write_html_plot
         from ..visualizer.plots import plot_series_results
 
         plot_series_results(
+            computation,
+            self.result_series_keys,
+            out_dir=self.experiment.path / "figures",
+            title=self.name,
+        )
+        write_html_plot(
             computation,
             self.result_series_keys,
             out_dir=self.experiment.path / "figures",

@@ -85,3 +85,38 @@ def test_report():
     report = latpu.Report()
     text = repr(report)
     assert "jax" in text and "numpy" in text
+
+
+def test_html_plot_artifact(tmp_path, rng):
+    """The default plot path writes a self-contained interactive HTML grid
+    next to the PNG (reference parity: bokeh HTML per analysis)."""
+    import lammps_analysis_tpu as latpu
+    from lammps_analysis_tpu.database import (
+        PropertyInfo, SpeciesInfo, TrajectoryChunkData, TrajectoryMetadata,
+    )
+    from lammps_analysis_tpu.file_io import ScriptInput
+
+    POS = PropertyInfo("Positions", 3)
+    sp = [SpeciesInfo("A", 16, [POS])]
+    meta = TrajectoryMetadata(
+        n_configurations=10, species_list=sp, box_l=[8.0] * 3, sample_rate=1,
+    )
+    chunk = TrajectoryChunkData(sp, 10)
+    chunk.add_data(rng.uniform(0, 8, (10, 16, 3)), 0, "A", "Positions")
+    exp = latpu.Project(name="hp", storage_path=tmp_path).add_experiment(
+        "e", timestep=0.1, units="si",
+        simulation_data=ScriptInput(chunk, meta, "d"),
+    )
+    exp.run.RadialDistributionFunction(
+        number_of_configurations=5, number_of_bins=40, plot=True
+    )
+    html_path = exp.path / "figures" / "RadialDistributionFunction.html"
+    assert html_path.exists()
+    text = html_path.read_text()
+    # self-contained: no external scripts/styles; has data + interaction
+    assert "src=" not in text and "href=" not in text
+    assert "data-series" in text and "mousemove" in text
+    assert "A_A" in text
+    assert "prefers-color-scheme: dark" in text  # selected dark mode
+    assert "<table>" in text  # accessible table view
+    assert (exp.path / "figures" / "RadialDistributionFunction.png").exists()
