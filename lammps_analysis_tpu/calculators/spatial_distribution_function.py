@@ -77,34 +77,68 @@ class SpatialDistributionFunction(TrajectoryCalculator):
             np.linspace(a["start"], a["stop"], a["number_of_configurations"],
                         dtype=int)
         )
-        pos_a = exp.store.load(
-            [join_path(sp_a, mp.positions.name)], frames=idx,
-            dtype=np.float32,
-        )[join_path(sp_a, mp.positions.name)]
-        pos_b = exp.store.load(
-            [join_path(sp_b, mp.positions.name)], frames=idx,
-            dtype=np.float32,
-        )[join_path(sp_b, mp.positions.name)]
-
+        n_a = exp.entity(sp_a).n_particles
+        n_b = exp.entity(sp_b).n_particles
         box = jnp.asarray(np.asarray(exp.box_array, dtype=np.float32))
-        r = jnp.asarray(pos_b)[:, None, :, :] - jnp.asarray(pos_a)[:, :, None, :]
-        r = minimum_image(r, box)
-        rtp = cartesian_to_spherical(r)  # (F, Na, Nb, 3)
-        d = rtp[..., 0]
-        mask = (d >= a["r_min"]) & (d <= a["r_max"])
-        if sp_a == sp_b:
-            eye = jnp.eye(pos_a.shape[1], dtype=bool)
-            mask = mask & ~eye[None, :, :]
 
-        theta_idx = bin_indices(rtp[..., 1], 0.0, math.pi, n_bins)
-        phi_idx = bin_indices(rtp[..., 2], -math.pi, math.pi, n_bins)
-        # "outer" strategy: the 2-D histogram is n_bins^2 wide — the MXU
-        # outer-product path compiles and runs well on TPU where the
-        # scatter lowering is pathologically slow to compile
-        hist = histogram2d_masked(
-            theta_idx, phi_idx, mask.astype(jnp.float32), n_bins, n_bins,
-            strategy="outer",
-        )
+        # stream frame batches and tile the a-axis so the largest live
+        # tensor is (fpb, a_block, Nb, 3) — the reference (and round 1)
+        # materialised the full (F, Na, Nb, 3) displacement tensor, a
+        # quadratic blow-up beyond the default 5 configurations
+        per_pair_bytes = 4 * 3 * 4  # r + rtp float32, fused
+        budget = max(int(0.2 * exp.planner.budget_bytes), 1)
+        # a-block sized for one frame; frames batch up only when the whole
+        # (Na, Nb) pair block fits the budget
+        a_block = int(np.clip(budget // max(n_b * per_pair_bytes, 1), 1, n_a))
+        fpb = 1
+        if a_block >= n_a:
+            fpb = int(np.clip(
+                budget // max(n_a * n_b * per_pair_bytes, 1), 1, len(idx)
+            ))
+
+        import functools
+
+        import jax
+
+        @functools.partial(jax.jit, static_argnames=("same",))
+        def sdf_batch(pa, pb, a0_base, same):
+            r = pb[:, None, :, :] - pa[:, :, None, :]
+            r = minimum_image(r, box)
+            rtp = cartesian_to_spherical(r)  # (F, A, Nb, 3)
+            d = rtp[..., 0]
+            mask = (d >= a["r_min"]) & (d <= a["r_max"])
+            if same:
+                a_ids = a0_base + jnp.arange(pa.shape[1])
+                b_ids = jnp.arange(pb.shape[1])
+                mask = mask & (a_ids[None, :, None] != b_ids[None, None, :])
+            theta_idx = bin_indices(rtp[..., 1], 0.0, math.pi, n_bins)
+            phi_idx = bin_indices(rtp[..., 2], -math.pi, math.pi, n_bins)
+            # "outer": the 2-D histogram is n_bins^2 wide — the MXU
+            # outer-product path compiles and runs well on TPU where the
+            # scatter lowering is pathologically slow to compile
+            return histogram2d_masked(
+                theta_idx, phi_idx, mask.astype(jnp.float32), n_bins, n_bins,
+                strategy="outer",
+            )
+
+        hist = np.zeros((n_bins, n_bins), dtype=np.float64)
+        path_a = join_path(sp_a, mp.positions.name)
+        path_b = join_path(sp_b, mp.positions.name)
+        for f0 in range(0, len(idx), fpb):
+            fsel = idx[f0 : f0 + fpb]
+            pos_a = exp.store.load([path_a], frames=fsel, dtype=np.float32)[
+                path_a
+            ]
+            pos_b = exp.store.load([path_b], frames=fsel, dtype=np.float32)[
+                path_b
+            ]
+            pb_j = jnp.asarray(pos_b)
+            for a0 in range(0, n_a, a_block):
+                pa_j = jnp.asarray(pos_a[:, a0 : a0 + a_block])
+                hist += np.asarray(
+                    sdf_batch(pa_j, pb_j, a0, sp_a == sp_b),
+                    dtype=np.float64,
+                )
 
         sphere = self._unit_sphere(n_bins)
         results = {

@@ -28,7 +28,12 @@ ATOMIC_MASSES = {
     "Os": 190.23, "Ir": 192.22, "Pt": 195.08, "Au": 196.97, "Hg": 200.59,
     "Tl": 204.38, "Pb": 207.2, "Bi": 208.98, "Po": 209.0, "At": 210.0,
     "Rn": 222.0, "Fr": 223.0, "Ra": 226.0, "Ac": 227.0, "Th": 232.04,
-    "Pa": 231.04, "U": 238.03, "Np": 237.0, "Pu": 244.0,
+    "Pa": 231.04, "U": 238.03, "Np": 237.0, "Pu": 244.0, "Am": 243.0,
+    "Cm": 247.0, "Bk": 247.0, "Cf": 251.0, "Es": 252.0, "Fm": 257.0,
+    "Md": 258.0, "No": 259.0, "Lr": 266.0, "Rf": 267.0, "Db": 268.0,
+    "Sg": 269.0, "Bh": 270.0, "Hs": 277.0, "Mt": 278.0, "Ds": 281.0,
+    "Rg": 282.0, "Cn": 285.0, "Nh": 286.0, "Fl": 289.0, "Mc": 290.0,
+    "Lv": 293.0, "Ts": 294.0, "Og": 294.0,
 }
 
 COVALENT_RADII = {
@@ -44,10 +49,23 @@ def mass_of(element: str, default: float = 0.0) -> float:
     """Standard atomic weight of an element symbol.
 
     Strips trailing digits/underscores so species names like ``"Na1"`` or
-    ``"O_mol"`` resolve to their base element where possible.
+    ``"O_mol"`` resolve to their base element where possible. The table
+    covers all 118 IUPAC elements (the reference queried pubchempy at
+    ingestion, ``experiment/experiment.py:642`` — no network here);
+    unknown symbols WARN and return ``default`` instead of silently
+    propagating a zero mass into COM weights.
     """
     if element in ATOMIC_MASSES:
         return ATOMIC_MASSES[element]
     base = element.rstrip("0123456789_")
     base = base.capitalize() if len(base) <= 2 else base
-    return ATOMIC_MASSES.get(base, default)
+    if base in ATOMIC_MASSES:
+        return ATOMIC_MASSES[base]
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "Unknown element symbol %r: no standard atomic weight; using %s. "
+        "Set the mass explicitly with experiment.set_mass(%r, value).",
+        element, default, element,
+    )
+    return default

@@ -166,7 +166,8 @@ def adf_histogram_tiled(
             bins = bin_indices(angle, lo, hi, n_bins)
             combined = jnp.maximum(t_id, 0)[None] * n_bins + bins
             return masked_histogram(
-                combined, weight, n_triples * n_bins, "auto"
+                combined, weight, n_triples * n_bins, "auto",
+                precision=jax.lax.Precision.HIGHEST,
             )
 
         steps = jnp.arange(n_jk * n_jk, dtype=jnp.int32)
@@ -288,7 +289,8 @@ def adf_histogram_neighbors(
         bins = bin_indices(angle, lo, hi, n_bins)
         combined = jnp.maximum(t_id, 0) * n_bins + bins
         hist = masked_histogram(
-            combined, weight, n_triples * n_bins, "auto"
+            combined, weight, n_triples * n_bins, "auto",
+            precision=jax.lax.Precision.HIGHEST,
         )
         # saturation diagnostic: free (valid is already materialised)
         max_count = jnp.max(jnp.sum(valid, axis=2))
@@ -410,7 +412,8 @@ def adf_histogram(
 
         bins = bin_indices(angle, lo, hi, n_bins)
         combined = jnp.maximum(t_id, 0)[None] * n_bins + bins
-        return masked_histogram(combined, weight, n_triples * n_bins, "auto")
+        return masked_histogram(combined, weight, n_triples * n_bins, "auto",
+                             precision=jax.lax.Precision.HIGHEST)
 
     starts = jnp.arange(n_blocks, dtype=jnp.int32) * c_block
     hists = jax.lax.map(block_hist, starts)
@@ -497,7 +500,8 @@ def adf_pairs_histogram_xla(
         ).astype(jnp.float32)
         bins = bin_indices(angle, lo, hi, n_bins)
         combined = jnp.maximum(t_id, 0) * n_bins + bins
-        return masked_histogram(combined, weight, n_triples * n_bins, "auto")
+        return masked_histogram(combined, weight, n_triples * n_bins, "auto",
+                             precision=jax.lax.Precision.HIGHEST)
 
     n_blocks = n // c_block
     starts = jnp.arange(n_blocks, dtype=jnp.int32) * c_block

@@ -81,7 +81,11 @@ def _ceil_sqrt(n: int) -> int:
 
 
 def masked_histogram_outer(
-    idx: jnp.ndarray, weights: jnp.ndarray, n_bins: int, chunk: int = 131072
+    idx: jnp.ndarray,
+    weights: jnp.ndarray,
+    n_bins: int,
+    chunk: int = 131072,
+    precision=None,
 ) -> jnp.ndarray:
     """Weighted histogram as an MXU outer-product contraction.
 
@@ -108,8 +112,12 @@ def masked_histogram_outer(
         lo = idx_c - hi * k
         oh_hi = (hi[:, None] == hi_ids[None, :]).astype(jnp.float32) * w_c[:, None]
         oh_lo = (lo[:, None] == lo_ids[None, :]).astype(jnp.float32)
+        # default MXU precision rounds the f32 weights folded into
+        # oh_hi through bf16 passes (~0.2% per element) — weighted
+        # histograms pass precision=HIGHEST; 0/1 counts are bf16-exact
         return jnp.einsum(
-            "mh,ml->hl", oh_hi, oh_lo, preferred_element_type=jnp.float32
+            "mh,ml->hl", oh_hi, oh_lo, preferred_element_type=jnp.float32,
+            precision=precision,
         )
 
     if m <= chunk:
@@ -140,13 +148,14 @@ def masked_histogram(
     weights: jnp.ndarray,
     n_bins: int,
     strategy: str = "auto",
+    precision=None,
 ) -> jnp.ndarray:
     if strategy == "auto":
         strategy = default_strategy()
     if strategy == "compare":
         return masked_histogram_compare(idx, weights, n_bins)
     if strategy == "outer":
-        return masked_histogram_outer(idx, weights, n_bins)
+        return masked_histogram_outer(idx, weights, n_bins, precision=precision)
     if strategy in ("scatter", "matmul"):  # "matmul" kept as legacy alias
         return masked_histogram_scatter(idx, weights, n_bins)
     raise ValueError(f"unknown histogram strategy {strategy!r}")
