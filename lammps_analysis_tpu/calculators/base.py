@@ -349,6 +349,7 @@ class TrajectoryCalculator(Calculator):
         reference's tf.data prefetch). Honors ``args['atom_selection']``.
         """
         from ..pipeline.prefetch import prefetch_to_device
+        from ..utils.devices import bandwidth_bound_device
 
         path = join_path(species, prop_name)
         slabs = self._window_slab_plan(path, data_range, correlation_time)
@@ -357,11 +358,16 @@ class TrajectoryCalculator(Calculator):
         )
         store = self.experiment.store
 
-        # device dtype: f64 never survives on TPU (x64 off) — loading f32
-        # from the store halves the host->device transfer volume
+        # windowed correlations are O(1) flops/byte: behind a slow
+        # accelerator link (measured) the slabs commit to the host CPU
+        # device and the jitted kernels follow the placement
         import jax
 
-        dtype = np.float64 if jax.default_backend() == "cpu" else np.float32
+        device = bandwidth_bound_device()
+        on_cpu = device is not None or jax.default_backend() == "cpu"
+        # device dtype: f64 never survives on TPU (x64 off) — loading f32
+        # halves the host->device transfer volume
+        dtype = np.float64 if on_cpu else np.float32
 
         def load(slab):
             start, stop = slab
@@ -369,4 +375,4 @@ class TrajectoryCalculator(Calculator):
                 [path], frames=slice(start, stop), atoms=atoms, dtype=dtype
             )[path]
 
-        yield from prefetch_to_device(load, slabs, depth=2)
+        yield from prefetch_to_device(load, slabs, depth=2, device=device)

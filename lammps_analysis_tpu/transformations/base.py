@@ -119,12 +119,17 @@ class Transformation(abc.ABC):
         carry = None
         if offset > 0 and self.requires_carryover:
             carry = self.bootstrap_carry(experiment, sp_name, offset)
-        for start, stop in self._batches(experiment, n_configs, offset):
-            batch = {
-                name: fetch(start, stop) for name, fetch in sources.items()
-            }
-            out, carry = self.transform_batch(batch, carry)
-            self._write_output(experiment, sp_name, np.asarray(out))
+        from ..utils.devices import bandwidth_bound_compute
+
+        # transformations are O(1) flops/byte: run where the data lives
+        # when the accelerator link is slow (measured policy)
+        with bandwidth_bound_compute():
+            for start, stop in self._batches(experiment, n_configs, offset):
+                batch = {
+                    name: fetch(start, stop) for name, fetch in sources.items()
+                }
+                out, carry = self.transform_batch(batch, carry)
+                self._write_output(experiment, sp_name, np.asarray(out))
 
     # -- multi species --------------------------------------------------------
     def _run_multi(self, experiment, species):
@@ -145,16 +150,22 @@ class Transformation(abc.ABC):
         self._ensure_output(experiment, DatasetKeys.OBSERVABLES, 1, n_configs)
         carry = None
         offset = experiment.store.get_cursor(out_path)
-        for start, stop in self._batches(experiment, n_configs, offset):
-            batch = {
-                sp: {name: fetch(start, stop) for name, fetch in per_sp.items()}
-                for sp, per_sp in sources.items()
-            }
-            out, carry = self.transform_batch(batch, carry)
-            out = np.asarray(out)
-            if out.ndim == 2:  # (T, d) -> (T, 1, d)
-                out = out[:, None, :]
-            self._write_output(experiment, DatasetKeys.OBSERVABLES, out)
+        from ..utils.devices import bandwidth_bound_compute
+
+        with bandwidth_bound_compute():
+            for start, stop in self._batches(experiment, n_configs, offset):
+                batch = {
+                    sp: {
+                        name: fetch(start, stop)
+                        for name, fetch in per_sp.items()
+                    }
+                    for sp, per_sp in sources.items()
+                }
+                out, carry = self.transform_batch(batch, carry)
+                out = np.asarray(out)
+                if out.ndim == 2:  # (T, d) -> (T, 1, d)
+                    out = out[:, None, :]
+                self._write_output(experiment, DatasetKeys.OBSERVABLES, out)
 
     # -- plumbing -------------------------------------------------------------
     def _batches(self, experiment, n_configs: int, offset: int):
