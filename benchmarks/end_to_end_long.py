@@ -1,0 +1,201 @@
+"""Long-trajectory end-to-end benchmark: the BASELINE.md north star.
+
+10k atoms x >=100k frames through the FULL stack — ingest to the HDF5
+store, RDF (sampled, TPU), ionic-current GK conductivity, coordinate
+unwrap, Einstein + GK self-diffusion — with wall-clock compared against
+the reference's TF math measured on the same machine
+(``tf_reference_baseline.py`` rates; linear extrapolation to this
+workload, which favors TF by ignoring its memory pressure and its
+pure-Python batching loops).
+
+Writes ``benchmarks/end_to_end_100k.json`` incrementally after each stage
+so a crash preserves completed measurements.
+
+Run: python benchmarks/end_to_end_long.py [n_atoms] [n_frames]
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import lammps_analysis_tpu as latpu  # noqa: E402
+from lammps_analysis_tpu.database import (  # noqa: E402
+    PropertyInfo,
+    SpeciesInfo,
+    TrajectoryChunkData,
+    TrajectoryMetadata,
+)
+from lammps_analysis_tpu.file_io import ScriptInput  # noqa: E402
+
+POS = PropertyInfo("Positions", 3)
+VEL = PropertyInfo("Velocities", 3)
+OUT = pathlib.Path(__file__).parent / "end_to_end_100k.json"
+
+
+def flush(results):
+    OUT.write_text(json.dumps(results, indent=2))
+    print(json.dumps(results), flush=True)
+
+
+def main():
+    n_atoms = int(sys.argv[1]) if len(sys.argv) > 1 else 10240
+    n_frames = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+    chunk_frames = 2000
+    box, dt = 40.0, 0.002
+    rng = np.random.default_rng(0)
+    half = n_atoms // 2
+    species = [
+        SpeciesInfo("Na", half, [POS, VEL]),
+        SpeciesInfo("Cl", n_atoms - half, [POS, VEL]),
+    ]
+    workdir = pathlib.Path(tempfile.mkdtemp(prefix="e2e_long_"))
+    project = latpu.Project(name="long", storage_path=workdir)
+    exp = project.add_experiment(
+        "big", timestep=dt, temperature=1400.0, units="metal"
+    )
+
+    results = {"n_atoms": n_atoms, "n_frames": n_frames}
+
+    # ------------------------------------------------------------- ingest
+    ingest_s = 0.0
+    done = 0
+    # random-walk positions (diffusive) + white-noise velocities
+    last = rng.uniform(0, box, (n_atoms, 3))
+    while done < n_frames:
+        n = min(chunk_frames, n_frames - done)
+        meta = TrajectoryMetadata(
+            n_configurations=n, species_list=species, box_l=[box] * 3,
+            sample_rate=100, temperature=1400.0,
+        )
+        chunk = TrajectoryChunkData(species, n)
+        steps = rng.normal(scale=0.05, size=(n, n_atoms, 3))
+        walk = last[None] + np.cumsum(steps, axis=0)
+        last = walk[-1]
+        vel = rng.normal(scale=3.0, size=(n, n_atoms, 3))
+        chunk.add_data((walk[:, :half] % box), 0, "Na", "Positions")
+        chunk.add_data((walk[:, half:] % box), 0, "Cl", "Positions")
+        chunk.add_data(vel[:, :half], 0, "Na", "Velocities")
+        chunk.add_data(vel[:, half:], 0, "Cl", "Velocities")
+        t0 = time.perf_counter()
+        exp.add_data(ScriptInput(chunk, meta, f"chunk{done}"))
+        ingest_s += time.perf_counter() - t0
+        done += n
+        if done % 20000 == 0:
+            print(f"ingested {done}/{n_frames}", flush=True)
+    exp.set_charge("Na", 1.0)
+    exp.set_charge("Cl", -1.0)
+    gb = n_frames * n_atoms * 3 * 8 * 2 / 2**30
+    results["ingest_s"] = round(ingest_s, 1)
+    results["ingest_mb_per_s"] = round(gb * 1024 / ingest_s, 1)
+    results["store_gb"] = round(gb, 1)
+    flush(results)
+
+    # ---------------------------------------------------------------- RDF
+    n_conf, n_bins = 500, 500
+    t0 = time.perf_counter()
+    exp.run.RadialDistributionFunction(
+        number_of_configurations=n_conf, number_of_bins=n_bins, plot=False
+    )
+    rdf_s = time.perf_counter() - t0
+    results["rdf_s"] = round(rdf_s, 1)
+    results["rdf_pairs"] = n_conf * n_atoms * (n_atoms - 1) // 2
+    results["rdf_pairs_per_s"] = round(results["rdf_pairs"] / rdf_s)
+    flush(results)
+
+    # ------------------------------------------- GK ionic conductivity
+    w, stride = 512, 256
+    t0 = time.perf_counter()
+    exp.run.GreenKuboIonicConductivity(
+        data_range=w, correlation_time=stride, plot=False
+    )
+    results["gk_ionic_s"] = round(time.perf_counter() - t0, 1)
+    flush(results)
+
+    # --------------------------------------------------- Einstein diffusion
+    t0 = time.perf_counter()
+    exp.run.CoordinateUnwrapper()
+    results["unwrap_s"] = round(time.perf_counter() - t0, 1)
+    flush(results)
+
+    n_windows = (n_frames - w) // stride + 1
+    t0 = time.perf_counter()
+    exp.run.EinsteinDiffusionCoefficients(
+        data_range=w, correlation_time=stride, plot=False
+    )
+    einstein_s = time.perf_counter() - t0
+    results["einstein_s"] = round(einstein_s, 1)
+    results["msd_window_frame_atoms_per_s"] = round(
+        n_windows * w * n_atoms / einstein_s
+    )
+    flush(results)
+
+    # ------------------------------------------------- GK self-diffusion
+    t0 = time.perf_counter()
+    exp.run.GreenKuboDiffusionCoefficients(
+        data_range=w, correlation_time=stride, plot=False
+    )
+    gk_s = time.perf_counter() - t0
+    results["gk_diffusion_s"] = round(gk_s, 1)
+    results["vacf_window_frame_atoms_per_s"] = round(
+        n_windows * w * n_atoms / gk_s
+    )
+    flush(results)
+
+    # ------------------------------------------ TF-equivalent wall-clock
+    tf_path = pathlib.Path(__file__).parent / "tf_baseline.json"
+    if tf_path.exists():
+        tf = json.loads(tf_path.read_text())
+        comp = {}
+        # any framework must stream the same bytes off the same disk: the
+        # TF-equivalent for bandwidth-bound calculators is floored by the
+        # measured store throughput (kernel-only extrapolation would
+        # credit TF with infinitely fast I/O)
+        disk_mbps = results["ingest_mb_per_s"]
+        traj_mb = n_frames * n_atoms * 3 * 8 / 2**20
+        io_floor_s = traj_mb / max(disk_mbps, 1e-9)
+        comp["same_disk_io_floor_s"] = round(io_floor_s, 1)
+        if "value" in tf:
+            comp["rdf_tf_kernel_s"] = round(
+                results["rdf_pairs"] / tf["value"], 1
+            )
+            comp["rdf_speedup_vs_tf"] = round(
+                comp["rdf_tf_kernel_s"] / rdf_s, 1
+            )
+        if "msd_window_frame_atoms_per_s" in tf:
+            kern = n_windows * w * n_atoms / tf["msd_window_frame_atoms_per_s"]
+            comp["einstein_tf_equiv_s"] = round(max(kern, io_floor_s), 1)
+            comp["einstein_speedup_vs_tf"] = round(
+                comp["einstein_tf_equiv_s"] / einstein_s, 2
+            )
+        if "vacf_window_frame_atoms_per_s" in tf:
+            kern = n_windows * w * n_atoms / tf["vacf_window_frame_atoms_per_s"]
+            comp["gk_tf_equiv_s"] = round(max(kern, io_floor_s), 1)
+            comp["gk_speedup_vs_tf"] = round(
+                comp["gk_tf_equiv_s"] / gk_s, 2
+            )
+        comp["note"] = (
+            "TF times = this machine's measured reference-equivalent TF "
+            "kernel rates (tf_reference_baseline.py) extrapolated to this "
+            "workload, floored by the shared disk I/O time for the "
+            "bandwidth-bound calculators; kernel-only extrapolation still "
+            "favors TF by ignoring its python batching loops."
+        )
+        results["vs_tf_reference"] = comp
+    results["extrapolation_to_1m_frames"] = (
+        "ingest, unwrap, Einstein and GK scale linearly in frames (streamed "
+        "slabs); RDF samples a fixed number of configurations and is "
+        "frame-count independent beyond sampling I/O."
+    )
+    flush(results)
+
+
+if __name__ == "__main__":
+    main()

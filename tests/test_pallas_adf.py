@@ -83,3 +83,57 @@ def test_neighbor_lists_contract(rng):
     assert (d_n[valid] < 2.5).all()
     # padding centers carry species -1
     assert (np.asarray(sid_pad)[100:] == -1).all()
+
+
+def test_cell_lists_match_exact_neighbors(rng):
+    """Cell-list neighbor search == the O(N^2) scan (distances + species
+    multisets per center), including padding atoms and capacity retries."""
+    from lammps_analysis_tpu.ops.cells import (
+        cell_lists_applicable,
+        cells_per_dim,
+        neighbor_lists_cells,
+    )
+
+    f, n, box_l, cutoff = 2, 500, 20.0, 3.0
+    pos = rng.uniform(0, box_l, (f, n, 3)).astype(np.float32)
+    sid = np.repeat(np.arange(2), [n // 2, n - n // 2]).astype(np.int32)
+    box = jnp.asarray([box_l] * 3, np.float32)
+    assert cell_lists_applicable([box_l] * 3, cutoff)
+    n_dim = cells_per_dim(box_l, cutoff)
+
+    (_, dA, sA, _, mcA) = adf_neighbor_lists(
+        jnp.asarray(pos), jnp.asarray(sid), box, cutoff, k_n=128
+    )
+    (_, dB, sB, _, mcB, occ) = neighbor_lists_cells(
+        jnp.asarray(pos), jnp.asarray(sid), box, cutoff,
+        k_n=128, n_dim=n_dim, capacity=32,
+    )
+    dA, dB, sA, sB = map(np.asarray, (dA, dB, sA, sB))
+    assert int(mcA) == int(mcB)
+    assert int(occ) <= 32
+    nmin = min(dA.shape[1], dB.shape[1])
+    for fr in range(f):
+        for c in range(nmin):
+            da = np.sort(dA[fr, c][sA[fr, c] >= 0])
+            db = np.sort(dB[fr, c][sB[fr, c] >= 0])
+            assert len(da) == len(db), (fr, c)
+            np.testing.assert_allclose(da, db, rtol=1e-6)
+            assert sorted(sA[fr, c][sA[fr, c] >= 0]) == sorted(
+                sB[fr, c][sB[fr, c] >= 0]
+            ), (fr, c)
+
+
+def test_cell_capacity_overflow_detected(rng):
+    """Undersized cells must report max_occupancy > capacity (the retry
+    signal) rather than silently dropping atoms."""
+    from lammps_analysis_tpu.ops.cells import neighbor_lists_cells
+
+    # all atoms clustered in one cell -> occupancy ~ N >> capacity
+    pos = rng.uniform(4.0, 5.0, (1, 300, 3)).astype(np.float32)
+    sid = np.zeros(300, np.int32)
+    box = jnp.asarray([20.0] * 3, np.float32)
+    out = neighbor_lists_cells(
+        jnp.asarray(pos), jnp.asarray(sid), box, 3.0,
+        k_n=128, n_dim=6, capacity=16,
+    )
+    assert int(out[5]) > 16  # max_occupancy flags the overflow
