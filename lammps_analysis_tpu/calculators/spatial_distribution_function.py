@@ -180,4 +180,19 @@ class SpatialDistributionFunction(TrajectoryCalculator):
         out.parent.mkdir(exist_ok=True)
         fig.savefig(out, dpi=110)
         plt.close(fig)
+
+        # interactive companion (open3d-viewer parity,
+        # ``d3_data_visualizer.py:39-208``): unit-sphere cloud colored by
+        # SDF intensity, drag/zoom in a self-contained HTML
+        from ..visualizer.html3d import write_html_3d
+
+        write_html_3d(
+            [[("SDF", sphere)]],
+            self.experiment.path
+            / "figures"
+            / "SpatialDistributionFunction3D.html",
+            title="Spatial distribution function",
+            values=[colors],
+            radius=3.0,
+        )
         return out

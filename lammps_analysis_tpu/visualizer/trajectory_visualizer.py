@@ -76,4 +76,27 @@ class TrajectoryVisualizer:
         fig.savefig(out, dpi=110)
         plt.close(fig)
         log.info("wrote %s", out)
+
+        # interactive companion: drag/zoom/play point-cloud HTML
+        # (znvis-viewer parity, ``znvis_visualizer.py:41-140``)
+        from .html3d import write_html_3d
+
+        html_frames = []
+        for frame in frames:
+            groups = []
+            for sp in self.species:
+                path = join_path(sp, self.property_name)
+                if not exp.store.check_existence(path):
+                    continue
+                pos = exp.store.load(
+                    [path], frames=slice(frame, frame + 1)
+                )[path][0]
+                groups.append((sp, pos))
+            html_frames.append(groups)
+        write_html_3d(
+            html_frames,
+            exp.path / "figures" / "trajectory.html",
+            title=f"{exp.name} trajectory",
+            frame_labels=[f"frame {f}" for f in frames],
+        )
         return out

@@ -120,3 +120,39 @@ def test_html_plot_artifact(tmp_path, rng):
     assert "prefers-color-scheme: dark" in text  # selected dark mode
     assert "<table>" in text  # accessible table view
     assert (exp.path / "figures" / "RadialDistributionFunction.png").exists()
+
+
+def test_3d_html_viewers(tmp_path, rng):
+    """run_visualization and SDF write interactive 3-D HTML companions."""
+    import lammps_analysis_tpu as latpu
+    from lammps_analysis_tpu.database import (
+        PropertyInfo, SpeciesInfo, TrajectoryChunkData, TrajectoryMetadata,
+    )
+    from lammps_analysis_tpu.file_io import ScriptInput
+
+    POS = PropertyInfo("Positions", 3)
+    sp = [SpeciesInfo("Na", 8, [POS]), SpeciesInfo("Cl", 8, [POS])]
+    meta = TrajectoryMetadata(
+        n_configurations=12, species_list=sp, box_l=[9.0] * 3, sample_rate=1,
+    )
+    chunk = TrajectoryChunkData(sp, 12)
+    for name in ("Na", "Cl"):
+        chunk.add_data(rng.uniform(0, 9, (12, 8, 3)), 0, name, "Positions")
+    exp = latpu.Project(name="v3", storage_path=tmp_path).add_experiment(
+        "e", timestep=0.1, units="si",
+        simulation_data=ScriptInput(chunk, meta, "d"),
+    )
+    exp.run_visualization()
+    traj = exp.path / "figures" / "trajectory.html"
+    assert traj.exists()
+    text = traj.read_text()
+    assert "VIZ_DATA" in text and "pointerdown" in text and "Na" in text
+    assert "src=" not in text  # self-contained
+
+    exp.run.SpatialDistributionFunction(
+        species=["Na", "Cl"], start=0, stop=11, number_of_configurations=6,
+        r_min=1.0, r_max=4.0, n_bins=24, plot=True,
+    )
+    sdf3d = exp.path / "figures" / "SpatialDistributionFunction3D.html"
+    assert sdf3d.exists()
+    assert '"values"' in sdf3d.read_text()
