@@ -250,8 +250,14 @@ class TrajectoryCalculator(Calculator):
             if "slice" in encoded and isinstance(encoded["slice"], list):
                 return slice(*encoded["slice"])
             per_species = encoded.get(species)
-            return np.asarray(per_species) if per_species is not None else None
-        return np.asarray(encoded)
+            # dtype pinned: an EMPTY list would default to float64 and
+            # break fancy indexing
+            return (
+                np.asarray(per_species, dtype=np.int64)
+                if per_species is not None
+                else None
+            )
+        return np.asarray(encoded, dtype=np.int64)
 
     def selected_counts(self, species) -> List[int]:
         """Per-species particle counts after applying ``args['atom_selection']``.

@@ -230,7 +230,10 @@ def sharded_adf_histogram(
     rho = positions.shape[1] / max(volume, 1e-30)
     expected = rho * 4.0 / 3.0 * np.pi * float(cutoff) ** 3
     n_avail = int(positions.shape[1])
-    n_species = int(species_id.max()) + 1 if species_id.size else 1
+    # derive the species count from the triple table, NOT from the ids:
+    # a species with zero selected atoms must still occupy its histogram
+    # rows or the caller's (n_triples, n_bins) reshape breaks
+    n_species = int(triple_table.shape[0])
     use_pallas = jax.default_backend() == "tpu"
     k_n = int(np.clip(-(-2 * expected // 8) * 8 + 16, 24, 512))
     k_n = min(k_n, n_avail)
@@ -256,7 +259,14 @@ def sharded_adf_histogram(
         if use_cells and 27 * capacity < k_n:
             capacity = -(-k_n // 27 // 8) * 8
 
-        def pipeline(pos_shard, sid, ttab, box_, *, _k=k_n, _cap=capacity):
+        # stage 1 clamps K to the padded atom count; the Pallas stage
+        # requires a multiple of 128 — fall back to the XLA angle stage
+        # when the clamp breaks that (tiny systems near the tiled gate)
+        k_eff = min(k_n, -(-n_avail // 64) * 64)
+        use_pallas_run = use_pallas and k_eff % 128 == 0
+
+        def pipeline(pos_shard, sid, ttab, box_, *, _k=k_n, _cap=capacity,
+                     use_pallas=use_pallas_run):
             if use_cells:
                 r_nn, d_nn, s_nn, sid_pad, mc, occ = neighbor_lists_cells(
                     pos_shard, sid, box_, cutoff,

@@ -173,3 +173,31 @@ def test_structural_start_stop_asymmetry(exp):
     assert not np.array_equal(
         np.asarray(a_early["A_A_A"]["adf"]), np.asarray(a_late["A_A_A"]["adf"])
     )
+
+
+def test_adf_selection_empty_species(tmp_path, rng):
+    """A species selected down to zero atoms must keep its histogram rows
+    (regression: the species count was once derived from the selected ids,
+    collapsing the (n_triples, n_bins) output shape)."""
+    n_frames, box = 3, 8.0
+    sp = [SpeciesInfo("A", 12, [POSITIONS]), SpeciesInfo("B", 12, [POSITIONS])]
+    meta = TrajectoryMetadata(
+        n_configurations=n_frames, species_list=sp, box_l=[box] * 3,
+        sample_rate=1,
+    )
+    chunk = TrajectoryChunkData(sp, n_frames)
+    for name in ("A", "B"):
+        chunk.add_data(rng.uniform(0, box, (n_frames, 12, 3)), 0, name,
+                       "Positions")
+    exp = latpu.Project(name="z", storage_path=tmp_path).add_experiment(
+        "e", timestep=0.1, units="si",
+        simulation_data=ScriptInput(chunk, meta, "d"),
+    )
+    res = exp.run.AngularDistributionFunction(
+        number_of_configurations=n_frames, cutoff=4.0, number_of_bins=30,
+        atom_selection={"A": list(range(12)), "B": []}, plot=False,
+    )
+    # all four triple keys exist; B-involving ones are empty
+    assert set(res.data_dict) == {"A_A_A", "A_A_B", "A_B_B", "B_B_B"}
+    assert np.asarray(res["A_A_A"]["adf"]).sum() > 0
+    assert np.asarray(res["B_B_B"]["adf"]).sum() == 0
