@@ -76,10 +76,12 @@ def main():
             sample_rate=100, temperature=1400.0,
         )
         chunk = TrajectoryChunkData(species, n)
-        steps = rng.normal(scale=0.05, size=(n, n_atoms, 3))
-        walk = last[None] + np.cumsum(steps, axis=0)
-        last = walk[-1]
-        vel = rng.normal(scale=3.0, size=(n, n_atoms, 3))
+        # f32 generation: halves the single-core synthesis cost; the
+        # store is f64 either way (h5py upcasts on write)
+        steps = 0.05 * rng.standard_normal((n, n_atoms, 3), dtype=np.float32)
+        walk = last[None].astype(np.float32) + np.cumsum(steps, axis=0)
+        last = walk[-1].astype(np.float64)
+        vel = 3.0 * rng.standard_normal((n, n_atoms, 3), dtype=np.float32)
         chunk.add_data((walk[:, :half] % box), 0, "Na", "Positions")
         chunk.add_data((walk[:, half:] % box), 0, "Cl", "Positions")
         chunk.add_data(vel[:, :half], 0, "Na", "Velocities")
