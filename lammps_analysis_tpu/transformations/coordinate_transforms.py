@@ -48,9 +48,11 @@ class CoordinateUnwrapper(Transformation):
             last_pos, last_image = carryover
 
         # jumps between consecutive frames (incl. the seam to the last batch)
+        from ..ops.geometry import time_cumsum
+
         extended = jnp.concatenate([last_pos[None], pos], axis=0)
         jumps = jnp.round(jnp.diff(extended, axis=0) / box)
-        image = -jnp.cumsum(jumps, axis=0) + last_image[None]
+        image = -time_cumsum(jumps, axis=0) + last_image[None]
         unwrapped = pos + image * box
         return unwrapped, (pos[-1], image[-1])
 

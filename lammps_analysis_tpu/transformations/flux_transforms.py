@@ -157,8 +157,10 @@ class KinaciIntegratedHeatCurrent(Transformation):
             pe = props[mp.potential_energy.name]  # (T, N, 1)
             dt = props[mp.time_step.name] * props[mp.sample_rate.name]
 
+            from ..ops.geometry import time_cumsum
+
             integrand = jnp.sum(force * vel, axis=-1)  # (T, N)
-            integral = jnp.cumsum(integrand, axis=0) * dt
+            integral = time_cumsum(integrand, axis=0) * dt
             if carryover is not None and sp in carryover:
                 integral = integral + carryover[sp][None]
             new_carry[sp] = integral[-1]

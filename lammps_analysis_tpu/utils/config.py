@@ -46,6 +46,36 @@ class Config:
 config = Config()
 
 
+def enable_persistent_compile_cache() -> None:
+    """Point JAX at an on-disk compilation cache (idempotent).
+
+    XLA-CPU compiles of the streaming kernels cost seconds (measured ~10 s
+    for the unwrapper's scan on a 1 GB slab) and dominate short analyses;
+    the persistent cache makes every later process pay ~0 instead. TPU
+    backends usually have their own server-side cache — the directory cache
+    is still harmless there. Opt out with ``LATPU_JAX_CACHE=0``; override
+    the location with ``LATPU_JAX_CACHE=/path``.
+    """
+    import os
+
+    env = os.environ.get("LATPU_JAX_CACHE", "")
+    if env == "0":
+        return
+    import jax
+
+    if jax.config.jax_compilation_cache_dir:
+        return  # user already configured one
+    path = env or os.path.join(
+        os.path.expanduser("~"), ".cache", "lammps_analysis_tpu", "xla"
+    )
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - cache is an optimisation only
+        pass
+
+
 @contextlib.contextmanager
 def change_memory_fraction(desired_memory: float):
     """Temporarily override ``config.memory_fraction``.

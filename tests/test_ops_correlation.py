@@ -1,5 +1,6 @@
 """Unit tests for FFT correlation / MSD kernels vs direct numpy oracles."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -126,3 +127,44 @@ def test_incremental_line_fits_match_curve_fit(rng):
     popt, pcov, grads, grad_errs = fit_einstein_curve(x, y, fit_max_index=30)
     assert abs(popt[0] - 3.2) < 0.5  # short noisy window
     assert len(grads) == len(grad_errs) > 0
+
+
+def test_windowed_msd_comb_edge_strides(rng):
+    """Comb decomposition vs direct loop at awkward (T, W, S) combos.
+
+    Covers: stride not dividing the window, stride > window, stride not
+    dividing T, the tail-pad path (last comb row reads past T), and the
+    single-window case.
+    """
+    for (T, W, S) in [(100, 20, 7), (50, 50, 10), (100, 8, 32),
+                      (101, 30, 13), (64, 16, 1), (40, 40, 40),
+                      (33, 8, 3)]:
+        pos = rng.normal(size=(T, 4, 3)).cumsum(axis=0)
+        tau = jnp.arange(W)
+        msum, nw = M.windowed_msd_sum(jnp.array(pos), tau, W, S)
+        expect = np.zeros(W)
+        count = 0
+        for s in range(0, T - W + 1, S):
+            seg = pos[s : s + W]
+            expect += ((seg - seg[0]) ** 2).sum(axis=(1, 2))
+            count += 1
+        assert int(nw) == count, (T, W, S)
+        np.testing.assert_allclose(np.asarray(msum), expect, rtol=1e-9)
+
+
+def test_windowed_msd_empty_when_window_exceeds_frames(rng):
+    pos = rng.normal(size=(10, 3, 3))
+    msum, nw = M.windowed_msd_sum(jnp.array(pos), jnp.arange(20), 20, 4)
+    assert int(nw) == 0
+    np.testing.assert_array_equal(np.asarray(msum), np.zeros(20))
+
+
+def test_time_cumsum_matches_numpy(rng):
+    from lammps_analysis_tpu.ops.geometry import time_cumsum
+
+    x = rng.normal(size=(37, 6, 3))
+    got = np.asarray(jax.jit(time_cumsum)(jnp.asarray(x)))
+    np.testing.assert_allclose(got, np.cumsum(x, axis=0), rtol=1e-12)
+    x2 = rng.normal(size=(5, 11))
+    got2 = np.asarray(time_cumsum(jnp.asarray(x2), axis=1))
+    np.testing.assert_allclose(got2, np.cumsum(x2, axis=1), rtol=1e-12)
