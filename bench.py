@@ -111,6 +111,30 @@ def measure_gk_corr_frames_per_s(t=16384, n=256, window=512, stride=256,
     return n_windows * window * n / elapsed
 
 
+def measure_msd_wfa_per_s(t=16384, n=1024, window=512, stride=256,
+                          repeats=3):
+    """Windowed-MSD throughput (window-frame-atoms/s), comb formulation."""
+    import jax
+    import jax.numpy as jnp
+
+    from lammps_analysis_tpu.ops.msd import windowed_msd_sum
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(
+        np.cumsum(rng.normal(size=(t, n, 3)), axis=0).astype(np.float32)
+    )
+    tau = jnp.arange(window)
+    out = windowed_msd_sum(x, tau, window, stride)
+    np.asarray(out[0])  # compile + execute + fetch
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = windowed_msd_sum(x, tau, window, stride)
+    jax.block_until_ready(out)
+    elapsed = (time.perf_counter() - t0) / repeats
+    n_windows = (t - window) // stride + 1
+    return n_windows * window * n / elapsed
+
+
 def measure_ingest_mb_per_s(n_frames=50, n_atoms=2000):
     """Native-parser LAMMPS dump ingestion throughput."""
     import io
@@ -163,6 +187,12 @@ def main():
         extras["gk_corr_frames_per_s"] = round(measure_gk_corr_frames_per_s())
     except Exception as err:  # pragma: no cover
         extras["gk_error"] = str(err)[:120]
+    try:
+        extras["msd_window_frame_atoms_per_s"] = round(
+            measure_msd_wfa_per_s()
+        )
+    except Exception as err:  # pragma: no cover
+        extras["msd_error"] = str(err)[:120]
     try:
         extras["ingest_mb_per_s"] = round(measure_ingest_mb_per_s(), 1)
     except Exception as err:  # pragma: no cover

@@ -18,7 +18,9 @@ TPU-native re-design of the reference simulation database
 
 from __future__ import annotations
 
+import contextlib
 import pathlib
+import threading
 from typing import Dict, List, Optional, Sequence, Union
 
 import h5py
@@ -50,6 +52,17 @@ class TrajectoryStore:
         self.path = pathlib.Path(path)
         self.path.parent.mkdir(parents=True, exist_ok=True)
         self.compression = compression
+        # HDF5 cannot hold the same file open read-only and read-write at
+        # once (even within one process): the prefetch thread's slab reads
+        # racing a main-thread append crashes with "file is already open
+        # for read-only". All opens of this store go through this lock.
+        self._lock = threading.RLock()
+
+    @contextlib.contextmanager
+    def _open(self, mode: str):
+        with self._lock:
+            with h5py.File(self.path, mode) as db:
+                yield db
 
     # ------------------------------------------------------------------ setup
     def initialize(self, metadata: TrajectoryMetadata) -> None:
@@ -58,7 +71,7 @@ class TrajectoryStore:
         Reference analog: ``Database.initialize_database``
         (``simulation_database.py:420-447``).
         """
-        with h5py.File(self.path, "a") as db:
+        with self._open("a") as db:
             for sp in metadata.species_list:
                 grp = db.require_group(sp.name)
                 for prop in sp.properties:
@@ -115,7 +128,7 @@ class TrajectoryStore:
         Reference analog: ``Database.resize_datasets``
         (``simulation_database.py:380-418``).
         """
-        with h5py.File(self.path, "a") as db:
+        with self._open("a") as db:
             for path, n_extra in extension.items():
                 ds = db[path]
                 ds.resize(ds.shape[0] + int(n_extra), axis=0)
@@ -128,7 +141,7 @@ class TrajectoryStore:
         (``simulation_database.py:333-378``) minus the axis swap — chunks are
         already time-leading here.
         """
-        with h5py.File(self.path, "a") as db:
+        with self._open("a") as db:
             for sp in chunk.species_list:
                 for prop in sp.properties:
                     ds = db[join_path(sp.name, prop.name)]
@@ -139,12 +152,24 @@ class TrajectoryStore:
                     ds[start:stop] = chunk.get_data(sp.name, prop.name)
                     ds.attrs["starting_index"] = stop
 
+    def ensure_dataset(
+        self, group: str, name: str, n_configs: int, n_particles: int,
+        n_dims: int, dtype: str = "float64",
+    ) -> None:
+        """Create ``group/name`` if absent (locked — safe vs prefetch reads)."""
+        with self._open("a") as db:
+            grp = db.require_group(group)
+            if name not in grp:
+                self._create_dataset(
+                    grp, name, n_configs, n_particles, n_dims, dtype=dtype
+                )
+
     def set_cursor(self, path: str, value: int) -> None:
-        with h5py.File(self.path, "a") as db:
+        with self._open("a") as db:
             db[path].attrs["starting_index"] = int(value)
 
     def get_cursor(self, path: str) -> int:
-        with h5py.File(self.path, "r") as db:
+        with self._open("r") as db:
             return int(db[path].attrs["starting_index"])
 
     # ------------------------------------------------------------------- read
@@ -165,7 +190,7 @@ class TrajectoryStore:
         at load time).
         """
         out: Dict[str, np.ndarray] = {}
-        with h5py.File(self.path, "r") as db:
+        with self._open("r") as db:
             for path in paths:
                 ds = db[path]
                 data = self._select(ds, frames, atoms)
@@ -195,7 +220,7 @@ class TrajectoryStore:
         """Reference analog: ``simulation_database.py:546-572``."""
         if not self.path.exists():
             return False
-        with h5py.File(self.path, "r") as db:
+        with self._open("r") as db:
             return path in db
 
     def get_data_size(self, path: str) -> tuple:
@@ -205,14 +230,14 @@ class TrajectoryStore:
         (``simulation_database.py:668-702``) which returns the same triple
         (modulo axis order).
         """
-        with h5py.File(self.path, "r") as db:
+        with self._open("r") as db:
             shape = db[path].shape
         return (shape[0], shape[1], shape[2])
 
     def get_memory_information(self) -> Dict[str, int]:
         """Per-dataset nbytes. Reference: ``simulation_database.py:528-544``."""
         out = {}
-        with h5py.File(self.path, "r") as db:
+        with self._open("r") as db:
 
             def visit(name, obj):
                 if isinstance(obj, h5py.Dataset):
@@ -222,11 +247,11 @@ class TrajectoryStore:
         return out
 
     def species_names(self) -> List[str]:
-        with h5py.File(self.path, "r") as db:
+        with self._open("r") as db:
             return list(db.keys())
 
     def properties_of(self, species: str) -> List[str]:
-        with h5py.File(self.path, "r") as db:
+        with self._open("r") as db:
             return list(db[species].keys())
 
     def summary(self) -> Dict[str, Dict[str, tuple]]:

@@ -282,7 +282,6 @@ class Transformation(abc.ABC):
     def _ensure_output(self, experiment, group: str, n_particles: int, n_configs: int):
         path = join_path(group, self.output_property.name)
         if not experiment.store.check_existence(path):
-            import h5py
             import jax
 
             # derived datasets persist in the compute dtype: under the
@@ -290,16 +289,14 @@ class Transformation(abc.ABC):
             # write volume while storing downcast-then-upcast values
             # (x64 runs — the parity/test configuration — still get f64)
             dtype = "float64" if jax.config.jax_enable_x64 else "float32"
-            with h5py.File(experiment.store.path, "a") as db:
-                grp = db.require_group(group)
-                experiment.store._create_dataset(
-                    grp,
-                    self.output_property.name,
-                    n_configs,
-                    n_particles,
-                    self.output_property.n_dims,
-                    dtype=dtype,
-                )
+            experiment.store.ensure_dataset(
+                group,
+                self.output_property.name,
+                n_configs,
+                n_particles,
+                self.output_property.n_dims,
+                dtype=dtype,
+            )
         else:
             with_shape = experiment.store.get_data_size(path)
             if with_shape[0] < n_configs:

@@ -245,15 +245,9 @@ class MolecularMap:
 
     @staticmethod
     def _ensure_dataset(experiment, group, prop_name, n_particles, n_configs):
-        import h5py
-
-        path = join_path(group, prop_name)
-        if not experiment.store.check_existence(path):
-            with h5py.File(experiment.store.path, "a") as db:
-                grp = db.require_group(group)
-                experiment.store._create_dataset(
-                    grp, prop_name, n_configs, n_particles, 3
-                )
+        experiment.store.ensure_dataset(
+            group, prop_name, n_configs, n_particles, 3
+        )
 
     def _register(self, experiment, molecule, groups, composition, n_mol):
         """Record the molecule species + groups in the experiment DB."""

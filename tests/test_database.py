@@ -146,3 +146,43 @@ def test_chunk_equality(rng):
     assert a == b
     b.add_data(data + 1, 0, "X", "Positions")
     assert a != b
+
+
+def test_store_concurrent_read_write(tmp_path, rng):
+    """Prefetch-thread reads must not race main-thread appends.
+
+    Regression: h5py refuses to open one file read-only and read-write at
+    once, so an un-serialized background ``load`` racing ``add_chunk``
+    crashed long streamed runs with "file is already open for read-only".
+    The store now serializes all its opens on an internal lock.
+    """
+    import threading
+
+    meta = _metadata(n_configs=400)
+    store = TrajectoryStore(tmp_path / "db.h5")
+    store.initialize(meta)
+    errors = []
+    stop = threading.Event()
+
+    def reader():
+        try:
+            while not stop.is_set():
+                store.load(["Na/Positions"], frames=slice(0, 50))
+                store.get_cursor("Na/Positions")
+        except Exception as err:  # pragma: no cover - the regression
+            errors.append(err)
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for start in range(0, 400, 10):
+            chunk = TrajectoryChunkData(meta.species_list, 10)
+            chunk.add_data(rng.normal(size=(10, 4, 3)), 0, "Na", "Positions")
+            chunk.add_data(rng.normal(size=(10, 4, 3)), 0, "Na", "Velocities")
+            chunk.add_data(rng.normal(size=(10, 3, 3)), 0, "Cl", "Positions")
+            store.add_chunk(chunk)
+    finally:
+        stop.set()
+        t.join()
+    assert not errors, errors
+    assert store.get_cursor("Na/Positions") == 400
