@@ -157,10 +157,265 @@ def adf_neighbor_lists(
     return r_n, d_n, sid_n, sid, jnp.max(max_counts)
 
 
+# ----------------------------------------- stage 1 (Pallas): index extraction
+#: keys are the neighbor's own j index (exact f32 integers — every atom
+#: count this kernel accepts is far below 2^24) or _EMPTY for out-of-cutoff
+#: lanes; extraction is order-free set compaction (the angle histogram is
+#: order-invariant), so no distance sorting is needed at all.
+_JCAP = 16384  #: max padded atom count routed to this kernel (VMEM keys row)
+_EMPTY = 3.0e7  # key for non-neighbor lanes
+_TAKEN = 6.0e7  # key for already-extracted lanes
+
+
+@functools.partial(jax.jit, static_argnames=("k_n", "interpret"))
+def neighbor_indices_pallas(
+    positions: jnp.ndarray,  # (F, N, 3) float32
+    species_id: jnp.ndarray,  # (N,) int32, -1 padding
+    box,  # (3,) or None -> open boundaries
+    cutoff,
+    k_n: int = PALLAS_ADF_K,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Per-center in-cutoff neighbor indices, no ``top_k``, no HBM gathers.
+
+    Replaces the ``lax.top_k`` stage (118 ms/frame at 10k atoms — the ADF
+    pipeline bottleneck): for a block of 8 centers the kernel computes
+    minimum-image distances to ALL atoms on the VPU, then compacts the
+    in-cutoff lanes into ``k_n`` output slots entirely in VMEM. Slot ORDER
+    is arbitrary (unlike top_k's nearest-first) — the angle histogram is
+    order-invariant, so only the SET matters, and the set is exactly every
+    atom with ``d < cutoff`` whenever the in-cutoff count is <= ``k_n``
+    (same contract as ``adf_neighbor_lists``; saturation is detected by
+    the caller counting valid slots).
+
+    Compaction sweeps 128-lane chunks of the masked key row; each chunk
+    extracts its lane-min repeatedly with a DYNAMIC trip count (the
+    chunk's largest per-row neighbor count — ~1-4 at liquid densities vs
+    the 128 full-width sweeps a global extraction would need, which was
+    measured VMEM-bandwidth-bound at 62 ms/frame).
+
+    Returns ``idx (F, Npad, k_n) int32`` with ``-1`` for empty slots.
+    ``Npad`` is the 128-multiple atom padding; callers gather positions /
+    species with it (XLA short-row gathers run near element speed on TPU).
+    """
+    f, n, _ = positions.shape
+    n_pad = _round_up(n, 128)
+    assert n_pad <= _JCAP, (
+        f"packed keys address at most {_JCAP} atoms, got {n_pad}; "
+        "use cell lists / top_k above that"
+    )
+    if n_pad != n:
+        positions = jnp.pad(positions, ((0, 0), (0, n_pad - n), (0, 0)))
+        species_id = jnp.pad(species_id, (0, n_pad - n), constant_values=-1)
+    # centers per block: the chunk sweep's per-chunk overhead amortises
+    # over the block's rows (measured 41.8 -> 15.8 ms/frame going 8 -> 32
+    # at 10k atoms); the full-width mask build is insensitive (~10 ms)
+    tc = 32
+    n_blocks = n_pad // tc
+
+    # row layout (j-side): (F, 1, N) so the (1, 1, N) block's trailing dims
+    # equal the array dims (Mosaic block-shape divisibility rule)
+    px = positions[..., 0].astype(jnp.float32)
+    pxc = px.reshape(f * n_pad, 1)  # column layout (center-side)
+    py = positions[..., 1].astype(jnp.float32)
+    pyc = py.reshape(f * n_pad, 1)
+    pz = positions[..., 2].astype(jnp.float32)
+    pzc = pz.reshape(f * n_pad, 1)
+    px, py, pz = px[:, None, :], py[:, None, :], pz[:, None, :]
+    sid_row = species_id.astype(jnp.float32)[None, None, :]  # (1, 1, N)
+    sid_col = species_id.astype(jnp.float32)[:, None]
+
+    if box is None:
+        box_arr = jnp.zeros(3, jnp.float32)
+        use_mic = jnp.float32(0.0)
+    else:
+        box_arr = jnp.asarray(box, jnp.float32).reshape(3)
+        use_mic = jnp.float32(1.0)
+    cutoff_f = jnp.asarray(cutoff, jnp.float32).reshape(())
+    inv_box = jnp.where(box_arr > 0, 1.0 / jnp.where(box_arr > 0, box_arr, 1.0), 0.0)
+    params = jnp.stack(
+        [box_arr[0], box_arr[1], box_arr[2],
+         inv_box[0], inv_box[1], inv_box[2],
+         cutoff_f, use_mic]
+    )[None, :]  # (1, 8) SMEM
+
+    def kernel(
+        px_ref, py_ref, pz_ref, pxc_ref, pyc_ref, pzc_ref,
+        sid_row_ref, sid_col_ref, params_ref, out_ref, keys_ref,
+    ):
+        ib = pl.program_id(1)
+        bx = params_ref[0, 0]
+        by = params_ref[0, 1]
+        bz = params_ref[0, 2]
+        ibx = params_ref[0, 3]
+        iby = params_ref[0, 4]
+        ibz = params_ref[0, 5]
+        cutoff_v = params_ref[0, 6]
+        mic = params_ref[0, 7]
+
+        xj = px_ref[0, 0:1, :]  # (1, N)
+        yj = py_ref[0, 0:1, :]
+        zj = pz_ref[0, 0:1, :]
+        sj = sid_row_ref[0, 0:1, :]
+        xi = pxc_ref[...]  # (TC, 1)
+        yi = pyc_ref[...]
+        zi = pzc_ref[...]
+        si = sid_col_ref[...]
+
+        dx = xi - xj  # (TC, N)
+        dy = yi - yj
+        dz = zi - zj
+        dx = dx - mic * bx * jnp.round(dx * ibx)
+        dy = dy - mic * by * jnp.round(dy * iby)
+        dz = dz - mic * bz * jnp.round(dz * ibz)
+        d2 = dx * dx + dy * dy + dz * dz
+        d = jnp.sqrt(d2)
+
+        j_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (1, n_pad), 1
+        ).astype(jnp.float32)
+        i_ids = (ib * tc + jax.lax.broadcasted_iota(
+            jnp.int32, (tc, 1), 0
+        )).astype(jnp.float32)
+        valid = (
+            (d < cutoff_v)
+            & (j_ids != i_ids)
+            & (sj >= 0.0)
+            & (si >= 0.0)
+        )
+        keys_ref[...] = jnp.where(valid, j_ids + 0.0 * i_ids, _EMPTY)
+
+        slot_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (1, k_n), 1
+        ).astype(jnp.float32)
+        idx0 = jnp.full((tc, k_n), -1.0, jnp.float32)
+        slot0 = jnp.zeros((tc, 1), jnp.float32)
+
+        def take_min(carry, width_vals):
+            """Extract each row's smallest live key into its next slot."""
+            idx_acc, slot = carry
+            cur = jnp.min(width_vals, axis=1, keepdims=True)  # (TC, 1)
+            width_vals = jnp.where(width_vals == cur, _TAKEN, width_vals)
+            ok = (cur < _EMPTY) & (slot < float(k_n))
+            # one-hot slot write: idx starts at -1, add (j + 1) there
+            oh = jnp.where((slot_iota == slot) & ok, 1.0, 0.0)  # (TC, K)
+            idx_acc = idx_acc + oh * (cur + 1.0)
+            slot = slot + jnp.where(ok, 1.0, 0.0)
+            return (idx_acc, slot), width_vals
+
+        # Sweep 1 — scalar-free: every 128-lane chunk yields up to E
+        # entries (covers per-row-per-chunk counts <= E, i.e. almost all
+        # lanes at liquid densities); leftovers are written back. A
+        # dynamic per-chunk trip would be exact in one pass but each
+        # vector->scalar reduce stalls the pipelines (measured as slow as
+        # the full-width-sweep variant it replaced).
+        e_fixed = 4
+
+        def chunk_body(c, carry):
+            c0 = pl.multiple_of(c * 128, 128)
+            chunk = keys_ref[:, pl.ds(c0, 128)]  # (TC, 128)
+            for _ in range(e_fixed):
+                carry, chunk = take_min(carry, chunk)
+            keys_ref[:, pl.ds(c0, 128)] = chunk
+            return carry
+
+        (idx, slot) = jax.lax.fori_loop(
+            0, n_pad // 128, chunk_body, (idx0, slot0)
+        )
+
+        # Sweep 2 — exact cleanup: one scalar per BLOCK. Rows denser than
+        # E per chunk keep their leftovers in keys_ref; the trip count is
+        # the largest per-row leftover (~0 in practice).
+        left = jnp.max(
+            jnp.sum(jnp.where(keys_ref[...] < _EMPTY, 1.0, 0.0), axis=1)
+        ).astype(jnp.int32)
+
+        def cleanup(_, carry):
+            carry, width_vals = take_min(carry, keys_ref[...])
+            keys_ref[...] = width_vals
+            return carry
+
+        (idx, slot) = jax.lax.fori_loop(0, left, cleanup, (idx, slot))
+        out_ref[...] = idx
+
+    grid = (f, n_blocks)
+    row_spec = pl.BlockSpec(
+        (1, 1, n_pad), lambda fi, ib: (fi, 0, 0), memory_space=pltpu.VMEM
+    )
+    col_spec = pl.BlockSpec(
+        (tc, 1),
+        lambda fi, ib: (fi * n_blocks + ib, 0),
+        memory_space=pltpu.VMEM,
+    )
+    sid_row_spec = pl.BlockSpec(
+        (1, 1, n_pad), lambda fi, ib: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    sid_col_spec = pl.BlockSpec(
+        (tc, 1), lambda fi, ib: (ib, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[row_spec] * 3 + [col_spec] * 3
+        + [sid_row_spec, sid_col_spec]
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(
+            (tc, k_n),
+            lambda fi, ib: (fi * n_blocks + ib, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((f * n_pad, k_n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tc, n_pad), jnp.float32)],
+        interpret=interpret,
+    )(px, py, pz, pxc, pyc, pzc, sid_row, sid_col, params)
+    return out.reshape(f, n_pad, k_n).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k_n", "interpret"))
+def pallas_neighbor_lists(
+    positions: jnp.ndarray,
+    species_id: jnp.ndarray,
+    box: jnp.ndarray | None,
+    cutoff,
+    k_n: int = PALLAS_ADF_K,
+    interpret: bool = False,
+):
+    """Stage-1 neighbor tensors via the Pallas index kernel.
+
+    Same return contract as :func:`adf_neighbor_lists`:
+    ``(r_n, d_n, sid_n, sid_pad, max_count)`` with the atom axis padded to
+    a 128 multiple. Neighbor vectors are rebuilt with XLA gathers from the
+    (N, 3) positions table — short-row gathers run near element speed, vs
+    the top_k path's (F, C, N, 3) HBM materialisation.
+    """
+    f, n, _ = positions.shape
+    idx = neighbor_indices_pallas(
+        positions, species_id, box, cutoff, k_n=k_n, interpret=interpret
+    )
+    n_pad = idx.shape[1]
+    if n_pad != n:
+        positions = jnp.pad(positions, ((0, 0), (0, n_pad - n), (0, 0)))
+        species_id = jnp.pad(species_id, (0, n_pad - n), constant_values=-1)
+    dtype = positions.dtype
+    valid = idx >= 0
+    safe = jnp.maximum(idx, 0)
+    pos_g = jax.vmap(lambda p, ix: p[ix])(positions, safe)  # (F, Np, K, 3)
+    r_n = pos_g - positions[:, :, None, :]
+    if box is not None:
+        r_n = minimum_image(r_n, jnp.asarray(box).astype(dtype))
+    d_n = jnp.sqrt(jnp.sum(r_n * r_n, axis=-1))
+    sid_n = jnp.where(valid, species_id[safe], -1)
+    # zero out garbage slots so downstream denom masks stay safe
+    d_n = jnp.where(valid, d_n, 0.0)
+    r_n = jnp.where(valid[..., None], r_n, 0.0)
+    max_count = jnp.max(jnp.sum(valid, axis=2))
+    return r_n, d_n, sid_n, species_id, max_count
+
+
 # ------------------------------------------------------ stage 2: the kernel
 @functools.partial(
     jax.jit,
-    static_argnames=("n_bins", "n_species", "norm_power", "interpret"),
+    static_argnames=("n_bins", "n_species", "norm_power", "pack", "interpret"),
 )
 def adf_pairs_histogram_pallas(
     r_n: jnp.ndarray,  # (F, N, K, 3) neighbor displacements
@@ -170,6 +425,7 @@ def adf_pairs_histogram_pallas(
     n_bins: int,
     n_species: int,
     norm_power: int = 4,
+    pack: int = 1,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused ordered-pair angle histogram from neighbor lists.
@@ -177,20 +433,41 @@ def adf_pairs_histogram_pallas(
     Returns (n_triples, n_bins) f32 weighted counts (not density
     normalised), identical semantics to the angle stage of
     ``adf_histogram_neighbors``.
+
+    ``pack`` packs that many centers' neighbor sub-lists side by side in
+    each 128-lane row (callers slice each center's list to ``k//pack``
+    slots and reshape — valid only when no center has more neighbors than
+    that). The K x K tile then carries ``pack`` independent sub-blocks, so
+    the per-element VPU cost drops ~``pack``x at low neighbor counts.
+    With ``pack > 1`` pass ``sid_c`` as the packed per-lane center-species
+    ROW array ``(n_rows_per_frame, K)`` instead of ``(N,)``.
     """
     f, n, k = r_n.shape[:3]
     assert k % 128 == 0 and k >= 128, (
         f"neighbor-list width must be a positive multiple of 128, got {k}"
     )
-    assert sid_c.shape[0] == n, (
-        f"center species length {sid_c.shape[0]} != padded atom count {n} — "
-        "pass the padded sid returned by adf_neighbor_lists"
+    if pack == 1 and sid_c.ndim == 1:
+        assert sid_c.shape[0] == n, (
+            f"center species length {sid_c.shape[0]} != padded atom count "
+            f"{n} — pass the padded sid returned by adf_neighbor_lists"
+        )
+        sid_c = jnp.broadcast_to(
+            sid_c.astype(jnp.float32)[:, None], (n, k)
+        )
+    assert sid_c.shape == (n, k), (
+        f"packed center species must be {(n, k)}, got {sid_c.shape}"
     )
+    assert k % pack == 0
     n_triples = n_species * (n_species + 1) * (n_species + 2) // 6
     n_total_bins = n_triples * n_bins
-    k_lo = 128
+    # near-balanced (hi, lo) id split: the one-hot build costs
+    # (k_lo + 2*hi_pad) compare-rows per element, minimised at
+    # k_lo ~ sqrt(2 * total) (the hi side is duplicated for the two
+    # bf16 weight halves)
+    k_lo = min(128, _round_up(int(np.ceil(np.sqrt(2.0 * n_total_bins))), 32))
     n_hi = -(-n_total_bins // k_lo)
     hi_pad = _round_up(n_hi, 8)
+    k_pad = _round_up(k_lo, 128)
 
     rows = f * n
     rows_pad = _round_up(rows, _TC)
@@ -209,12 +486,11 @@ def adf_pairs_histogram_pallas(
     zr, zc = row_col(r_n[..., 2].astype(jnp.float32))
     dr, dc = row_col(d_n.astype(jnp.float32))
     sr, sc = row_col(sid_n.astype(jnp.float32))
-    sid_center = jnp.tile(sid_c.astype(jnp.float32), (f,))
+    sid_center = jnp.tile(sid_c.astype(jnp.float32), (f, 1))
     if rows_pad != rows:
         sid_center = jnp.pad(
-            sid_center, (0, rows_pad - rows), constant_values=-1.0
-        )
-    sid_center = sid_center[:, None]  # (rows_pad, 1)
+            sid_center, ((0, rows_pad - rows), (0, 0)), constant_values=-1.0
+        )  # (rows_pad, K) per-lane center species
 
     n_chunks = k // _CR
     n_blocks = rows_pad // _TC
@@ -233,7 +509,9 @@ def adf_pairs_histogram_pallas(
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
         # stacked one-hot rows: rows [0, hi_pad) select the high weight
-        # half, rows [hi_pad, 2 hi_pad) the low half -> ONE matmul for both
+        # half, rows [hi_pad, 2 hi_pad) the low half -> ONE matmul for
+        # both. Compares stay f32 — the v5e VPU has no bf16 vector
+        # compare ("Target does not support this comparison").
         rows2 = jax.lax.broadcasted_iota(jnp.int32, (2 * hi_pad, 1), 0)
         hi_ids2 = (rows2 % hi_pad).astype(jnp.float32)
         row_is_high = rows2 < hi_pad
@@ -254,9 +532,9 @@ def adf_pairs_histogram_pallas(
             zk = zr_ref[row, :]
             dk = dr_ref[row, :]
             sk = sr_ref[row, :]
-            # center species as an SMEM scalar — a (1,1) VMEM read would
-            # need a sublane+lane broadcast, which Mosaic cannot lower
-            sa = sidc_ref[c, 0]
+            # per-lane center species row: constant across lanes when
+            # pack == 1, per-sub-list when centers are packed
+            sa = sidc_ref[row, :]  # (1, K)
             # j-side: CR of the center's neighbor slots, column layout
             col = pl.ds(c * k + ch * _CR, _CR)
             xj = xc_ref[col, :]  # (CR, 1)
@@ -302,6 +580,13 @@ def adf_pairs_histogram_pallas(
                 & (j_slot != k_slot)
                 & safe
             )
+            if pack > 1:
+                # packed rows: pairs must come from the same center's
+                # sub-list (slots [h*sub, (h+1)*sub) for the same h)
+                sub_inv = 1.0 / (k // pack)
+                half_j = jnp.floor(j_slot.astype(jnp.float32) * sub_inv)
+                half_k = jnp.floor(k_slot.astype(jnp.float32) * sub_inv)
+                mask = mask & (half_j == half_k)
 
             # weight = inv_den^p, integer power by squaring (static p)
             result = jnp.ones_like(inv_den)
@@ -336,7 +621,7 @@ def adf_pairs_histogram_pallas(
 
             oh_lo = jnp.where(lo_buf[...] == lo_ids, 1.0, 0.0).astype(
                 jnp.bfloat16
-            )  # (128, CR*K)
+            )  # (LO, CR*K)
             hi_flat = hi_buf[...]
             sel_w = jnp.where(row_is_high, wh_buf[...], wl_buf[...])
             oh_hi = jnp.where(hi_flat == hi_ids2, sel_w, 0.0).astype(
@@ -346,8 +631,10 @@ def adf_pairs_histogram_pallas(
                 oh_hi, oh_lo,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (2 HI, 128)
-            acc_ref[...] += out2[0:hi_pad, :] + out2[hi_pad : 2 * hi_pad, :]
+            )  # (2 HI, LO)
+            acc_ref[:, 0:k_lo] += (
+                out2[0:hi_pad, :] + out2[hi_pad : 2 * hi_pad, :]
+            )
             return 0
 
         jax.lax.fori_loop(0, _TC * n_chunks, chunk_body, 0)
@@ -362,20 +649,17 @@ def adf_pairs_histogram_pallas(
     col_spec = pl.BlockSpec(
         (_TC * k, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    sidc_spec = pl.BlockSpec(
-        (_TC, 1), lambda i: (i, 0), memory_space=pltpu.SMEM
-    )
 
     out = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        in_specs=[row_spec] * 5 + [col_spec] * 5 + [sidc_spec],
+        in_specs=[row_spec] * 5 + [col_spec] * 5 + [row_spec],
         out_specs=pl.BlockSpec(
-            (hi_pad, k_lo), lambda i: (0, 0), memory_space=pltpu.VMEM
+            (hi_pad, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((hi_pad, k_lo), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((hi_pad, k_pad), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((hi_pad, k_lo), jnp.float32),
+            pltpu.VMEM((hi_pad, k_pad), jnp.float32),
             pltpu.VMEM((1, _CR * k), jnp.float32),
             pltpu.VMEM((1, _CR * k), jnp.float32),
             pltpu.VMEM((1, _CR * k), jnp.float32),
@@ -384,7 +668,7 @@ def adf_pairs_histogram_pallas(
         interpret=interpret,
     )(xr, yr, zr, dr, sr, xc, yc, zc, dc, sc, sid_center)
 
-    flat = out.reshape(-1)[:n_total_bins]
+    flat = out[:, :k_lo].reshape(-1)[:n_total_bins]
     return flat.reshape(n_triples, n_bins)
 
 
@@ -394,13 +678,15 @@ def auto_neighbor_lists(
     box: jnp.ndarray | None,
     cutoff,
     k_n: int = PALLAS_ADF_K,
+    interpret: bool = False,
 ):
-    """Neighbor lists via cell lists when applicable, O(N^2) otherwise.
+    """Neighbor lists via the best stage-1 for the backend and size.
 
-    Cell lists (``ops.cells``) replace the top_k-over-all-N bottleneck
-    (83 of 119 ms/frame at 10k atoms) with a top_k over the 27-cell
-    candidate set; cell-capacity overflow retries with doubled capacity
-    (exact for any geometry). Returns the ``adf_neighbor_lists`` tuple.
+    TPU (or interpret mode) with <= ``_JCAP`` atoms: the Pallas
+    min-extraction index kernel (:func:`neighbor_indices_pallas`). Very
+    large N with >= 3 cells per box edge: cell lists (``ops.cells``).
+    Otherwise the O(N^2) masked ``top_k``. Returns the
+    ``adf_neighbor_lists`` tuple.
     """
     from .cells import cell_lists_applicable, neighbor_lists_cells
 
@@ -414,6 +700,13 @@ def auto_neighbor_lists(
         and cell_lists_applicable(box_np, float(cutoff))
     )
     if not use_cells:
+        if (interpret or jax.default_backend() == "tpu") and (
+            _round_up(n, 128) <= _JCAP
+        ):
+            return pallas_neighbor_lists(
+                positions, species_id, box, cutoff, k_n=k_n,
+                interpret=interpret,
+            )
         return adf_neighbor_lists(positions, species_id, box, cutoff, k_n=k_n)
 
     n_dim = int(np.min(box_np) // float(cutoff))
@@ -449,12 +742,52 @@ def adf_histogram_pallas(
     ``adf_histogram_neighbors`` (``max_count == k_n`` means the fixed
     neighbor list may have saturated; results then under-count and callers
     must retry with a larger multiple-of-128 ``k_n``).
+
+    When the DENSITY-expected neighbor count fits in ``k_n // p`` slots
+    the angle stage runs center-PACKED (p centers per 128-lane row, p in
+    {4, 2}) — the K x K tile work drops ~p-fold at first-shell cutoffs.
+    The decision is static (a data-dependent one would cost a blocking
+    device->host sync per call); if the realised counts overflow the
+    packed sub-lists, the returned ``max_count`` is clamped to ``k_n`` so
+    existing callers' saturation-retry logic re-runs with a larger K.
     """
     r_n, d_n, sid_n, sid_pad, max_count = auto_neighbor_lists(
-        positions, species_id, box, cutoff, k_n=k_n
+        positions, species_id, box, cutoff, k_n=k_n, interpret=interpret
     )
-    hist = adf_pairs_histogram_pallas(
-        r_n, d_n, sid_n, sid_pad, n_bins, n_species,
-        norm_power=norm_power, interpret=interpret,
-    )
+    k = r_n.shape[2]
+    n_pad = r_n.shape[1]
+    pack = 1
+    if box is not None:
+        volume = float(np.prod(np.asarray(box)))
+        rho = positions.shape[1] / max(volume, 1e-30)
+        expected = rho * 4.0 / 3.0 * np.pi * float(cutoff) ** 3
+        for p in (4, 2):
+            if (
+                int(np.ceil(1.5 * expected)) + 8 <= k // p
+                and n_pad % p == 0
+            ):
+                pack = p
+                break
+    if pack > 1:
+        # overflowed sub-lists are invisible to the packed stage — report
+        # them as saturation so callers retry
+        max_count = jnp.where(max_count > k // pack, k_n, max_count)
+        f = r_n.shape[0]
+        sub = k // pack
+        rows = n_pad // pack
+        r_n = r_n[:, :, :sub].reshape(f, rows, k, 3)
+        d_n = d_n[:, :, :sub].reshape(f, rows, k)
+        sid_n = sid_n[:, :, :sub].reshape(f, rows, k)
+        sid_pack = jnp.repeat(
+            sid_pad.reshape(rows, pack).astype(jnp.float32), sub, axis=1
+        )
+        hist = adf_pairs_histogram_pallas(
+            r_n, d_n, sid_n, sid_pack, n_bins, n_species,
+            norm_power=norm_power, pack=pack, interpret=interpret,
+        )
+    else:
+        hist = adf_pairs_histogram_pallas(
+            r_n, d_n, sid_n, sid_pad, n_bins, n_species,
+            norm_power=norm_power, interpret=interpret,
+        )
     return hist, max_count

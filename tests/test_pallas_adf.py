@@ -137,3 +137,128 @@ def test_cell_capacity_overflow_detected(rng):
         k_n=128, n_dim=6, capacity=16,
     )
     assert int(out[5]) > 16  # max_occupancy flags the overflow
+
+
+def test_pallas_neighbor_indices_match_topk(rng):
+    """Pallas min-extraction stage-1 == top_k stage-1: identical neighbor
+    SETS per center (distances + species multisets), identical saturation
+    diagnostic — periodic and open boundaries, species padding included."""
+    from lammps_analysis_tpu.ops.pallas_adf import pallas_neighbor_lists
+
+    f, n, box_l, cutoff = 2, 300, 8.0, 2.5
+    pos = rng.uniform(0, box_l, (f, n, 3)).astype(np.float32)
+    sid = np.r_[np.zeros(140), np.ones(150), -np.ones(10)].astype(np.int32)
+    for box in (jnp.asarray([box_l] * 3, jnp.float32), None):
+        r_p, d_p, s_p, _, mc_p = pallas_neighbor_lists(
+            jnp.asarray(pos), jnp.asarray(sid), box, cutoff,
+            k_n=128, interpret=True,
+        )
+        r_x, d_x, s_x, _, mc_x = adf_neighbor_lists(
+            jnp.asarray(pos), jnp.asarray(sid), box, cutoff, k_n=128
+        )
+        assert int(mc_p) == int(mc_x)
+        d_p, d_x, s_p, s_x = map(np.asarray, (d_p, d_x, s_p, s_x))
+        n_cmp = min(d_p.shape[1], d_x.shape[1])
+        for fr in range(f):
+            for c in range(n_cmp):
+                dp = np.sort(d_p[fr, c][s_p[fr, c] >= 0])
+                dx = np.sort(d_x[fr, c][s_x[fr, c] >= 0])
+                assert len(dp) == len(dx), (fr, c)
+                np.testing.assert_allclose(dp, dx, atol=1e-6)
+                assert sorted(s_p[fr, c][s_p[fr, c] >= 0]) == sorted(
+                    s_x[fr, c][s_x[fr, c] >= 0]
+                ), (fr, c)
+
+
+def test_pallas_neighbor_indices_saturation_and_ties(rng):
+    """Saturated lists report max_count == k_n (the retry signal); exactly
+    coincident atoms (key-quantization worst case) still yield exact sets."""
+    from lammps_analysis_tpu.ops.pallas_adf import pallas_neighbor_lists
+
+    # dense cluster: every atom sees ~255 neighbors but k_n=128
+    pos = rng.uniform(0, 3.0, (1, 256, 3)).astype(np.float32)
+    sid = np.zeros(256, np.int32)
+    box = jnp.asarray([3.0] * 3, jnp.float32)
+    *_, mc = pallas_neighbor_lists(
+        jnp.asarray(pos), jnp.asarray(sid), box, 2.9, k_n=128, interpret=True
+    )
+    assert int(mc) == 128
+
+    # duplicated coordinates: packed keys must still be unique per atom
+    base = rng.uniform(0, 6.0, (1, 64, 3)).astype(np.float32)
+    pos2 = np.concatenate([base, base, base[:, :22]], axis=1)
+    sid2 = np.zeros(150, np.int32)
+    r_p, d_p, s_p, _, mc_p = pallas_neighbor_lists(
+        jnp.asarray(pos2), jnp.asarray(sid2), None, 2.0,
+        k_n=256, interpret=True,
+    )
+    r_x, d_x, s_x, _, mc_x = adf_neighbor_lists(
+        jnp.asarray(pos2), jnp.asarray(sid2), None, 2.0, k_n=256
+    )
+    assert int(mc_p) == int(mc_x)
+    d_p, d_x, s_p, s_x = map(np.asarray, (d_p, d_x, s_p, s_x))
+    for c in range(150):
+        dp = np.sort(d_p[0, c][s_p[0, c] >= 0])
+        dx = np.sort(d_x[0, c][s_x[0, c] >= 0])
+        assert len(dp) == len(dx) and np.allclose(dp, dx, atol=1e-6), c
+
+
+def test_full_pallas_pipeline_with_index_stage1(rng):
+    """adf_histogram_pallas in interpret mode (which now routes stage 1
+    through the index kernel) still matches the brute-force XLA ADF."""
+    n_sp, n_each, f, n_bins = 2, 80, 2, 73
+    box_l, cutoff = 8.0, 2.6
+    n = n_sp * n_each
+    pos = rng.uniform(0, box_l, (f, n, 3)).astype(np.float32)
+    sid = np.repeat(np.arange(n_sp), n_each).astype(np.int32)
+    ttab, order = A.build_triple_table(n_sp)
+    box = jnp.asarray([box_l] * 3, dtype=jnp.float32)
+    h_ref = np.asarray(A.adf_histogram(
+        jnp.asarray(pos), jnp.asarray(sid), jnp.asarray(ttab), box,
+        cutoff, n_bins, len(order),
+    ), dtype=np.float64)
+    h_pal, mc = adf_histogram_pallas(
+        jnp.asarray(pos), jnp.asarray(sid), box, cutoff, n_bins, n_sp,
+        interpret=True,
+    )
+    h_pal = np.asarray(h_pal, dtype=np.float64)
+    assert int(mc) < PALLAS_ADF_K
+    np.testing.assert_allclose(h_pal.sum(), h_ref.sum(), rtol=1e-5)
+    bad = ~np.isclose(h_pal, h_ref, rtol=1e-4, atol=1e-6)
+    assert bad.sum() <= max(2, h_ref.size // 64)
+
+
+def test_packed_stage2_matches_unpacked(rng):
+    """Center-packed angle stage (2 and 4 per row) == unpacked, exactly."""
+    import jax.numpy as jnp2
+    from lammps_analysis_tpu.ops.pallas_adf import (
+        adf_pairs_histogram_pallas,
+        pallas_neighbor_lists,
+    )
+
+    f, n, box_l, cutoff, n_bins = 2, 256, 9.0, 2.0, 73
+    pos = rng.uniform(0, box_l, (f, n, 3)).astype(np.float32)
+    sid = np.repeat(np.arange(2), n // 2).astype(np.int32)
+    box = jnp.asarray([box_l] * 3, jnp.float32)
+    r_n, d_n, sid_n, sid_pad, mc = pallas_neighbor_lists(
+        jnp.asarray(pos), jnp.asarray(sid), box, cutoff,
+        k_n=128, interpret=True,
+    )
+    k = r_n.shape[2]
+    assert int(mc) <= k // 4, "test geometry must allow pack=4"
+    base = np.asarray(adf_pairs_histogram_pallas(
+        r_n, d_n, sid_n, sid_pad, n_bins, 2, interpret=True
+    ))
+    n_pad = r_n.shape[1]
+    for pack in (2, 4):
+        sub, rows = k // pack, n_pad // pack
+        sid_pk = jnp2.repeat(
+            sid_pad.reshape(rows, pack).astype(jnp2.float32), sub, axis=1
+        )
+        packed = np.asarray(adf_pairs_histogram_pallas(
+            r_n[:, :, :sub].reshape(f, rows, k, 3),
+            d_n[:, :, :sub].reshape(f, rows, k),
+            sid_n[:, :, :sub].reshape(f, rows, k),
+            sid_pk, n_bins, 2, pack=pack, interpret=True,
+        ))
+        np.testing.assert_allclose(packed, base, rtol=1e-6, atol=1e-6)
