@@ -91,6 +91,7 @@ def sweep_adf(n_atoms, n_frames, n_bins, repeats=3):
         adf_histogram_pallas,
         adf_neighbor_lists,
         adf_pairs_histogram_pallas,
+        pallas_neighbor_lists,
     )
 
     rng = np.random.default_rng(2)
@@ -125,13 +126,40 @@ def sweep_adf(n_atoms, n_frames, n_bins, repeats=3):
         )
         out["pallas_s_per_frame"] = round(dt_p / n_frames, 4)
         out["pallas_speedup_vs_xla"] = round(dt / dt_p, 2)
-        # stage split: neighbor-list construction vs fused angle histogram
-        dt_s1 = _time(
-            lambda: adf_neighbor_lists(pos, sid_j, box_j, cutoff, k_n=128),
-            lambda o: np.asarray(o[1]),
+        # realistic first-shell cutoff: the center-packed angle stage
+        # engages (p centers per 128-lane row)
+        cut_shell = 3.6
+        dt_shell = _time(
+            lambda: adf_histogram_pallas(
+                pos, sid_j, box_j, cut_shell, n_bins, 2, norm_power=4
+            )[0],
+            np.asarray,
             repeats,
         )
-        lists = adf_neighbor_lists(pos, sid_j, box_j, cutoff, k_n=128)
+        dt_shell_xla = _time(
+            lambda: A.adf_histogram_neighbors(
+                pos, sid_j, jnp.asarray(ttab), box_j, cut_shell, n_bins,
+                len(order), norm_power=4, max_neighbors=128,
+            )[0],
+            np.asarray,
+            repeats,
+        )
+        out["pallas_firstshell_s_per_frame"] = round(dt_shell / n_frames, 4)
+        out["xla_firstshell_s_per_frame"] = round(dt_shell_xla / n_frames, 4)
+        out["firstshell_speedup_vs_xla"] = round(dt_shell_xla / dt_shell, 2)
+        # stage split: Pallas set-compaction stage 1 vs the old top_k,
+        # then the packed angle histogram
+        dt_s1 = _time(
+            lambda: pallas_neighbor_lists(pos, sid_j, box_j, cutoff, k_n=128),
+            lambda o: np.asarray(o[4]),
+            repeats,
+        )
+        dt_s1_topk = _time(
+            lambda: adf_neighbor_lists(pos, sid_j, box_j, cutoff, k_n=128),
+            lambda o: np.asarray(o[4]),
+            repeats,
+        )
+        lists = pallas_neighbor_lists(pos, sid_j, box_j, cutoff, k_n=128)
         dt_s2 = _time(
             lambda: adf_pairs_histogram_pallas(
                 *lists[:4], n_bins, 2, norm_power=4
@@ -139,7 +167,8 @@ def sweep_adf(n_atoms, n_frames, n_bins, repeats=3):
             np.asarray,
             repeats,
         )
-        out["stage1_topk_s_per_frame"] = round(dt_s1 / n_frames, 4)
+        out["stage1_pallas_s_per_frame"] = round(dt_s1 / n_frames, 4)
+        out["stage1_topk_s_per_frame"] = round(dt_s1_topk / n_frames, 4)
         out["stage2_pallas_s_per_frame"] = round(dt_s2 / n_frames, 4)
     return out
 
