@@ -120,8 +120,18 @@ def main():
 def run_stages(exp, results, n_atoms, n_frames):
     """Analysis stages; each is skipped if its key is already recorded."""
     # ---------------------------------------------------------------- RDF
-    n_conf, n_bins = 500, 500
+    n_conf = int(os.environ.get("E2E_RDF_CONF", 500))
+    n_bins = 500
     if "rdf_s" not in results:
+        # warmup pass: the first Pallas program of a novel shape compiles
+        # on the remote axon server (measured 4-17 MINUTES cold vs ~1 s
+        # cached); a small run with the same chunk shape separates that
+        # one-time cost from the steady-state stage time
+        t0 = time.perf_counter()
+        exp.run.RadialDistributionFunction(
+            number_of_configurations=16, number_of_bins=n_bins, plot=False
+        )
+        results["rdf_warmup_compile_s"] = round(time.perf_counter() - t0, 1)
         t0 = time.perf_counter()
         exp.run.RadialDistributionFunction(
             number_of_configurations=n_conf, number_of_bins=n_bins,

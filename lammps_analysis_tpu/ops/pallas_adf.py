@@ -412,6 +412,53 @@ def pallas_neighbor_lists(
     return r_n, d_n, sid_n, species_id, max_count
 
 
+@functools.partial(jax.jit, static_argnames=("k_n", "interpret"))
+def pallas_neighbor_components(
+    positions: jnp.ndarray,
+    species_id: jnp.ndarray,
+    box: jnp.ndarray | None,
+    cutoff,
+    k_n: int = PALLAS_ADF_K,
+    interpret: bool = False,
+):
+    """Stage-1 neighbor tensors in SoA (per-component) form.
+
+    Like :func:`pallas_neighbor_lists` but returns
+    ``((rx, ry, rz), d_n, sid_n, sid_pad, max_count)`` with each
+    component ``(F, Np, K)``. One AoS gather from the positions table,
+    then all elementwise math runs on K-minor layouts — the
+    ``(F, N, K, 3)`` chain puts the 3-wide axis on the 128-lane minor
+    dim and wastes ~40x lane occupancy per pass.
+    """
+    f, n, _ = positions.shape
+    idx = neighbor_indices_pallas(
+        positions, species_id, box, cutoff, k_n=k_n, interpret=interpret
+    )
+    n_pad = idx.shape[1]
+    if n_pad != n:
+        positions = jnp.pad(positions, ((0, 0), (0, n_pad - n), (0, 0)))
+        species_id = jnp.pad(species_id, (0, n_pad - n), constant_values=-1)
+    dtype = positions.dtype
+    valid = idx >= 0
+    validf = valid.astype(dtype)
+    safe = jnp.maximum(idx, 0)
+    pos_g = jax.vmap(lambda p, ix: p[ix])(positions, safe)  # (F, Np, K, 3)
+    box_a = None if box is None else jnp.asarray(box).astype(dtype)
+    comps = []
+    d2 = 0.0
+    for c in range(3):
+        rc = pos_g[..., c] - positions[..., c][:, :, None]  # (F, Np, K)
+        if box_a is not None:
+            rc = rc - box_a[c] * jnp.round(rc / box_a[c])
+        rc = rc * validf
+        d2 = d2 + rc * rc
+        comps.append(rc)
+    d_n = jnp.sqrt(d2)
+    sid_n = jnp.where(valid, species_id[safe], -1)
+    max_count = jnp.max(jnp.sum(valid, axis=2))
+    return tuple(comps), d_n, sid_n, species_id, max_count
+
+
 # ------------------------------------------------------ stage 2: the kernel
 @functools.partial(
     jax.jit,
@@ -442,7 +489,11 @@ def adf_pairs_histogram_pallas(
     With ``pack > 1`` pass ``sid_c`` as the packed per-lane center-species
     ROW array ``(n_rows_per_frame, K)`` instead of ``(N,)``.
     """
-    f, n, k = r_n.shape[:3]
+    if isinstance(r_n, (tuple, list)):
+        rx, ry, rz = r_n  # SoA components (F, N, K) — no relayout needed
+    else:
+        rx, ry, rz = r_n[..., 0], r_n[..., 1], r_n[..., 2]
+    f, n, k = rx.shape[:3]
     assert k % 128 == 0 and k >= 128, (
         f"neighbor-list width must be a positive multiple of 128, got {k}"
     )
@@ -481,9 +532,9 @@ def adf_pairs_histogram_pallas(
             flat = jnp.pad(flat, ((0, rows_pad - rows), (0, 0)))
         return flat, flat.reshape(rows_pad * k, 1)
 
-    xr, xc = row_col(r_n[..., 0].astype(jnp.float32))
-    yr, yc = row_col(r_n[..., 1].astype(jnp.float32))
-    zr, zc = row_col(r_n[..., 2].astype(jnp.float32))
+    xr, xc = row_col(rx.astype(jnp.float32))
+    yr, yc = row_col(ry.astype(jnp.float32))
+    zr, zc = row_col(rz.astype(jnp.float32))
     dr, dc = row_col(d_n.astype(jnp.float32))
     sr, sc = row_col(sid_n.astype(jnp.float32))
     sid_center = jnp.tile(sid_c.astype(jnp.float32), (f, 1))
@@ -751,11 +802,22 @@ def adf_histogram_pallas(
     packed sub-lists, the returned ``max_count`` is clamped to ``k_n`` so
     existing callers' saturation-retry logic re-runs with a larger K.
     """
-    r_n, d_n, sid_n, sid_pad, max_count = auto_neighbor_lists(
-        positions, species_id, box, cutoff, k_n=k_n, interpret=interpret
-    )
-    k = r_n.shape[2]
-    n_pad = r_n.shape[1]
+    n = positions.shape[1]
+    use_components = (
+        interpret or jax.default_backend() == "tpu"
+    ) and _round_up(n, 128) <= _JCAP
+    if use_components:
+        r_n, d_n, sid_n, sid_pad, max_count = pallas_neighbor_components(
+            positions, species_id, box, cutoff, k_n=k_n, interpret=interpret
+        )
+        k = r_n[0].shape[2]
+        n_pad = r_n[0].shape[1]
+    else:
+        r_n, d_n, sid_n, sid_pad, max_count = auto_neighbor_lists(
+            positions, species_id, box, cutoff, k_n=k_n, interpret=interpret
+        )
+        k = r_n.shape[2]
+        n_pad = r_n.shape[1]
     pack = 1
     if box is not None:
         volume = float(np.prod(np.asarray(box)))
@@ -772,22 +834,24 @@ def adf_histogram_pallas(
         # overflowed sub-lists are invisible to the packed stage — report
         # them as saturation so callers retry
         max_count = jnp.where(max_count > k // pack, k_n, max_count)
-        f = r_n.shape[0]
+        f = d_n.shape[0]
         sub = k // pack
         rows = n_pad // pack
-        r_n = r_n[:, :, :sub].reshape(f, rows, k, 3)
-        d_n = d_n[:, :, :sub].reshape(f, rows, k)
-        sid_n = sid_n[:, :, :sub].reshape(f, rows, k)
-        sid_pack = jnp.repeat(
+
+        def repack(x):
+            return x[:, :, :sub].reshape(f, rows, k)
+
+        if isinstance(r_n, tuple):
+            r_n = tuple(repack(c) for c in r_n)
+        else:
+            r_n = r_n[:, :, :sub].reshape(f, rows, k, 3)
+        d_n = repack(d_n)
+        sid_n = repack(sid_n)
+        sid_pad = jnp.repeat(
             sid_pad.reshape(rows, pack).astype(jnp.float32), sub, axis=1
         )
-        hist = adf_pairs_histogram_pallas(
-            r_n, d_n, sid_n, sid_pack, n_bins, n_species,
-            norm_power=norm_power, pack=pack, interpret=interpret,
-        )
-    else:
-        hist = adf_pairs_histogram_pallas(
-            r_n, d_n, sid_n, sid_pad, n_bins, n_species,
-            norm_power=norm_power, interpret=interpret,
-        )
+    hist = adf_pairs_histogram_pallas(
+        r_n, d_n, sid_n, sid_pad, n_bins, n_species,
+        norm_power=norm_power, pack=pack, interpret=interpret,
+    )
     return hist, max_count

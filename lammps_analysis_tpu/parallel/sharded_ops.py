@@ -225,7 +225,7 @@ def sharded_adf_histogram(
         _JCAP,
         adf_neighbor_lists,
         adf_pairs_histogram_pallas,
-        pallas_neighbor_lists,
+        pallas_neighbor_components,
     )
 
     volume = float(np.prod(np.asarray(box)))
@@ -289,9 +289,9 @@ def sharded_adf_histogram(
                     k_n=_k, n_dim=n_dim, capacity=_cap,
                 )
             elif use_pallas and n_avail <= _JCAP:
-                # Pallas min-extraction index kernel: replaces the
-                # top_k-over-all-N stage (118 -> ~10 ms/frame at 10k atoms)
-                r_nn, d_nn, s_nn, sid_pad, mc = pallas_neighbor_lists(
+                # Pallas set-compaction index kernel (SoA components):
+                # replaces the top_k stage, 117 -> 34 ms/frame at 10k atoms
+                r_nn, d_nn, s_nn, sid_pad, mc = pallas_neighbor_components(
                     pos_shard, sid, box_, cutoff, k_n=_k
                 )
                 occ = jnp.asarray(0, jnp.int32)
@@ -301,20 +301,26 @@ def sharded_adf_histogram(
                 )
                 occ = jnp.asarray(0, jnp.int32)
             if use_pallas:
-                kk = r_nn.shape[2]
-                n_rows = r_nn.shape[1]
+                kk = d_nn.shape[2]
+                n_rows = d_nn.shape[1]
                 if _pack > 1 and n_rows % _pack == 0:
-                    ff = r_nn.shape[0]
+                    ff = d_nn.shape[0]
                     sub = kk // _pack
                     rows = n_rows // _pack
+
+                    def repack(x):
+                        return x[:, :, :sub].reshape(ff, rows, kk)
+
+                    if isinstance(r_nn, tuple):
+                        r_pk = tuple(repack(c) for c in r_nn)
+                    else:
+                        r_pk = r_nn[:, :, :sub].reshape(ff, rows, kk, 3)
                     sid_pk = jnp.repeat(
                         sid_pad.reshape(rows, _pack).astype(jnp.float32),
                         sub, axis=1,
                     )
                     h = adf_pairs_histogram_pallas(
-                        r_nn[:, :, :sub].reshape(ff, rows, kk, 3),
-                        d_nn[:, :, :sub].reshape(ff, rows, kk),
-                        s_nn[:, :, :sub].reshape(ff, rows, kk),
+                        r_pk, repack(d_nn), repack(s_nn),
                         sid_pk, n_bins, n_species,
                         norm_power=norm_power, pack=_pack,
                     )
