@@ -135,6 +135,38 @@ def measure_msd_wfa_per_s(t=16384, n=1024, window=512, stride=256,
     return n_windows * window * n / elapsed
 
 
+def measure_adf_ms_per_frame(n_atoms=10240, n_frames=2, n_bins=500,
+                             cutoff=3.6, repeats=3):
+    """Fused ADF pipeline (Pallas set-compaction + packed angle stage)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lammps_analysis_tpu.ops.pallas_adf import adf_histogram_pallas
+
+    rng = np.random.default_rng(2)
+    box = 40.0
+    half = n_atoms // 2
+    sid = jnp.asarray(
+        np.r_[np.zeros(half, np.int32), np.ones(n_atoms - half, np.int32)]
+    )
+    pos = jnp.asarray(
+        rng.uniform(0, box, (n_frames, n_atoms, 3)).astype(np.float32)
+    )
+    box_j = jnp.asarray([box] * 3, jnp.float32)
+
+    def run():
+        return adf_histogram_pallas(pos, sid, box_j, cutoff, n_bins, 2)[0]
+
+    np.asarray(run())  # compile + execute + fetch
+    t0 = time.perf_counter()
+    h = None
+    for _ in range(repeats):
+        h = run()
+    jax.block_until_ready(h)
+    np.asarray(h)
+    return (time.perf_counter() - t0) / repeats / n_frames * 1000
+
+
 def measure_ingest_mb_per_s(n_frames=50, n_atoms=2000):
     """Native-parser LAMMPS dump ingestion throughput."""
     import io
@@ -197,6 +229,15 @@ def main():
         extras["ingest_mb_per_s"] = round(measure_ingest_mb_per_s(), 1)
     except Exception as err:  # pragma: no cover
         extras["ingest_error"] = str(err)[:120]
+    try:
+        import jax
+
+        if jax.default_backend() == "tpu":
+            extras["adf_firstshell_ms_per_frame"] = round(
+                measure_adf_ms_per_frame(), 1
+            )
+    except Exception as err:  # pragma: no cover
+        extras["adf_error"] = str(err)[:120]
     extras.update(_CONSISTENCY)
     print(
         json.dumps(
