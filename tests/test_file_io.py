@@ -254,3 +254,78 @@ def test_chemfiles_reader_with_stub(tmp_path, rng, monkeypatch):
     loaded = exp.load_matrix("Positions", ["O", "H"])
     np.testing.assert_allclose(loaded["O"], pos_all[:, [0]])
     np.testing.assert_allclose(loaded["H"], pos_all[:, [1, 2]])
+
+
+def _write_gro(path, n_mol=4, n_frames=3, box_nm=2.5, vel=True, rng=None):
+    """Synthetic SPC-water .gro file (fixed-width per the GROMACS manual)."""
+    rng = rng or np.random.default_rng(0)
+    pos = rng.uniform(0, box_nm, (n_frames, n_mol * 3, 3))
+    vels = rng.normal(scale=0.1, size=(n_frames, n_mol * 3, 3))
+    names = []
+    for m in range(n_mol):
+        names += ["OW", "HW1", "HW2"]
+    with open(path, "w") as f:
+        for fr in range(n_frames):
+            f.write(f"water box t= {10.0 * fr:.1f} step= {fr}\n")
+            f.write(f"{n_mol * 3}\n")
+            for a, name in enumerate(names):
+                res = a // 3 + 1
+                line = f"{res:5d}{'SOL':<5s}{name:>5s}{a + 1:5d}"
+                line += "".join(f"{v:8.3f}" for v in pos[fr, a])
+                if vel:
+                    line += "".join(f"{v:8.4f}" for v in vels[fr, a])
+                f.write(line + "\n")
+            f.write(f"{box_nm:10.5f}{box_nm:10.5f}{box_nm:10.5f}\n")
+    return pos, vels
+
+
+def test_gro_reader_species_units_and_stream(tmp_path, rng):
+    from lammps_analysis_tpu.file_io import GROFile
+
+    path = tmp_path / "traj.gro"
+    pos, vels = _write_gro(path, n_mol=4, n_frames=3, rng=rng)
+    reader = GROFile(path, frames_per_chunk=2)
+    meta = reader.metadata
+    assert meta.n_configurations == 3
+    assert meta.box_l == pytest.approx([25.0, 25.0, 25.0])
+    assert meta.sample_rate == 10
+    by_name = {s.name: s for s in meta.species_list}
+    assert set(by_name) == {"O", "H"}  # OW -> O, HW -> H
+    assert by_name["O"].n_particles == 4
+    assert by_name["H"].n_particles == 8
+    assert {p.name for p in by_name["O"].properties} == {
+        "Positions", "Velocities",
+    }
+    chunks = list(reader.get_configurations_generator())
+    assert [c.chunk_size for c in chunks] == [2, 1]
+    got_o = np.concatenate(
+        [c.get_data("O", "Positions") for c in chunks], axis=0
+    )
+    # nm -> Angstrom, fixed-width %8.3f round-trips to 1e-3 nm
+    o_rows = [3 * m for m in range(4)]
+    np.testing.assert_allclose(got_o, pos[:, o_rows] * 10.0, atol=1e-2)
+    got_v = np.concatenate(
+        [c.get_data("H", "Velocities") for c in chunks], axis=0
+    )
+    h_rows = [a for a in range(12) if a % 3]
+    np.testing.assert_allclose(got_v, vels[:, h_rows] * 10.0, atol=1e-3)
+
+
+def test_gro_ingestion_end_to_end(tmp_path, rng):
+    """GROMACS water workflow without chemfiles: ingest -> store -> RDF."""
+    import lammps_analysis_tpu as latpu
+    from lammps_analysis_tpu.file_io import GROFile
+
+    path = tmp_path / "w.gro"
+    _write_gro(path, n_mol=6, n_frames=4, vel=False, rng=rng)
+    project = latpu.Project(name="p", storage_path=tmp_path)
+    exp = project.add_experiment(
+        "w", timestep=0.002, temperature=300.0, units="real",
+        simulation_data=GROFile(path),
+    )
+    assert exp.number_of_configurations == 4
+    assert exp.species["O"].n_particles == 6
+    res = exp.run.RadialDistributionFunction(
+        number_of_configurations=2, number_of_bins=20, plot=False
+    )
+    assert len(res["O_O"]["y"]) == 20
