@@ -525,18 +525,21 @@ def adf_pairs_histogram_pallas(
     lo_r, hi_r = ADF_BIN_RANGE
     inv_bw = n_bins / (hi_r - lo_r)
 
-    # row layouts (k-side) and column layouts (j-side)
-    def row_col(x):  # (F, N, K) -> (rows_pad, K), (rows_pad * K, 1)
+    # row layout only. The j-side (CR, 1) operands are reconstructed
+    # IN-KERNEL by a one-hot MXU transpose of the row — the previous
+    # host-side flat (rows*K, 1) column arrays are 128x lane-padded in
+    # HBM by current libtpu (4 GB each at 65k atoms x 2 frames: OOM).
+    def row_of(x):  # (F, N, K) -> (rows_pad, K)
         flat = x.reshape(rows, k)
         if rows_pad != rows:
             flat = jnp.pad(flat, ((0, rows_pad - rows), (0, 0)))
-        return flat, flat.reshape(rows_pad * k, 1)
+        return flat
 
-    xr, xc = row_col(rx.astype(jnp.float32))
-    yr, yc = row_col(ry.astype(jnp.float32))
-    zr, zc = row_col(rz.astype(jnp.float32))
-    dr, dc = row_col(d_n.astype(jnp.float32))
-    sr, sc = row_col(sid_n.astype(jnp.float32))
+    xr = row_of(rx.astype(jnp.float32))
+    yr = row_of(ry.astype(jnp.float32))
+    zr = row_of(rz.astype(jnp.float32))
+    dr = row_of(d_n.astype(jnp.float32))
+    sr = row_of(sid_n.astype(jnp.float32))
     sid_center = jnp.tile(sid_c.astype(jnp.float32), (f, 1))
     if rows_pad != rows:
         sid_center = jnp.pad(
@@ -549,7 +552,6 @@ def adf_pairs_histogram_pallas(
 
     def kernel(
         xr_ref, yr_ref, zr_ref, dr_ref, sr_ref,
-        xc_ref, yc_ref, zc_ref, dc_ref, sc_ref,
         sidc_ref, out_ref, acc_ref,
         hi_buf, lo_buf, wh_buf, wl_buf,
     ):
@@ -586,13 +588,30 @@ def adf_pairs_histogram_pallas(
             # per-lane center species row: constant across lanes when
             # pack == 1, per-sub-list when centers are packed
             sa = sidc_ref[row, :]  # (1, K)
-            # j-side: CR of the center's neighbor slots, column layout
-            col = pl.ds(c * k + ch * _CR, _CR)
-            xj = xc_ref[col, :]  # (CR, 1)
-            yj = yc_ref[col, :]
-            zj = zc_ref[col, :]
-            dj = dc_ref[col, :]
-            sj = sc_ref[col, :]
+            # j-side: CR of the center's neighbor slots as (CR, 1)
+            # sublane vectors — one-hot MXU transpose of the row (a
+            # one-hot x f32 dot at HIGHEST is exact: the only nonzero
+            # term is value * 1.0)
+            sel = jnp.where(
+                (ch * _CR + jax.lax.broadcasted_iota(
+                    jnp.int32, (_CR, 1), 0
+                )) == jax.lax.broadcasted_iota(jnp.int32, (1, k), 1),
+                1.0, 0.0,
+            )  # (CR, K)
+
+            def pick(row_vals):
+                return jax.lax.dot_general(
+                    sel, row_vals,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (CR, 1)
+
+            xj = pick(xk)
+            yj = pick(yk)
+            zj = pick(zk)
+            dj = pick(dk)
+            sj = pick(sk)
 
             g = xj * xk + yj * yk + zj * zk  # (CR, K)
             denom = dj * dk
@@ -697,14 +716,11 @@ def adf_pairs_histogram_pallas(
     row_spec = pl.BlockSpec(
         (_TC, k), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    col_spec = pl.BlockSpec(
-        (_TC * k, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
 
     out = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        in_specs=[row_spec] * 5 + [col_spec] * 5 + [row_spec],
+        in_specs=[row_spec] * 6,
         out_specs=pl.BlockSpec(
             (hi_pad, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
         ),
@@ -717,7 +733,7 @@ def adf_pairs_histogram_pallas(
             pltpu.VMEM((1, _CR * k), jnp.float32),
         ],
         interpret=interpret,
-    )(xr, yr, zr, dr, sr, xc, yc, zc, dc, sc, sid_center)
+    )(xr, yr, zr, dr, sr, sid_center)
 
     flat = out[:, :k_lo].reshape(-1)[:n_total_bins]
     return flat.reshape(n_triples, n_bins)
