@@ -101,16 +101,23 @@ def rdf_histogram_pallas(
     n_blocks = n_pad // _TI
     n_j_blocks = n_pad // j_block
 
-    # row layout (j-side) and flat column layout (i-side): all dynamic
-    # reads then index sublanes only (lane offsets must be static/aligned)
+    # row layout only (current libtpu lane-pads (M, 1) column arrays 128x
+    # in both HBM and scoped-VMEM accounting — the old flat i-side columns
+    # capped the kernel at ~4 frames per call at 10k atoms). The i-side
+    # (TI, 1) vectors are reconstructed in-kernel by a one-hot MXU
+    # transpose of a 128-aligned row window.
     px = positions[..., 0]  # (F, N)
     py = positions[..., 1]
     pz = positions[..., 2]
-    pxc = px.reshape(f * n_pad, 1)
-    pyc = py.reshape(f * n_pad, 1)
-    pzc = pz.reshape(f * n_pad, 1)
     sid_row = species_id.astype(jnp.float32)[None, :]  # (1, N)
-    sid_col = species_id.astype(jnp.float32)[:, None]  # (N, 1)
+    # 128-lane-folded copies for the i-side window reads: dynamic SUBLANE
+    # indices need no alignment proof (dynamic lane offsets derived from
+    # a division are rejected: "dynamic load with unaligned indices")
+    n_win = n_pad // 128
+    pxf = px.reshape(f * n_win, 128)
+    pyf = py.reshape(f * n_win, 128)
+    pzf = pz.reshape(f * n_win, 128)
+    sidf = sid_row.reshape(n_win, 128)
 
     # box / cutoff are runtime parameters (no recompile when they change)
     box_arr = jnp.asarray(box, dtype=jnp.float32).reshape(3)
@@ -123,8 +130,9 @@ def rdf_histogram_pallas(
     )[None, :]  # (1, 9)
 
     def kernel(
-        px_ref, py_ref, pz_ref, pxc_ref, pyc_ref, pzc_ref,
-        sid_row_ref, sid_col_ref, params_ref, out_ref, acc_ref,
+        px_ref, py_ref, pz_ref,
+        pxf_ref, pyf_ref, pzf_ref,
+        sid_row_ref, sidf_ref, params_ref, out_ref, acc_ref,
         hi_buf_ref, lo_buf_ref,
     ):
         i = pl.program_id(0)
@@ -144,7 +152,27 @@ def rdf_histogram_pallas(
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
         i0 = pl.multiple_of(i * _TI, _TI)
-        sid_i = sid_col_ref[pl.ds(i0, _TI), :]  # (TI, 1)
+        # one-hot transpose selector: the TI i-atoms live in one row of
+        # the 128-lane-folded arrays; sel @ window^T yields (TI, 1)
+        # column vectors (exact at HIGHEST: the single nonzero product
+        # is value * 1.0)
+        iwin = i // (128 // _TI)
+        off = i0 - iwin * 128
+        sel = jnp.where(
+            (off + jax.lax.broadcasted_iota(jnp.int32, (_TI, 1), 0))
+            == jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1),
+            1.0, 0.0,
+        )  # (TI, 128)
+
+        def pick(window):  # (1, 128) -> (TI, 1)
+            return jax.lax.dot_general(
+                sel, window,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        sid_i = pick(sidf_ref[pl.ds(iwin, 1), :])  # (TI, 1)
         hi_ids = jax.lax.broadcasted_iota(
             jnp.int32, (hi_pad, 1), 0
         ).astype(jnp.float32)
@@ -163,7 +191,6 @@ def rdf_histogram_pallas(
             fi = step // nj_eff
             j_blk = j_min + step % nj_eff
             j0 = pl.multiple_of(j_blk * j_block, j_block)
-            col0 = pl.multiple_of(fi * n_pad + i0, _TI)
 
             xj = px_ref[fi, pl.ds(j0, j_block)][None, :]  # (1, TJ)
             yj = py_ref[fi, pl.ds(j0, j_block)][None, :]
@@ -172,9 +199,10 @@ def rdf_histogram_pallas(
             j_ids = j_blk * j_block + jax.lax.broadcasted_iota(
                 jnp.int32, (1, j_block), 1
             )
-            xi = pxc_ref[pl.ds(col0, _TI), :]  # (TI, 1)
-            yi = pyc_ref[pl.ds(col0, _TI), :]
-            zi = pzc_ref[pl.ds(col0, _TI), :]
+            rwin = fi * (n_pad // 128) + iwin
+            xi = pick(pxf_ref[pl.ds(rwin, 1), :])  # (TI, 1)
+            yi = pick(pyf_ref[pl.ds(rwin, 1), :])
+            zi = pick(pzf_ref[pl.ds(rwin, 1), :])
 
             # vectorized (TI, TJ) tile
             dx = xi - xj
@@ -256,7 +284,7 @@ def rdf_histogram_pallas(
             pltpu.VMEM((1, _TI * j_block), jnp.float32),
         ],
         interpret=interpret,
-    )(px, py, pz, pxc, pyc, pzc, sid_row, sid_col, params)
+    )(px, py, pz, pxf, pyf, pzf, sid_row, sidf, params)
 
     flat = out[:, :k].reshape(-1)[:n_total_bins]
     return flat.reshape(n_pairs, n_bins)

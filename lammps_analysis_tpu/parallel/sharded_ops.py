@@ -42,12 +42,12 @@ def _rdf_backend_kernel(
         box_tuple = tuple(float(b) for b in np.asarray(box))
 
         def kernel(pos, sid, _ptab, _box):
-            # the kernel's flat (F*N, 1) column operands occupy
-            # F*N*128*4 B of VMEM each (lane padding); cap frames per call
-            # so three of them plus working tiles stay within ~60 MB. Every
-            # chunk is padded to exactly f_max frames with a dynamic
-            # valid-frame bound, so ONE compiled program serves all batch
-            # sizes of a given system.
+            # frames per call sized from the VMEM-resident (F, N) row
+            # arrays (the old flat column operands were 128x lane-padded
+            # and capped calls at ~4 frames; they are gone — the kernel
+            # transposes i-side reads on the MXU). Every chunk is padded
+            # to exactly f_max frames with a dynamic valid-frame bound,
+            # so ONE compiled program serves all batch sizes of a system.
             import jax.numpy as jnp
 
             # size frames per call from the count the kernel PADS to —
@@ -55,7 +55,11 @@ def _rdf_backend_kernel(
             # system pads to 256; compile-time scoped-vmem OOM otherwise)
             n = padded_atom_count(pos.shape[1])
             f = pos.shape[0]
-            f_max = int(PALLAS_RDF_VMEM_BUDGET // (3 * n * 128 * 4))
+            # 16x headroom over the raw row bytes leaves scoped VMEM for
+            # the histogram scratch and working tiles (32 frames at 10k)
+            f_max = min(
+                128, int(PALLAS_RDF_VMEM_BUDGET // (3 * n * 4 * 16))
+            )
             if f_max < 1:
                 # a single frame's lane-padded column operands would blow
                 # the VMEM budget (N > ~40k): use the HBM-tiled XLA kernel
