@@ -168,14 +168,14 @@ _TAKEN = 6.0e7  # key for already-extracted lanes
 
 
 @functools.partial(jax.jit, static_argnames=("k_n", "interpret"))
-def neighbor_indices_pallas(
+def _neighbor_extract_pallas(
     positions: jnp.ndarray,  # (F, N, 3) float32
     species_id: jnp.ndarray,  # (N,) int32, -1 padding
     box,  # (3,) or None -> open boundaries
     cutoff,
     k_n: int = PALLAS_ADF_K,
     interpret: bool = False,
-) -> jnp.ndarray:
+):
     """Per-center in-cutoff neighbor indices, no ``top_k``, no HBM gathers.
 
     Replaces the ``lax.top_k`` stage (118 ms/frame at 10k atoms — the ADF
@@ -188,15 +188,17 @@ def neighbor_indices_pallas(
     (same contract as ``adf_neighbor_lists``; saturation is detected by
     the caller counting valid slots).
 
-    Compaction sweeps 128-lane chunks of the masked key row; each chunk
-    extracts its lane-min repeatedly with a DYNAMIC trip count (the
-    chunk's largest per-row neighbor count — ~1-4 at liquid densities vs
-    the 128 full-width sweeps a global extraction would need, which was
-    measured VMEM-bandwidth-bound at 62 ms/frame).
+    Compaction sweeps 128-lane chunks of the masked key row (4 scalar-free
+    extractions per chunk; leftovers swept by one dynamically-bounded
+    full-width pass). The full-width displacement / distance / species
+    rows are kept in VMEM scratch and each extraction ALSO accumulates the
+    selected lane's values through the same one-hot — so the kernel emits
+    the finished neighbor tensors directly, with no XLA gather pass
+    (measured 20.6 ms/frame of gather + elementwise post at 10k atoms).
 
-    Returns ``idx (F, Npad, k_n) int32`` with ``-1`` for empty slots.
-    ``Npad`` is the 128-multiple atom padding; callers gather positions /
-    species with it (XLA short-row gathers run near element speed on TPU).
+    Returns ``(idx, rx, ry, rz, d, sid, counts)`` — the first six
+    ``(F, Npad, k_n)`` (idx/sid int32, -1 for empty slots; r/d zeroed on
+    empty slots), counts ``(F, Npad)`` f32 per-center valid-slot counts.
     """
     f, n, _ = positions.shape
     n_pad = _round_up(n, 128)
@@ -241,7 +243,10 @@ def neighbor_indices_pallas(
 
     def kernel(
         px_ref, py_ref, pz_ref, pxc_ref, pyc_ref, pzc_ref,
-        sid_row_ref, sid_col_ref, params_ref, out_ref, keys_ref,
+        sid_row_ref, sid_col_ref, params_ref,
+        out_idx_ref, out_rx_ref, out_ry_ref, out_rz_ref,
+        out_d_ref, out_sid_ref, out_cnt_ref,
+        keys_ref, dxs_ref, dys_ref, dzs_ref, ds_ref, sids_ref,
     ):
         ib = pl.program_id(1)
         bx = params_ref[0, 0]
@@ -253,74 +258,102 @@ def neighbor_indices_pallas(
         cutoff_v = params_ref[0, 6]
         mic = params_ref[0, 7]
 
-        xj = px_ref[0, 0:1, :]  # (1, N)
-        yj = py_ref[0, 0:1, :]
-        zj = pz_ref[0, 0:1, :]
-        sj = sid_row_ref[0, 0:1, :]
         xi = pxc_ref[...]  # (TC, 1)
         yi = pyc_ref[...]
         zi = pzc_ref[...]
         si = sid_col_ref[...]
 
-        dx = xi - xj  # (TC, N)
-        dy = yi - yj
-        dz = zi - zj
-        dx = dx - mic * bx * jnp.round(dx * ibx)
-        dy = dy - mic * by * jnp.round(dy * iby)
-        dz = dz - mic * bz * jnp.round(dz * ibz)
-        d2 = dx * dx + dy * dy + dz * dz
-        d = jnp.sqrt(d2)
-
-        j_ids = jax.lax.broadcasted_iota(
-            jnp.int32, (1, n_pad), 1
-        ).astype(jnp.float32)
         i_ids = (ib * tc + jax.lax.broadcasted_iota(
             jnp.int32, (tc, 1), 0
         )).astype(jnp.float32)
-        valid = (
-            (d < cutoff_v)
-            & (j_ids != i_ids)
-            & (sj >= 0.0)
-            & (si >= 0.0)
-        )
-        keys_ref[...] = jnp.where(valid, j_ids + 0.0 * i_ids, _EMPTY)
 
         slot_iota = jax.lax.broadcasted_iota(
             jnp.int32, (1, k_n), 1
         ).astype(jnp.float32)
         idx0 = jnp.full((tc, k_n), -1.0, jnp.float32)
+        sid0 = jnp.full((tc, k_n), -1.0, jnp.float32)
+        zk = jnp.zeros((tc, k_n), jnp.float32)
         slot0 = jnp.zeros((tc, 1), jnp.float32)
 
-        def take_min(carry, width_vals):
-            """Extract each row's smallest live key into its next slot."""
-            idx_acc, slot = carry
-            cur = jnp.min(width_vals, axis=1, keepdims=True)  # (TC, 1)
-            width_vals = jnp.where(width_vals == cur, _TAKEN, width_vals)
-            ok = (cur < _EMPTY) & (slot < float(k_n))
-            # one-hot slot write: idx starts at -1, add (j + 1) there
-            oh = jnp.where((slot_iota == slot) & ok, 1.0, 0.0)  # (TC, K)
-            idx_acc = idx_acc + oh * (cur + 1.0)
-            slot = slot + jnp.where(ok, 1.0, 0.0)
-            return (idx_acc, slot), width_vals
+        def take_min(carry, keys_w, vals_w):
+            """Extract each row's smallest live key into its next slot,
+            accumulating the extracted lane's values via masked sums
+            (exactly one matching lane — keys are the unique j ids)."""
+            idx_acc, rxa, rya, rza, da, sa, slot = carry
+            cur = jnp.min(keys_w, axis=1, keepdims=True)  # (TC, 1)
+            m_f = jnp.where(keys_w == cur, 1.0, 0.0)
+            keys_w = jnp.where(keys_w == cur, _TAKEN, keys_w)
+            okf = jnp.where(
+                (cur < _EMPTY) & (slot < float(k_n)), 1.0, 0.0
+            )
+            # one-hot slot write; idx/sid start at -1, add (value + 1)
+            oh = jnp.where(slot_iota == slot, okf, 0.0)  # (TC, K)
+            vx, vy, vz, vd, vs = vals_w
 
-        # Sweep 1 — scalar-free: every 128-lane chunk yields up to E
-        # entries (covers per-row-per-chunk counts <= E, i.e. almost all
-        # lanes at liquid densities); leftovers are written back. A
-        # dynamic per-chunk trip would be exact in one pass but each
+            def pick(vw):
+                return jnp.sum(m_f * vw, axis=1, keepdims=True)  # (TC, 1)
+
+            idx_acc = idx_acc + oh * (cur + 1.0)
+            rxa = rxa + oh * pick(vx)
+            rya = rya + oh * pick(vy)
+            rza = rza + oh * pick(vz)
+            da = da + oh * pick(vd)
+            sa = sa + oh * (pick(vs) + 1.0)
+            slot = slot + okf
+            return (idx_acc, rxa, rya, rza, da, sa, slot), keys_w
+
+        # Sweep 1 — scalar-free, build fused in: each 128-lane chunk
+        # computes its minimum-image displacements / distances / masks in
+        # registers, writes them to the full-width scratch (for the
+        # cleanup pass), and immediately extracts up to E entries
+        # (covers per-row-per-chunk counts <= E, i.e. almost all lanes at
+        # liquid densities); key leftovers are written back. A dynamic
+        # per-chunk trip would be exact in one pass but each
         # vector->scalar reduce stalls the pipelines (measured as slow as
-        # the full-width-sweep variant it replaced).
+        # the full-width-sweep variant it replaced). Fusing the build
+        # keeps only (TC, 128) temporaries live — full-width (TC, N)
+        # register arrays overflowed the 16 MB scoped-VMEM limit.
         e_fixed = 4
 
         def chunk_body(c, carry):
             c0 = pl.multiple_of(c * 128, 128)
-            chunk = keys_ref[:, pl.ds(c0, 128)]  # (TC, 128)
+            lanes = pl.ds(c0, 128)
+            xjc = px_ref[0, 0:1, lanes]  # (1, 128)
+            yjc = py_ref[0, 0:1, lanes]
+            zjc = pz_ref[0, 0:1, lanes]
+            sjc = sid_row_ref[0, 0:1, lanes]
+            dxc = xi - xjc  # (TC, 128)
+            dyc = yi - yjc
+            dzc = zi - zjc
+            dxc = dxc - mic * bx * jnp.round(dxc * ibx)
+            dyc = dyc - mic * by * jnp.round(dyc * iby)
+            dzc = dzc - mic * bz * jnp.round(dzc * ibz)
+            dc = jnp.sqrt(dxc * dxc + dyc * dyc + dzc * dzc)
+            jc = (c0 + jax.lax.broadcasted_iota(
+                jnp.int32, (1, 128), 1
+            )).astype(jnp.float32)
+            validc = (
+                (dc < cutoff_v)
+                & (jc != i_ids)
+                & (sjc >= 0.0)
+                & (si >= 0.0)
+            )
+            sidc = sjc + 0.0 * i_ids  # (TC, 128) broadcast copy
+            chunk = jnp.where(validc, jc + 0.0 * i_ids, _EMPTY)
+            dxs_ref[:, lanes] = dxc
+            dys_ref[:, lanes] = dyc
+            dzs_ref[:, lanes] = dzc
+            ds_ref[:, lanes] = dc
+            sids_ref[:, lanes] = sidc
+            vals = (dxc, dyc, dzc, dc, sidc)
             for _ in range(e_fixed):
-                carry, chunk = take_min(carry, chunk)
-            keys_ref[:, pl.ds(c0, 128)] = chunk
+                carry, chunk = take_min(carry, chunk, vals)
+            keys_ref[:, lanes] = chunk
             return carry
 
-        (idx, slot) = jax.lax.fori_loop(
-            0, n_pad // 128, chunk_body, (idx0, slot0)
+        carry = jax.lax.fori_loop(
+            0, n_pad // 128, chunk_body,
+            (idx0, zk, zk, zk, zk, sid0, slot0),
         )
 
         # Sweep 2 — exact cleanup: one scalar per BLOCK. Rows denser than
@@ -331,12 +364,24 @@ def neighbor_indices_pallas(
         ).astype(jnp.int32)
 
         def cleanup(_, carry):
-            carry, width_vals = take_min(carry, keys_ref[...])
-            keys_ref[...] = width_vals
+            vals = (
+                dxs_ref[...], dys_ref[...], dzs_ref[...],
+                ds_ref[...], sids_ref[...],
+            )
+            carry, keys_w = take_min(carry, keys_ref[...], vals)
+            keys_ref[...] = keys_w
             return carry
 
-        (idx, slot) = jax.lax.fori_loop(0, left, cleanup, (idx, slot))
-        out_ref[...] = idx
+        idx, rxa, rya, rza, da, sa, slot = jax.lax.fori_loop(
+            0, left, cleanup, carry
+        )
+        out_idx_ref[...] = idx
+        out_rx_ref[...] = rxa
+        out_ry_ref[...] = rya
+        out_rz_ref[...] = rza
+        out_d_ref[...] = da
+        out_sid_ref[...] = sa
+        out_cnt_ref[...] = slot
 
     grid = (f, n_blocks)
     row_spec = pl.BlockSpec(
@@ -353,22 +398,66 @@ def neighbor_indices_pallas(
     sid_col_spec = pl.BlockSpec(
         (tc, 1), lambda fi, ib: (ib, 0), memory_space=pltpu.VMEM
     )
-    out = pl.pallas_call(
+    k_spec = pl.BlockSpec(
+        (tc, k_n),
+        lambda fi, ib: (fi * n_blocks + ib, 0),
+        memory_space=pltpu.VMEM,
+    )
+    cnt_spec = pl.BlockSpec(
+        (tc, 1),
+        lambda fi, ib: (fi * n_blocks + ib, 0),
+        memory_space=pltpu.VMEM,
+    )
+    k_shape = jax.ShapeDtypeStruct((f * n_pad, k_n), jnp.float32)
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[row_spec] * 3 + [col_spec] * 3
         + [sid_row_spec, sid_col_spec]
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=pl.BlockSpec(
-            (tc, k_n),
-            lambda fi, ib: (fi * n_blocks + ib, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((f * n_pad, k_n), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((tc, n_pad), jnp.float32)],
+        out_specs=[k_spec] * 6 + [cnt_spec],
+        out_shape=[k_shape] * 6
+        + [jax.ShapeDtypeStruct((f * n_pad, 1), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((tc, n_pad), jnp.float32)] * 6,
         interpret=interpret,
     )(px, py, pz, pxc, pyc, pzc, sid_row, sid_col, params)
-    return out.reshape(f, n_pad, k_n).astype(jnp.int32)
+    idx, rx, ry, rz, d_n, sid_n, cnt = outs
+    return (
+        idx.reshape(f, n_pad, k_n).astype(jnp.int32),
+        rx.reshape(f, n_pad, k_n),
+        ry.reshape(f, n_pad, k_n),
+        rz.reshape(f, n_pad, k_n),
+        d_n.reshape(f, n_pad, k_n),
+        sid_n.reshape(f, n_pad, k_n).astype(jnp.int32),
+        cnt.reshape(f, n_pad),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k_n", "interpret"))
+def neighbor_indices_pallas(
+    positions: jnp.ndarray,
+    species_id: jnp.ndarray,
+    box,
+    cutoff,
+    k_n: int = PALLAS_ADF_K,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Per-center in-cutoff neighbor indices (see the extract kernel).
+
+    Returns ``idx (F, Npad, k_n) int32`` with ``-1`` for empty slots.
+    """
+    return _neighbor_extract_pallas(
+        positions, species_id, box, cutoff, k_n=k_n, interpret=interpret
+    )[0]
+
+
+def _pad_sid(species_id, n_pad):
+    n = species_id.shape[0]
+    if n_pad != n:
+        species_id = jnp.pad(
+            species_id, (0, n_pad - n), constant_values=-1
+        )
+    return species_id
 
 
 @functools.partial(jax.jit, static_argnames=("k_n", "interpret"))
@@ -380,36 +469,21 @@ def pallas_neighbor_lists(
     k_n: int = PALLAS_ADF_K,
     interpret: bool = False,
 ):
-    """Stage-1 neighbor tensors via the Pallas index kernel.
+    """Stage-1 neighbor tensors via the Pallas extract kernel.
 
     Same return contract as :func:`adf_neighbor_lists`:
     ``(r_n, d_n, sid_n, sid_pad, max_count)`` with the atom axis padded to
-    a 128 multiple. Neighbor vectors are rebuilt with XLA gathers from the
-    (N, 3) positions table — short-row gathers run near element speed, vs
-    the top_k path's (F, C, N, 3) HBM materialisation.
+    a 128 multiple. All tensors come straight out of the kernel — no XLA
+    gather / post-processing pass.
     """
-    f, n, _ = positions.shape
-    idx = neighbor_indices_pallas(
+    _, rx, ry, rz, d_n, sid_n, cnt = _neighbor_extract_pallas(
         positions, species_id, box, cutoff, k_n=k_n, interpret=interpret
     )
-    n_pad = idx.shape[1]
-    if n_pad != n:
-        positions = jnp.pad(positions, ((0, 0), (0, n_pad - n), (0, 0)))
-        species_id = jnp.pad(species_id, (0, n_pad - n), constant_values=-1)
-    dtype = positions.dtype
-    valid = idx >= 0
-    safe = jnp.maximum(idx, 0)
-    pos_g = jax.vmap(lambda p, ix: p[ix])(positions, safe)  # (F, Np, K, 3)
-    r_n = pos_g - positions[:, :, None, :]
-    if box is not None:
-        r_n = minimum_image(r_n, jnp.asarray(box).astype(dtype))
-    d_n = jnp.sqrt(jnp.sum(r_n * r_n, axis=-1))
-    sid_n = jnp.where(valid, species_id[safe], -1)
-    # zero out garbage slots so downstream denom masks stay safe
-    d_n = jnp.where(valid, d_n, 0.0)
-    r_n = jnp.where(valid[..., None], r_n, 0.0)
-    max_count = jnp.max(jnp.sum(valid, axis=2))
-    return r_n, d_n, sid_n, species_id, max_count
+    r_n = jnp.stack([rx, ry, rz], axis=-1)
+    return (
+        r_n, d_n, sid_n, _pad_sid(species_id, rx.shape[1]),
+        jnp.max(cnt).astype(jnp.int32),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("k_n", "interpret"))
@@ -425,38 +499,16 @@ def pallas_neighbor_components(
 
     Like :func:`pallas_neighbor_lists` but returns
     ``((rx, ry, rz), d_n, sid_n, sid_pad, max_count)`` with each
-    component ``(F, Np, K)``. One AoS gather from the positions table,
-    then all elementwise math runs on K-minor layouts — the
-    ``(F, N, K, 3)`` chain puts the 3-wide axis on the 128-lane minor
-    dim and wastes ~40x lane occupancy per pass.
+    component ``(F, Np, K)`` — exactly the layout the Pallas angle stage
+    consumes, with no relayouts anywhere.
     """
-    f, n, _ = positions.shape
-    idx = neighbor_indices_pallas(
+    _, rx, ry, rz, d_n, sid_n, cnt = _neighbor_extract_pallas(
         positions, species_id, box, cutoff, k_n=k_n, interpret=interpret
     )
-    n_pad = idx.shape[1]
-    if n_pad != n:
-        positions = jnp.pad(positions, ((0, 0), (0, n_pad - n), (0, 0)))
-        species_id = jnp.pad(species_id, (0, n_pad - n), constant_values=-1)
-    dtype = positions.dtype
-    valid = idx >= 0
-    validf = valid.astype(dtype)
-    safe = jnp.maximum(idx, 0)
-    pos_g = jax.vmap(lambda p, ix: p[ix])(positions, safe)  # (F, Np, K, 3)
-    box_a = None if box is None else jnp.asarray(box).astype(dtype)
-    comps = []
-    d2 = 0.0
-    for c in range(3):
-        rc = pos_g[..., c] - positions[..., c][:, :, None]  # (F, Np, K)
-        if box_a is not None:
-            rc = rc - box_a[c] * jnp.round(rc / box_a[c])
-        rc = rc * validf
-        d2 = d2 + rc * rc
-        comps.append(rc)
-    d_n = jnp.sqrt(d2)
-    sid_n = jnp.where(valid, species_id[safe], -1)
-    max_count = jnp.max(jnp.sum(valid, axis=2))
-    return tuple(comps), d_n, sid_n, species_id, max_count
+    return (
+        (rx, ry, rz), d_n, sid_n, _pad_sid(species_id, rx.shape[1]),
+        jnp.max(cnt).astype(jnp.int32),
+    )
 
 
 # ------------------------------------------------------ stage 2: the kernel
