@@ -143,6 +143,27 @@ def run_stages(exp, results, n_atoms, n_frames):
         results["rdf_pairs_per_s"] = round(results["rdf_pairs"] / rdf_s)
         flush(results)
 
+    # ---------------------------------------------------------------- ADF
+    if "adf_s" not in results:
+        # warmup compiles the per-shape Pallas programs (see RDF note)
+        t0 = time.perf_counter()
+        exp.run.AngularDistributionFunction(
+            number_of_configurations=4, cutoff=3.6,
+            number_of_bins=n_bins, plot=False,
+        )
+        results["adf_warmup_compile_s"] = round(time.perf_counter() - t0, 1)
+        n_adf = max(8, n_conf // 5)
+        t0 = time.perf_counter()
+        exp.run.AngularDistributionFunction(
+            number_of_configurations=n_adf, cutoff=3.6,
+            number_of_bins=n_bins, plot=False,
+        )
+        adf_s = time.perf_counter() - t0
+        results["adf_s"] = round(adf_s, 1)
+        results["adf_frames"] = n_adf
+        results["adf_ms_per_frame"] = round(adf_s / n_adf * 1000, 1)
+        flush(results)
+
     # ------------------------------------------- GK ionic conductivity
     w, stride = 512, 256
     if "gk_ionic_s" not in results:
