@@ -541,6 +541,7 @@ def adf_pairs_histogram_pallas(
     n_species: int,
     norm_power: int = 4,
     pack: int = 1,
+    counts: jnp.ndarray | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused ordered-pair angle histogram from neighbor lists.
@@ -556,6 +557,12 @@ def adf_pairs_histogram_pallas(
     the per-element VPU cost drops ~``pack``x at low neighbor counts.
     With ``pack > 1`` pass ``sid_c`` as the packed per-lane center-species
     ROW array ``(n_rows_per_frame, K)`` instead of ``(N,)``.
+
+    ``counts`` (optional, ``(F, n_rows, pack)`` int32 valid-slot counts
+    per sub-list, as emitted by the extract kernel) lets the kernel SKIP
+    j-chunks that lie entirely beyond a sub-list's contiguous valid
+    prefix — an SMEM scalar predicate per chunk, no vector->scalar
+    stalls. At first-shell occupancies this halves the tile work.
     """
     if isinstance(r_n, (tuple, list)):
         rx, ry, rz = r_n  # SoA components (F, N, K) — no relayout needed
@@ -613,6 +620,12 @@ def adf_pairs_histogram_pallas(
         sid_center = jnp.pad(
             sid_center, ((0, rows_pad - rows), (0, 0)), constant_values=-1.0
         )  # (rows_pad, K) per-lane center species
+    if counts is None:
+        cnts = jnp.full((rows_pad, pack), k // pack, jnp.int32)
+    else:
+        cnts = counts.astype(jnp.int32).reshape(rows, pack)
+        if rows_pad != rows:
+            cnts = jnp.pad(cnts, ((0, rows_pad - rows), (0, 0)))
 
     n_chunks = k // _CR
     n_blocks = rows_pad // _TC
@@ -620,7 +633,7 @@ def adf_pairs_histogram_pallas(
 
     def kernel(
         xr_ref, yr_ref, zr_ref, dr_ref, sr_ref,
-        sidc_ref, out_ref, acc_ref,
+        sidc_ref, cnts_ref, out_ref, acc_ref,
         hi_buf, lo_buf, wh_buf, wl_buf,
     ):
         i = pl.program_id(0)
@@ -643,9 +656,22 @@ def adf_pairs_histogram_pallas(
             jnp.int32, (1, k), 1
         )
 
+        sub = k // pack
+
         def chunk_body(step, _):
             c = step // n_chunks
             ch = step % n_chunks
+            # skip chunks entirely beyond the sub-list's valid prefix
+            # (valid slots are contiguous per sub-list; counts from SMEM)
+            h = (ch * _CR) // sub
+            local = ch * _CR - h * sub
+
+            @pl.when(local < cnts_ref[c, h])
+            def _process():
+                _chunk_work(c, ch)
+            return 0
+
+        def _chunk_work(c, ch):
             # k-side: the center's full neighbor row
             row = pl.ds(c, 1)
             xk = xr_ref[row, :]  # (1, K)
@@ -773,7 +799,6 @@ def adf_pairs_histogram_pallas(
             acc_ref[:, 0:k_lo] += (
                 out2[0:hi_pad, :] + out2[hi_pad : 2 * hi_pad, :]
             )
-            return 0
 
         jax.lax.fori_loop(0, _TC * n_chunks, chunk_body, 0)
 
@@ -785,10 +810,13 @@ def adf_pairs_histogram_pallas(
         (_TC, k), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
 
+    cnts_spec = pl.BlockSpec(
+        (_TC, pack), lambda i: (i, 0), memory_space=pltpu.SMEM
+    )
     out = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        in_specs=[row_spec] * 6,
+        in_specs=[row_spec] * 6 + [cnts_spec],
         out_specs=pl.BlockSpec(
             (hi_pad, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
         ),
@@ -801,7 +829,7 @@ def adf_pairs_histogram_pallas(
             pltpu.VMEM((1, _CR * k), jnp.float32),
         ],
         interpret=interpret,
-    )(xr, yr, zr, dr, sr, sid_center)
+    )(xr, yr, zr, dr, sr, sid_center, cnts)
 
     flat = out[:, :k_lo].reshape(-1)[:n_total_bins]
     return flat.reshape(n_triples, n_bins)
@@ -891,15 +919,20 @@ def adf_histogram_pallas(
         interpret or jax.default_backend() == "tpu"
     ) and _round_up(n, 128) <= _JCAP
     if use_components:
-        r_n, d_n, sid_n, sid_pad, max_count = pallas_neighbor_components(
+        _, rx, ry, rz, d_n, sid_n, cnt = _neighbor_extract_pallas(
             positions, species_id, box, cutoff, k_n=k_n, interpret=interpret
         )
-        k = r_n[0].shape[2]
-        n_pad = r_n[0].shape[1]
+        r_n = (rx, ry, rz)
+        sid_pad = _pad_sid(species_id, rx.shape[1])
+        max_count = jnp.max(cnt).astype(jnp.int32)
+        counts = cnt  # (F, n_pad) — enables the angle stage's chunk skip
+        k = rx.shape[2]
+        n_pad = rx.shape[1]
     else:
         r_n, d_n, sid_n, sid_pad, max_count = auto_neighbor_lists(
             positions, species_id, box, cutoff, k_n=k_n, interpret=interpret
         )
+        counts = None
         k = r_n.shape[2]
         n_pad = r_n.shape[1]
     pack = 1
@@ -934,8 +967,14 @@ def adf_histogram_pallas(
         sid_pad = jnp.repeat(
             sid_pad.reshape(rows, pack).astype(jnp.float32), sub, axis=1
         )
+        if counts is not None:
+            # counts beyond the packed sub-width would mislead the skip
+            counts = jnp.minimum(counts, sub).reshape(f, rows, pack)
+    elif counts is not None:
+        counts = counts[..., None]  # (F, n_pad, 1)
     hist = adf_pairs_histogram_pallas(
         r_n, d_n, sid_n, sid_pad, n_bins, n_species,
-        norm_power=norm_power, pack=pack, interpret=interpret,
+        norm_power=norm_power, pack=pack, counts=counts,
+        interpret=interpret,
     )
     return hist, max_count
