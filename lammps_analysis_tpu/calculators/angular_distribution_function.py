@@ -100,29 +100,45 @@ class AngularDistributionFunction(TrajectoryCalculator):
 
         lo, hi = adf_ops.ADF_BIN_RANGE
         bin_width = (hi - lo) / n_bins
-        hist_total = np.zeros((n_triples, n_bins))
         n_batches = -(-len(sample_configs) // frames_per_batch)
-        for b in range(n_batches):
-            idx = sample_configs[b * frames_per_batch : (b + 1) * frames_per_batch]
-            pos = self.load_concat_positions(species, idx, n_pad, dtype)
-            # ~10 (F, C, N, N) intermediates are live in the ADF tile; keep each
-            # under ~128 MB so the peak stays well inside HBM
-            per_center = max(pos.shape[0] * n_pad * n_pad * 4, 1)
-            c_block = int(np.clip(2**27 // per_center, 1, min(8, n_pad)))
-            h = np.asarray(
-                sharded_adf_histogram(
-                    jnp.asarray(pos), sid_j, ttab_j, box,
-                    cutoff=a["cutoff"], n_bins=n_bins, n_triples=n_triples,
-                    norm_power=a["norm_power"],
-                    c_block=c_block,
-                ),
-                dtype=np.float64,
-            )
-            # per-batch density normalisation (reference ``:421-429``)
-            for t in range(n_triples):
-                total = h[t].sum()
-                if total > 0:
-                    hist_total[t] += h[t] / (total * bin_width)
+        # ~10 (F, C, N, N) intermediates are live in the small-system ADF
+        # tile; keep each under ~128 MB so the peak stays well inside HBM
+        per_center = max(frames_per_batch * n_pad * n_pad * 4, 1)
+        c_block = int(np.clip(2**27 // per_center, 1, min(8, n_pad)))
+
+        # One streamed pass with a SINGLE saturation sync at the end:
+        # per-batch histogram fetches + diagnostic round trips are gone,
+        # and the prefetch thread loads batch b+1 while the device crunches
+        # batch b (per-batch density normalisation runs on device).
+        from ..pipeline.prefetch import prefetch_to_device
+        from ..parallel.sharded_ops import AdfBatchRunner
+
+        runner = AdfBatchRunner(
+            n_atoms=n_pad,
+            species_id=sid_j,
+            triple_table=ttab_j,
+            box=box,
+            cutoff=a["cutoff"],
+            n_bins=n_bins,
+            n_triples=n_triples,
+            norm_power=a["norm_power"],
+            c_block=c_block,
+            normalize_per_batch=bin_width,
+        )
+
+        def load_batch(b):
+            idx = sample_configs[
+                b * frames_per_batch : (b + 1) * frames_per_batch
+            ]
+            return self.load_concat_positions(species, idx, n_pad, dtype)
+
+        while True:
+            for pos in prefetch_to_device(load_batch, range(n_batches)):
+                runner.feed(jnp.asarray(pos))
+            hist = runner.finalize()
+            if hist is not None:
+                break
+        hist_total = np.asarray(hist, dtype=np.float64)
 
         # degrees conversion with the reference's literal 180/3.14159 (:457-459)
         angles_deg = np.linspace(

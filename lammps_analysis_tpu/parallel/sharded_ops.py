@@ -147,33 +147,99 @@ def sharded_rdf_histogram(
     return hist
 
 
-def sharded_adf_histogram(
-    positions: jnp.ndarray,
-    species_id: jnp.ndarray,
-    triple_table: jnp.ndarray,
-    box: jnp.ndarray,
-    cutoff: float,
-    n_bins: int,
-    n_triples: int,
-    norm_power: int = 4,
-    c_block: int = 8,
-    mesh=None,
-    tiled: bool | None = None,
-) -> jnp.ndarray:
-    """ADF histogram with the frame axis sharded over the mesh.
+class _AdfPlan:
+    """Static choices for the tiled ADF pipeline (K, packing, cells).
 
-    ``tiled`` selects the memory-bounded (center, j, k)-tile kernel; by
-    default it engages automatically for systems above ~1.5k atoms.
+    The pipeline's shapes are all static; saturation (neighbor count
+    exceeding K, packed sub-list overflow, cell-capacity overflow) is
+    detected from device-side diagnostics and handled by escalating to
+    the ``next_plan`` and re-running — exact for any geometry.
     """
-    mesh = mesh or get_default_mesh()
-    n_dev = _n_mesh_devices(mesh)
-    f = positions.shape[0]
-    if tiled is None:
-        tiled = positions.shape[1] > 1536
 
-    def run(kernel, n_counts=0):
-        """Shard the kernel over frames; psum the histogram, pmax any
-        trailing diagnostic counts (saturation / cell occupancy)."""
+    def __init__(self, n_avail, box, cutoff, use_pallas):
+        from ..ops.cells import cell_lists_applicable
+
+        volume = float(np.prod(np.asarray(box)))
+        rho = n_avail / max(volume, 1e-30)
+        expected = rho * 4.0 / 3.0 * np.pi * float(cutoff) ** 3
+        self.n_avail = n_avail
+        self.use_pallas = use_pallas
+        k_n = int(np.clip(-(-2 * expected // 8) * 8 + 16, 24, 512))
+        k_n = min(k_n, n_avail)
+        if use_pallas:
+            k_n = max(128, -(-k_n // 128) * 128)
+        self.k_n = k_n
+
+        box_np = np.asarray(box)
+        # Cell lists beat the O(N^2) scan asymptotically, but TPU gathers
+        # make them SLOWER at 10k atoms (measured 171-244 ms/frame vs 119
+        # for the masked top_k over all N); engage only at very large N
+        # where the quadratic term must lose.
+        self.use_cells = n_avail >= 32768 and cell_lists_applicable(
+            box_np, float(cutoff)
+        )
+        self.n_dim = (
+            int(np.min(box_np) // float(cutoff)) if self.use_cells else 0
+        )
+        self.capacity = (
+            max(8, -(-int(np.ceil(1.75 * n_avail / self.n_dim**3)) // 8) * 8)
+            if self.use_cells
+            else 0
+        )
+
+        # center packing for the Pallas angle stage: p centers share a
+        # 128-lane row when the expected neighbor count fits p sub-lists
+        # (first-shell cutoffs see ~10-40 neighbors vs the 128-slot row);
+        # the density guess is validated against the realised max_count
+        # and downgraded on retry
+        self.pack = 1
+        if use_pallas:
+            for p in (4, 2):
+                if int(np.ceil(1.5 * expected)) + 8 <= 128 // p:
+                    self.pack = p
+                    break
+        self._normalise()
+
+    def _normalise(self):
+        if self.use_cells and 27 * self.capacity < self.k_n:
+            self.capacity = -(-self.k_n // 27 // 8) * 8
+        if self.k_n > 128:
+            self.pack = 1  # saturation retries disable packing
+        # stage 1 clamps K to the padded atom count; the Pallas stage
+        # requires a multiple of 128 — fall back to the XLA angle stage
+        # when the clamp breaks that (tiny systems near the tiled gate)
+        k_eff = min(self.k_n, -(-self.n_avail // 64) * 64)
+        self.use_pallas_run = self.use_pallas and k_eff % 128 == 0
+
+    def escalate(self, max_count: int, max_occ: int) -> bool:
+        """Adjust for observed saturation; False when the run was exact."""
+        if self.use_cells and max_occ > self.capacity:
+            self.capacity *= 2
+            self._normalise()
+            return True
+        fits_pack = self.pack == 1 or (
+            max_count < self.k_n and max_count <= self.k_n // self.pack
+        )
+        if (max_count < self.k_n or self.k_n >= self.n_avail) and fits_pack:
+            return False
+        if not fits_pack:
+            # density guess too tight: halve the packing, same lists
+            self.pack //= 2
+            self._normalise()
+            return True
+        self.k_n = min(2 * self.k_n, self.n_avail)
+        if self.use_pallas:
+            self.k_n = -(-self.k_n // 128) * 128
+        self._normalise()
+        return True
+
+
+def _sharded_runner(mesh, n_dev, n_counts=0):
+    """Build run(kernel, positions, ...): shard the kernel over frames;
+    psum the histogram, pmax any trailing diagnostic counts."""
+
+    def run(kernel, positions, species_id, triple_table, box):
+        f = positions.shape[0]
         out_spec = (P(),) * (1 + n_counts) if n_counts else P()
         if n_dev == 1 or f < n_dev:
             return kernel(positions, species_id, triple_table, box)
@@ -205,6 +271,128 @@ def sharded_adf_histogram(
                 out = out + tail
         return out
 
+    return run
+
+
+def _adf_pipeline(plan: _AdfPlan, n_species, cutoff, n_bins, norm_power):
+    """Per-batch tiled-ADF function ``(pos, sid, ttab, box) -> (hist,
+    max_count, max_occ)`` for the plan's static choices.
+
+    Stage 1 builds per-center lists — via cell lists (ops.cells) when
+    >= 3 cells fit per box edge, killing the top_k-over-all-N bottleneck
+    — and stage 2 histograms the neighbor-pair angles: the fused Pallas
+    kernel on TPU, the XLA from-lists kernel elsewhere.
+    """
+    from ..ops.cells import neighbor_lists_cells
+    from ..ops.pallas_adf import (
+        _JCAP,
+        _neighbor_extract_pallas,
+        _pad_sid,
+        adf_neighbor_lists,
+        adf_pairs_histogram_pallas,
+    )
+
+    use_cells = plan.use_cells
+    n_dim = plan.n_dim
+    n_avail = plan.n_avail
+
+    def pipeline(pos_shard, sid, ttab, box_, *, _k=plan.k_n,
+                 _cap=plan.capacity, use_pallas=plan.use_pallas_run,
+                 _pack=plan.pack):
+        if use_cells:
+            r_nn, d_nn, s_nn, sid_pad, mc, occ = neighbor_lists_cells(
+                pos_shard, sid, box_, cutoff,
+                k_n=_k, n_dim=n_dim, capacity=_cap,
+            )
+        elif use_pallas and n_avail <= _JCAP:
+            # Pallas fused extract kernel (distances + values emitted
+            # in-kernel): replaces top_k + gathers, 137 -> 21 ms/frame
+            # at 10k atoms; per-center counts drive the angle stage's
+            # chunk skip
+            _, rxn, ryn, rzn, d_nn, s_nn, cnts = (
+                _neighbor_extract_pallas(
+                    pos_shard, sid, box_, cutoff, k_n=_k
+                )
+            )
+            r_nn = (rxn, ryn, rzn)
+            sid_pad = _pad_sid(sid, rxn.shape[1])
+            mc = jnp.max(cnts).astype(jnp.int32)
+            occ = jnp.asarray(0, jnp.int32)
+        else:
+            r_nn, d_nn, s_nn, sid_pad, mc = adf_neighbor_lists(
+                pos_shard, sid, box_, cutoff, k_n=_k
+            )
+            occ = jnp.asarray(0, jnp.int32)
+        if use_pallas:
+            cnts_arr = cnts if not use_cells else None
+            kk = d_nn.shape[2]
+            n_rows = d_nn.shape[1]
+            if _pack > 1 and n_rows % _pack == 0:
+                ff = d_nn.shape[0]
+                sub = kk // _pack
+                rows = n_rows // _pack
+
+                def repack(x):
+                    return x[:, :, :sub].reshape(ff, rows, kk)
+
+                if isinstance(r_nn, tuple):
+                    r_pk = tuple(repack(c) for c in r_nn)
+                else:
+                    r_pk = r_nn[:, :, :sub].reshape(ff, rows, kk, 3)
+                sid_pk = jnp.repeat(
+                    sid_pad.reshape(rows, _pack).astype(jnp.float32),
+                    sub, axis=1,
+                )
+                if cnts_arr is not None:
+                    cnts_arr = jnp.minimum(cnts_arr, sub).reshape(
+                        ff, rows, _pack
+                    )
+                h = adf_pairs_histogram_pallas(
+                    r_pk, repack(d_nn), repack(s_nn),
+                    sid_pk, n_bins, n_species,
+                    norm_power=norm_power, pack=_pack,
+                    counts=cnts_arr,
+                )
+            else:
+                if cnts_arr is not None:
+                    cnts_arr = cnts_arr[..., None]
+                h = adf_pairs_histogram_pallas(
+                    r_nn, d_nn, s_nn, sid_pad, n_bins, n_species,
+                    norm_power=norm_power, counts=cnts_arr,
+                )
+        else:
+            h = adf_ops.adf_pairs_histogram_xla(
+                r_nn, d_nn, s_nn, sid_pad, n_bins, n_species,
+                norm_power=norm_power,
+            )
+        return h, mc, occ
+
+    return pipeline
+
+
+def sharded_adf_histogram(
+    positions: jnp.ndarray,
+    species_id: jnp.ndarray,
+    triple_table: jnp.ndarray,
+    box: jnp.ndarray,
+    cutoff: float,
+    n_bins: int,
+    n_triples: int,
+    norm_power: int = 4,
+    c_block: int = 8,
+    mesh=None,
+    tiled: bool | None = None,
+) -> jnp.ndarray:
+    """ADF histogram with the frame axis sharded over the mesh.
+
+    ``tiled`` selects the memory-bounded (center, j, k)-tile kernel; by
+    default it engages automatically for systems above ~1.5k atoms.
+    """
+    mesh = mesh or get_default_mesh()
+    n_dev = _n_mesh_devices(mesh)
+    if tiled is None:
+        tiled = positions.shape[1] > 1536
+
     if not tiled:
         kernel = functools.partial(
             adf_ops.adf_histogram,
@@ -214,165 +402,143 @@ def sharded_adf_histogram(
             norm_power=norm_power,
             c_block=c_block,
         )
-        return run(kernel)
+        run = _sharded_runner(mesh, n_dev)
+        return run(kernel, positions, species_id, triple_table, box)
 
-    # Large systems: neighbor-list pipeline, O(N K^2). Stage 1 builds
-    # per-center lists — via cell lists (ops.cells) when >= 3 cells fit
-    # per box edge, killing the top_k-over-all-N bottleneck — and stage 2
-    # histograms the neighbor-pair angles: the fused Pallas kernel on TPU,
-    # the XLA from-lists kernel elsewhere. K starts from the average
-    # density; a saturated list (max_count == K: locally denser than the
-    # average) retries with doubled K, and cell-capacity overflow retries
-    # with doubled capacity — exact for any geometry.
-    from ..ops.cells import cell_lists_applicable, neighbor_lists_cells
-    from ..ops.pallas_adf import (
-        _JCAP,
-        _neighbor_extract_pallas,
-        _pad_sid,
-        adf_neighbor_lists,
-        adf_pairs_histogram_pallas,
-    )
-
-    volume = float(np.prod(np.asarray(box)))
-    rho = positions.shape[1] / max(volume, 1e-30)
-    expected = rho * 4.0 / 3.0 * np.pi * float(cutoff) ** 3
-    n_avail = int(positions.shape[1])
-    # derive the species count from the triple table, NOT from the ids:
-    # a species with zero selected atoms must still occupy its histogram
-    # rows or the caller's (n_triples, n_bins) reshape breaks
+    # Large systems: neighbor-list pipeline, O(N K^2). K starts from the
+    # average density; a saturated list (max_count == K: locally denser
+    # than the average) retries with doubled K, and cell-capacity
+    # overflow retries with doubled capacity — exact for any geometry.
     n_species = int(triple_table.shape[0])
-    use_pallas = jax.default_backend() == "tpu"
-    k_n = int(np.clip(-(-2 * expected // 8) * 8 + 16, 24, 512))
-    k_n = min(k_n, n_avail)
-    if use_pallas:
-        k_n = max(128, -(-k_n // 128) * 128)
-
-    box_np = np.asarray(box)
-    # Cell lists beat the O(N^2) scan asymptotically, but TPU gathers make
-    # them SLOWER at 10k atoms (measured 171-244 ms/frame vs 119 for the
-    # masked top_k over all N); engage only at very large N where the
-    # quadratic term must lose.
-    use_cells = n_avail >= 32768 and cell_lists_applicable(
-        box_np, float(cutoff)
+    plan = _AdfPlan(
+        int(positions.shape[1]), box, cutoff,
+        use_pallas=jax.default_backend() == "tpu",
     )
-    n_dim = int(np.min(box_np) // float(cutoff)) if use_cells else 0
-    capacity = (
-        max(8, -(-int(np.ceil(1.75 * n_avail / n_dim**3)) // 8) * 8)
-        if use_cells
-        else 0
-    )
-
-    # center packing for the Pallas angle stage: p centers share a
-    # 128-lane row when the expected neighbor count fits p sub-lists
-    # (first-shell cutoffs see ~10-40 neighbors vs the 128-slot row);
-    # the density guess is validated against the realised max_count and
-    # downgraded on retry
-    pack = 1
-    if use_pallas:
-        for p in (4, 2):
-            if int(np.ceil(1.5 * expected)) + 8 <= 128 // p:
-                pack = p
-                break
-
+    run = _sharded_runner(mesh, n_dev, n_counts=2)
     while True:
-        if use_cells and 27 * capacity < k_n:
-            capacity = -(-k_n // 27 // 8) * 8
+        pipeline = _adf_pipeline(plan, n_species, cutoff, n_bins, norm_power)
+        hist, max_count, max_occ = run(
+            pipeline, positions, species_id, triple_table, box
+        )
+        if not plan.escalate(int(max_count), int(max_occ)):
+            return hist
 
-        # stage 1 clamps K to the padded atom count; the Pallas stage
-        # requires a multiple of 128 — fall back to the XLA angle stage
-        # when the clamp breaks that (tiny systems near the tiled gate)
-        k_eff = min(k_n, -(-n_avail // 64) * 64)
-        use_pallas_run = use_pallas and k_eff % 128 == 0
-        if k_n > 128:
-            pack = 1  # saturation retries disable packing
 
-        def pipeline(pos_shard, sid, ttab, box_, *, _k=k_n, _cap=capacity,
-                     use_pallas=use_pallas_run, _pack=pack):
-            if use_cells:
-                r_nn, d_nn, s_nn, sid_pad, mc, occ = neighbor_lists_cells(
-                    pos_shard, sid, box_, cutoff,
-                    k_n=_k, n_dim=n_dim, capacity=_cap,
-                )
-            elif use_pallas and n_avail <= _JCAP:
-                # Pallas fused extract kernel (distances + values emitted
-                # in-kernel): replaces top_k + gathers, 137 -> 21 ms/frame
-                # at 10k atoms; per-center counts drive the angle stage's
-                # chunk skip
-                _, rxn, ryn, rzn, d_nn, s_nn, cnts = (
-                    _neighbor_extract_pallas(
-                        pos_shard, sid, box_, cutoff, k_n=_k
-                    )
-                )
-                r_nn = (rxn, ryn, rzn)
-                sid_pad = _pad_sid(sid, rxn.shape[1])
-                mc = jnp.max(cnts).astype(jnp.int32)
-                occ = jnp.asarray(0, jnp.int32)
-            else:
-                r_nn, d_nn, s_nn, sid_pad, mc = adf_neighbor_lists(
-                    pos_shard, sid, box_, cutoff, k_n=_k
-                )
-                occ = jnp.asarray(0, jnp.int32)
-            if use_pallas:
-                cnts_arr = cnts if not use_cells else None
-                kk = d_nn.shape[2]
-                n_rows = d_nn.shape[1]
-                if _pack > 1 and n_rows % _pack == 0:
-                    ff = d_nn.shape[0]
-                    sub = kk // _pack
-                    rows = n_rows // _pack
+class AdfBatchRunner:
+    """Streamed ADF batches with ONE saturation sync for the whole run.
 
-                    def repack(x):
-                        return x[:, :, :sub].reshape(ff, rows, kk)
+    ``sharded_adf_histogram`` fetches its diagnostics after every call —
+    on a remote-accelerator link that is a blocking round trip plus a
+    histogram fetch per batch, and it serialises host loading against
+    device compute. Streaming calculators instead ``feed`` every batch
+    (dispatch only — the device crunches batch *b* while the host loads
+    *b+1*), then call ``finalize`` once: histograms and saturation
+    diagnostics accumulate ON DEVICE across batches. If the run
+    saturated (rare — K carries a ~2x density margin), ``finalize``
+    returns ``None``, the plan has already escalated, and the caller
+    re-feeds the same batches.
 
-                    if isinstance(r_nn, tuple):
-                        r_pk = tuple(repack(c) for c in r_nn)
-                    else:
-                        r_pk = r_nn[:, :, :sub].reshape(ff, rows, kk, 3)
-                    sid_pk = jnp.repeat(
-                        sid_pad.reshape(rows, _pack).astype(jnp.float32),
-                        sub, axis=1,
-                    )
-                    if cnts_arr is not None:
-                        cnts_arr = jnp.minimum(cnts_arr, sub).reshape(
-                            ff, rows, _pack
-                        )
-                    h = adf_pairs_histogram_pallas(
-                        r_pk, repack(d_nn), repack(s_nn),
-                        sid_pk, n_bins, n_species,
-                        norm_power=norm_power, pack=_pack,
-                        counts=cnts_arr,
-                    )
-                else:
-                    if cnts_arr is not None:
-                        cnts_arr = cnts_arr[..., None]
-                    h = adf_pairs_histogram_pallas(
-                        r_nn, d_nn, s_nn, sid_pad, n_bins, n_species,
-                        norm_power=norm_power, counts=cnts_arr,
-                    )
-            else:
-                h = adf_ops.adf_pairs_histogram_xla(
-                    r_nn, d_nn, s_nn, sid_pad, n_bins, n_species,
-                    norm_power=norm_power,
-                )
+    ``normalize_per_batch`` divides each batch histogram by its own
+    ``total * bin_width`` per triple ON DEVICE (the reference's per-batch
+    density normalisation, ``angular_distribution_function.py:421-429``).
+    """
+
+    def __init__(
+        self,
+        n_atoms: int,
+        species_id: jnp.ndarray,
+        triple_table: jnp.ndarray,
+        box: jnp.ndarray,
+        cutoff: float,
+        n_bins: int,
+        n_triples: int,
+        norm_power: int = 4,
+        c_block: int = 8,
+        mesh=None,
+        tiled: bool | None = None,
+        normalize_per_batch: float | None = None,  # bin width, enables
+    ):
+        self.mesh = mesh or get_default_mesh()
+        self.n_dev = _n_mesh_devices(self.mesh)
+        self.species_id = species_id
+        self.triple_table = triple_table
+        self.box = box
+        self.cutoff = cutoff
+        self.n_bins = n_bins
+        self.n_triples = n_triples
+        self.n_species = int(triple_table.shape[0])
+        self.norm_power = norm_power
+        self.c_block = c_block
+        self.tiled = n_atoms > 1536 if tiled is None else tiled
+        self.bin_width = normalize_per_batch
+        self.plan = (
+            _AdfPlan(
+                n_atoms, box, cutoff,
+                use_pallas=jax.default_backend() == "tpu",
+            )
+            if self.tiled
+            else None
+        )
+        self._reset()
+
+    def _reset(self):
+        self._hist = None
+        self._max_count = None
+        self._max_occ = None
+        if self.tiled:
+            pipeline = _adf_pipeline(
+                self.plan, self.n_species, self.cutoff, self.n_bins,
+                self.norm_power,
+            )
+        else:
+            base = functools.partial(
+                adf_ops.adf_histogram,
+                cutoff=self.cutoff,
+                n_bins=self.n_bins,
+                n_triples=self.n_triples,
+                norm_power=self.norm_power,
+                c_block=self.c_block,
+            )
+
+            def pipeline(pos, sid, ttab, box_):
+                z = jnp.asarray(0, jnp.int32)
+                return base(pos, sid, ttab, box_), z, z
+
+        run = _sharded_runner(self.mesh, self.n_dev, n_counts=2)
+
+        def batch_fn(pos, sid, ttab, box_):
+            h, mc, occ = run(pipeline, pos, sid, ttab, box_)
+            if self.bin_width is not None:
+                total = jnp.sum(h, axis=1, keepdims=True)
+                h = jnp.where(total > 0, h / (total * self.bin_width), 0.0)
             return h, mc, occ
 
-        hist, max_count, max_occ = run(pipeline, n_counts=2)
-        max_count, max_occ = int(max_count), int(max_occ)
-        if use_cells and max_occ > capacity:
-            capacity *= 2
-            continue
-        fits_pack = pack == 1 or (
-            max_count < k_n and max_count <= k_n // pack
+        self._batch_fn = batch_fn
+
+    def feed(self, positions: jnp.ndarray) -> None:
+        """Dispatch one frame batch; no host synchronisation."""
+        h, mc, occ = self._batch_fn(
+            positions, self.species_id, self.triple_table, self.box
         )
-        if (max_count < k_n or k_n >= n_avail) and fits_pack:
-            return hist
-        if not fits_pack:
-            # density guess too tight: halve the packing, same lists
-            pack //= 2
-            continue
-        k_n = min(2 * k_n, n_avail)
-        if use_pallas:
-            k_n = -(-k_n // 128) * 128
+        self._hist = h if self._hist is None else self._hist + h
+        self._max_count = (
+            mc if self._max_count is None else jnp.maximum(self._max_count, mc)
+        )
+        self._max_occ = (
+            occ if self._max_occ is None else jnp.maximum(self._max_occ, occ)
+        )
+
+    def finalize(self):
+        """One device sync. The accumulated histogram, or ``None`` if the
+        run saturated — the plan has escalated; re-feed every batch."""
+        if self._hist is None:
+            raise ValueError("finalize() before any feed()")
+        if self.tiled and self.plan.escalate(
+            int(self._max_count), int(self._max_occ)
+        ):
+            self._reset()
+            return None
+        return self._hist
 
 
 def sharded_rdf_histogram_2d(

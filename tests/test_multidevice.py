@@ -163,3 +163,87 @@ def test_rdf_pallas_vmem_fallback(system, monkeypatch):
             )
         )
     np.testing.assert_array_equal(h, ref)
+
+
+def _batched_reference(pos, sid, ttab, box, batches, **kw):
+    """Old calculator loop: per-batch host fetch + f64 normalisation."""
+    n_bins = kw["n_bins"]
+    bin_width = kw.pop("bin_width")
+    total = np.zeros((kw["n_triples"], n_bins))
+    for s, e in batches:
+        h = np.asarray(
+            sharded_adf_histogram(
+                jnp.asarray(pos[s:e]), sid, ttab, box, **kw
+            ),
+            dtype=np.float64,
+        )
+        for t in range(kw["n_triples"]):
+            tot = h[t].sum()
+            if tot > 0:
+                total[t] += h[t] / (tot * bin_width)
+    return total
+
+
+@pytest.mark.parametrize("tiled", [False, True])
+def test_adf_batch_runner_matches_loop(system, tiled):
+    """AdfBatchRunner (deferred sync, device-side normalisation) must match
+    the per-batch host loop it replaced."""
+    from lammps_analysis_tpu.ops.adf import ADF_BIN_RANGE
+    from lammps_analysis_tpu.parallel.sharded_ops import AdfBatchRunner
+
+    sid, n_pad, ptab, n_pairs, pos, box = system
+    ttab, order = adf_ops.build_triple_table(2)
+    n_bins = 36
+    lo, hi = ADF_BIN_RANGE
+    bin_width = (hi - lo) / n_bins
+    sid_j, ttab_j, box_j = jnp.asarray(sid), jnp.asarray(ttab), jnp.asarray(box)
+    kw = dict(cutoff=2.0, n_bins=n_bins, n_triples=len(order), c_block=8,
+              tiled=tiled)
+    batches = [(0, 6), (6, 12), (12, 16)]  # uneven tail on purpose
+    ref = _batched_reference(
+        pos, sid_j, ttab_j, box_j, batches, bin_width=bin_width, **kw
+    )
+
+    runner = AdfBatchRunner(
+        n_atoms=n_pad, species_id=sid_j, triple_table=ttab_j, box=box_j,
+        normalize_per_batch=bin_width, **kw,
+    )
+    while True:
+        for s, e in batches:
+            runner.feed(jnp.asarray(pos[s:e]))
+        out = runner.finalize()
+        if out is not None:
+            break
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=5e-6, atol=1e-12)
+
+
+def test_adf_batch_runner_saturation_retry(system):
+    """Force a saturating first plan: finalize() must demand a re-feed and
+    the final result must equal the one-shot path."""
+    from lammps_analysis_tpu.parallel.sharded_ops import AdfBatchRunner
+
+    sid, n_pad, ptab, n_pairs, pos, box = system
+    ttab, order = adf_ops.build_triple_table(2)
+    kw = dict(cutoff=4.0, n_bins=24, n_triples=len(order), tiled=True)
+    runner = AdfBatchRunner(
+        n_atoms=n_pad, species_id=jnp.asarray(sid),
+        triple_table=jnp.asarray(ttab), box=jnp.asarray(box), **kw,
+    )
+    runner.plan.k_n = 8  # far below the in-cutoff count at cutoff 4.0
+    runner.plan._normalise()
+    runner._reset()
+    rounds = 0
+    while True:
+        rounds += 1
+        for s, e in ((0, 8), (8, 16)):
+            runner.feed(jnp.asarray(pos[s:e]))
+        out = runner.finalize()
+        if out is not None:
+            break
+    assert rounds > 1, "expected at least one saturation escalation"
+    ref = sharded_adf_histogram(
+        jnp.asarray(pos), jnp.asarray(sid), jnp.asarray(ttab),
+        jnp.asarray(box), **kw,
+    )
+    # batch-summed f32 histograms reassociate vs the one-shot kernel
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
