@@ -1,0 +1,109 @@
+"""Large-N scaling: RDF + ADF at 65536 atoms through the production paths.
+
+Regenerates ``benchmarks/large_n_scaling.json``. Both measurements go
+through ``parallel.sharded_ops`` (exactly what the calculators call), so
+kernel routing (Pallas frames-per-call chunking, cell-list stage 1) is
+the production decision, not a hand-picked kernel.
+
+Run on the TPU: ``python benchmarks/large_n_scaling.py``
+(a same-shape warmup call precedes every timing — cold axon compiles of
+novel shapes take minutes and would poison the numbers).
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+N_ATOMS = 65536
+BOX = 80.0
+
+
+def _steady(fn, repeats=3):
+    import jax
+
+    np.asarray(fn())  # warmup: compile + execute + fetch
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(repeats):
+        out = fn()
+    jax.block_until_ready(out)
+    np.asarray(out)
+    return (time.perf_counter() - t0) / repeats
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from lammps_analysis_tpu.ops import adf as adf_ops
+    from lammps_analysis_tpu.ops.rdf import build_species_layout
+    from lammps_analysis_tpu.parallel.sharded_ops import (
+        sharded_adf_histogram,
+        sharded_rdf_histogram,
+    )
+
+    rng = np.random.default_rng(0)
+    half = N_ATOMS // 2
+    sid, n_pad, ptab, n_pairs, _ = build_species_layout(
+        [half, N_ATOMS - half], pad_to=128
+    )
+    box_j = jnp.asarray(np.array([BOX] * 3, np.float32))
+    sid_j, ptab_j = jnp.asarray(sid), jnp.asarray(ptab)
+    out = {
+        "n_atoms": N_ATOMS,
+        "box": BOX,
+        "backend": f"{jax.default_backend()} ({jax.devices()[0].device_kind})",
+    }
+
+    # RDF: cutoff just under box/2, production frame-chunked Pallas kernel
+    f = 8
+    pos = jnp.asarray(
+        rng.uniform(0, BOX, size=(f, n_pad, 3)).astype(np.float32)
+    )
+    dt = _steady(
+        lambda: sharded_rdf_histogram(
+            pos, sid_j, ptab_j, box_j,
+            cutoff=39.9, n_bins=500, n_pairs=n_pairs, i_block=128,
+        )
+    )
+    pairs = f * N_ATOMS * (N_ATOMS - 1) / 2
+    out["rdf_gpairs_per_s"] = round(pairs / dt / 1e9, 2)
+    out["rdf_s_per_frame"] = round(dt / f, 3)
+    out["rdf_note"] = (
+        "fused Pallas kernel, production route (frames chunked to the "
+        "VMEM budget); the pre-column-elimination build fell back to the "
+        "HBM-tiled XLA kernel here at 0.09 Gpairs/s"
+    )
+
+    # ADF: first-shell cutoff, cell-list stage 1 (>= 32k atoms) + Pallas
+    # angle stage
+    f_adf = 2
+    ttab, order = adf_ops.build_triple_table(2)
+    pos_a = pos[:f_adf, :N_ATOMS]
+    dt = _steady(
+        lambda: sharded_adf_histogram(
+            pos_a, sid_j[:N_ATOMS], jnp.asarray(ttab), box_j,
+            cutoff=3.6, n_bins=500, n_triples=len(order), norm_power=4,
+        ),
+        repeats=2,
+    )
+    out["adf_cells_s_per_frame"] = round(dt / f_adf, 2)
+    out["adf_note"] = (
+        "cell-list stage 1 + Pallas angle stage at cutoff 3.6 / 500 bins"
+    )
+    out["measured"] = time.strftime("%Y-%m-%d")
+
+    path = pathlib.Path(__file__).parent / "large_n_scaling.json"
+    path.write_text(json.dumps(out, indent=2))
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

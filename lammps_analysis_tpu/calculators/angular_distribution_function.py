@@ -25,7 +25,6 @@ from ..database.properties import mdsuite_properties as mp
 from ..database.trajectory_store import join_path
 from ..ops import adf as adf_ops
 from ..ops import rdf as rdf_ops
-from ..parallel.sharded_ops import sharded_adf_histogram
 from .base import TrajectoryCalculator
 
 log = logging.getLogger(__name__)
@@ -101,6 +100,10 @@ class AngularDistributionFunction(TrajectoryCalculator):
         lo, hi = adf_ops.ADF_BIN_RANGE
         bin_width = (hi - lo) / n_bins
         n_batches = -(-len(sample_configs) // frames_per_batch)
+        # balance the split (sizes differ by <= 1) instead of a full-size
+        # run followed by an arbitrarily small tail: at most 2 compiled
+        # batch shapes and no tiny dispatch at the end
+        frames_per_batch = -(-len(sample_configs) // n_batches)
         # ~10 (F, C, N, N) intermediates are live in the small-system ADF
         # tile; keep each under ~128 MB so the peak stays well inside HBM
         per_center = max(frames_per_batch * n_pad * n_pad * 4, 1)
