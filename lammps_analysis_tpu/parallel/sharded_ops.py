@@ -301,6 +301,7 @@ def _adf_pipeline(plan: _AdfPlan, n_species, cutoff, n_bins, norm_power):
     def pipeline(pos_shard, sid, ttab, box_, *, _k=plan.k_n,
                  _cap=plan.capacity, use_pallas=plan.use_pallas_run,
                  _pack=plan.pack):
+        cnts = None
         if use_cells:
             r_nn, d_nn, s_nn, sid_pad, mc, occ = neighbor_lists_cells(
                 pos_shard, sid, box_, cutoff,
@@ -326,7 +327,9 @@ def _adf_pipeline(plan: _AdfPlan, n_species, cutoff, n_bins, norm_power):
             )
             occ = jnp.asarray(0, jnp.int32)
         if use_pallas:
-            cnts_arr = cnts if not use_cells else None
+            # only the fused extract stage emits per-center counts (the
+            # cell-list and top_k stages process every chunk)
+            cnts_arr = cnts
             kk = d_nn.shape[2]
             n_rows = d_nn.shape[1]
             if _pack > 1 and n_rows % _pack == 0:

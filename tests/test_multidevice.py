@@ -247,3 +247,33 @@ def test_adf_batch_runner_saturation_retry(system):
     )
     # batch-summed f32 histograms reassociate vs the one-shot kernel
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
+
+
+def test_adf_pipeline_topk_pallas_branch_traces():
+    """Large N + cells inapplicable + Pallas angle stage: the top_k stage-1
+    branch must define its (absent) counts — this corner raised NameError
+    at trace time before the fix. Shape-level trace only (eval_shape)."""
+    from lammps_analysis_tpu.parallel.sharded_ops import (
+        _AdfPlan,
+        _adf_pipeline,
+    )
+
+    n = 20480  # > _JCAP, so the extract kernel is unavailable
+    box = np.array([7.0, 7.0, 7.0], np.float32)  # < 3 cells per edge
+    cutoff = 2.8
+    plan = _AdfPlan(n, box, cutoff, use_pallas=True)
+    assert not plan.use_cells
+    if not plan.use_pallas_run:
+        plan.k_n = 128
+        plan._normalise()
+    assert plan.use_pallas_run
+    pipeline = _adf_pipeline(plan, 2, cutoff, 24, 4)
+    ttab, order = adf_ops.build_triple_table(2)
+    out = jax.eval_shape(
+        pipeline,
+        jax.ShapeDtypeStruct((1, n, 3), jnp.float32),
+        jax.ShapeDtypeStruct((n,), jnp.int32),
+        jax.ShapeDtypeStruct(ttab.shape, jnp.int32),
+        jax.ShapeDtypeStruct((3,), jnp.float32),
+    )
+    assert out[0].shape == (len(order), 24)
