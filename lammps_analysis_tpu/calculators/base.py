@@ -194,6 +194,10 @@ class TrajectoryCalculator(Calculator):
             path = join_path(sp, prop)
             if complete(path):
                 continue
+            if self._fusible_unwrap(sp):
+                # config.fuse_streaming: the streaming layer unwraps the
+                # wrapped positions on the fly — do not materialise
+                continue
             producer = transformation_for_property(
                 prop, experiment=self.experiment, species=sp
             )
@@ -345,6 +349,104 @@ class TrajectoryCalculator(Calculator):
             start = start + n_windows * correlation_time
         return slabs
 
+    def _fusible_unwrap(self, species: str) -> bool:
+        """True when this calculator's unwrapped-positions stream should be
+        computed on the fly from the wrapped positions.
+
+        Requires ``config.fuse_streaming``, an absent/incomplete
+        ``Unwrapped_Positions`` dataset (a complete materialised one is
+        strictly cheaper to read), and complete ``Positions``.
+        """
+        from ..database.properties import mdsuite_properties as mp
+        from ..utils.config import config
+
+        if not getattr(self, "supports_fused_streaming", False):
+            return False  # calculator loads outside _stream_property
+        if not config.fuse_streaming or self.loaded_property is None:
+            return False
+        if self.loaded_property.name != mp.unwrapped_positions.name:
+            return False
+        exp = self.experiment
+        store = exp.store
+        n_conf = exp.number_of_configurations
+
+        def complete(path):
+            return (
+                store.check_existence(path)
+                and store.get_cursor(path) >= n_conf
+            )
+
+        return not complete(
+            join_path(species, mp.unwrapped_positions.name)
+        ) and complete(join_path(species, mp.positions.name))
+
+    def _stream_unwrapped_fused(
+        self, species: str, data_range: int, correlation_time: int
+    ):
+        """Stream ``Positions`` slabs and unwrap them on the fly.
+
+        The unwrap carry (previous frame's wrapped position + image
+        count) chains across the overlapping window-aligned slabs: the
+        carry for slab k+1 is reconstructed from slab k's arrays at the
+        frame just before slab k+1's start — so every slab is seam-free
+        and the result is bit-identical to streaming a materialised
+        ``Unwrapped_Positions`` dataset (the unwrap math is batch-size
+        invariant). Skips one full-trajectory disk WRITE and one READ.
+        """
+        import jax.numpy as jnp
+
+        from ..database.properties import mdsuite_properties as mp
+        from ..pipeline.prefetch import prefetch_to_device
+        from ..transformations.coordinate_transforms import CoordinateUnwrapper
+        from ..utils.devices import bandwidth_bound_device
+
+        exp = self.experiment
+        pos_path = join_path(species, mp.positions.name)
+        slabs = self._window_slab_plan(pos_path, data_range, correlation_time)
+        atoms = self.resolve_atom_selection(
+            self.args.get("atom_selection"), species
+        )
+        store = exp.store
+
+        import jax
+
+        device = bandwidth_bound_device()
+        on_cpu = device is not None or jax.default_backend() == "cpu"
+        dtype = (
+            np.float64
+            if on_cpu and jax.config.jax_enable_x64
+            else np.float32
+        )
+
+        def load(slab):
+            start, stop = slab
+            return store.load(
+                [pos_path], frames=slice(start, stop), atoms=atoms,
+                dtype=dtype,
+            )[pos_path]
+
+        trafo = CoordinateUnwrapper()
+        box = jnp.asarray(np.asarray(exp.box_array, dtype=dtype))
+        carry = None
+        for i, pos in enumerate(
+            prefetch_to_device(load, slabs, depth=2, device=device)
+        ):
+            unwrapped, _ = trafo.transform_batch(
+                {
+                    mp.positions.name: pos,
+                    mp.box_length.name: box,
+                },
+                carry,
+            )
+            if i + 1 < len(slabs):
+                # seam for the NEXT (overlapping) slab: state at the frame
+                # before its start, image counts recovered exactly as
+                # CoordinateUnwrapper.bootstrap_carry does from the store
+                j = slabs[i + 1][0] - 1 - slabs[i][0]
+                image = jnp.round((unwrapped[j] - pos[j]) / box)
+                carry = (pos[j], image)
+            yield unwrapped
+
     def _stream_property(
         self, species: str, prop_name: str, data_range: int, correlation_time: int
     ):
@@ -353,9 +455,23 @@ class TrajectoryCalculator(Calculator):
         Disk reads + host->device transfers of slab k+1 overlap with the
         caller's device compute on slab k (double buffering; replaces the
         reference's tf.data prefetch). Honors ``args['atom_selection']``.
+
+        With ``config.fuse_streaming`` an unwrapped-positions stream whose
+        dataset is not materialised is derived on the fly from the wrapped
+        positions (see :meth:`_stream_unwrapped_fused`).
         """
         from ..pipeline.prefetch import prefetch_to_device
         from ..utils.devices import bandwidth_bound_device
+
+        from ..database.properties import mdsuite_properties as _mp
+
+        if prop_name == _mp.unwrapped_positions.name and self._fusible_unwrap(
+            species
+        ):
+            yield from self._stream_unwrapped_fused(
+                species, data_range, correlation_time
+            )
+            return
 
         path = join_path(species, prop_name)
         slabs = self._window_slab_plan(path, data_range, correlation_time)

@@ -31,6 +31,10 @@ class EinsteinDiffusionCoefficients(TrajectoryCalculator):
     """Self-diffusion from the mean-squared displacement."""
 
     loaded_property = mp.unwrapped_positions
+    #: with config.fuse_streaming, unwrap on the fly instead of
+    #: materialising Unwrapped_Positions (this calculator streams every
+    #: slab through _stream_property, so the fused path covers it fully)
+    supports_fused_streaming = True
     scale_function = {"linear": {"scale_factor": 10}}
     result_keys = ["diffusion_coefficient", "uncertainty", "gradient", "intercept"]
     result_series_keys = ["time", "msd", "gradients", "gradient_errors"]

@@ -33,6 +33,14 @@ class Config:
         Dtype used for long-running accumulations (histograms, ACF sums).
     interactive_plots : bool
         If False, plots are written to files only.
+    fuse_streaming : bool
+        If True, calculators that stream ``Unwrapped_Positions`` unwrap
+        the wrapped positions ON THE FLY (carry chained across slabs)
+        when the unwrapped dataset is not materialised — skipping one
+        full-trajectory write AND read. Results are identical to the
+        materialised path (the unwrap math is batch-size invariant);
+        the trade is that no ``Unwrapped_Positions`` dataset is left
+        behind for later reuse. Off by default (reference semantics).
     """
 
     jupyter: bool = False
@@ -41,6 +49,7 @@ class Config:
     compute_dtype: str = "float32"
     accumulate_dtype: str = "float64"
     interactive_plots: bool = False
+    fuse_streaming: bool = False
 
 
 config = Config()

@@ -246,3 +246,89 @@ def test_run_hub_exposes_full_reference_surface(tmp_path):
     )
     missing = [n for n in reference_names if not hasattr(exp.run, n)]
     assert not missing, f"run hub missing reference names: {missing}"
+
+
+def test_einstein_diffusion_fused_unwrap_streaming(tmp_path, rng):
+    """config.fuse_streaming: unwrap on the fly — identical result to the
+    materialised path, and NO Unwrapped_Positions dataset is written."""
+    from lammps_analysis_tpu.utils.config import config
+
+    n_frames, n_atoms, step_std, dt = 300, 20, 0.05, 0.1
+    box = 2.0
+    unwrapped = random_walk(rng, n_frames, n_atoms, step_std) + box / 2
+    wrapped = unwrapped - box * np.floor(unwrapped / box)
+
+    sp = [SpeciesInfo("X", n_atoms, [POSITIONS])]
+    meta = TrajectoryMetadata(
+        n_configurations=n_frames, species_list=sp, box_l=[box] * 3,
+        sample_rate=1,
+    )
+
+    def build(name):
+        chunk = TrajectoryChunkData(sp, n_frames)
+        chunk.add_data(wrapped, 0, "X", "Positions")
+        project = latpu.Project(name=name, storage_path=tmp_path)
+        return project.add_experiment(
+            "wrap", timestep=dt, units="si",
+            simulation_data=ScriptInput(chunk, meta, "wrap_data"),
+        )
+
+    exp_mat = build("mat")
+    res_mat = exp_mat.run.EinsteinDiffusionCoefficients(
+        data_range=60, correlation_time=10, plot=False
+    )
+    assert exp_mat.store.check_existence("X/Unwrapped_Positions")
+
+    exp_fused = build("fused")
+    config.fuse_streaming = True
+    try:
+        res_fused = exp_fused.run.EinsteinDiffusionCoefficients(
+            data_range=60, correlation_time=10, plot=False
+        )
+    finally:
+        config.fuse_streaming = False
+    # the fused run must NOT have materialised the dataset
+    assert not exp_fused.store.check_existence("X/Unwrapped_Positions")
+    # identical math: the unwrap carry chain is batch-size invariant
+    np.testing.assert_allclose(
+        np.array(res_fused["X"]["msd"]), np.array(res_mat["X"]["msd"]),
+        rtol=1e-12,
+    )
+    assert (
+        res_fused["X"]["diffusion_coefficient"]
+        == res_mat["X"]["diffusion_coefficient"]
+    )
+
+
+def test_fused_unwrap_prefers_materialised(tmp_path, rng):
+    """With the dataset already materialised, fusion must NOT engage (a
+    complete dataset is strictly cheaper to read than to recompute)."""
+    from lammps_analysis_tpu.calculators.einstein_diffusion_coefficients import (
+        EinsteinDiffusionCoefficients,
+    )
+    from lammps_analysis_tpu.utils.config import config
+
+    n_frames, n_atoms, step_std, dt = 200, 10, 0.05, 0.1
+    box = 2.0
+    unwrapped = random_walk(rng, n_frames, n_atoms, step_std) + box / 2
+    wrapped = unwrapped - box * np.floor(unwrapped / box)
+    sp = [SpeciesInfo("X", n_atoms, [POSITIONS])]
+    meta = TrajectoryMetadata(
+        n_configurations=n_frames, species_list=sp, box_l=[box] * 3,
+        sample_rate=1,
+    )
+    chunk = TrajectoryChunkData(sp, n_frames)
+    chunk.add_data(wrapped, 0, "X", "Positions")
+    project = latpu.Project(name="pref", storage_path=tmp_path)
+    exp = project.add_experiment(
+        "wrap", timestep=dt, units="si",
+        simulation_data=ScriptInput(chunk, meta, "wrap_data"),
+    )
+    exp.run.CoordinateUnwrapper()
+    calc = EinsteinDiffusionCoefficients(exp)
+    calc.args = calc.prepare_args(data_range=50, correlation_time=10)
+    config.fuse_streaming = True
+    try:
+        assert not calc._fusible_unwrap("X")
+    finally:
+        config.fuse_streaming = False
