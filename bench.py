@@ -26,7 +26,8 @@ REPO = pathlib.Path(__file__).parent
 WORKLOAD = dict(n_atoms=10240, n_frames=64, n_bins=500)
 
 
-def measure_rdf_pairs_per_s(n_atoms, n_frames, n_bins, repeats=3):
+def measure_rdf_pairs_per_s(n_atoms, n_frames, n_bins, repeats=3,
+                            consistency_check=True):
     import jax
     import jax.numpy as jnp
 
@@ -62,6 +63,8 @@ def measure_rdf_pairs_per_s(n_atoms, n_frames, n_bins, repeats=3):
     elapsed = (time.perf_counter() - t0) / repeats
     pairs = n_frames * n_atoms * (n_atoms - 1) / 2
 
+    if not consistency_check:
+        return pairs / elapsed
     # cross-kernel consistency check: the production path (Pallas on TPU)
     # must agree with the independent XLA outer-product kernel. A 4-frame
     # slice keeps the O(N^2) XLA reference cheap; the production kernel is
@@ -238,6 +241,22 @@ def main():
             )
     except Exception as err:  # pragma: no cover
         extras["adf_error"] = str(err)[:120]
+    try:
+        import jax
+
+        if jax.default_backend() == "tpu":
+            # large-N scaling probe: the same fused kernel at 65k atoms
+            # (the XLA fallback only engages above ~300k padded atoms)
+            extras["rdf_65536_gpairs_per_s"] = round(
+                measure_rdf_pairs_per_s(
+                    n_atoms=65536, n_frames=8, n_bins=500, repeats=2,
+                    consistency_check=False,
+                )
+                / 1e9,
+                2,
+            )
+    except Exception as err:  # pragma: no cover
+        extras["rdf_65k_error"] = str(err)[:120]
     extras.update(_CONSISTENCY)
     print(
         json.dumps(

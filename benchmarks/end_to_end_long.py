@@ -194,6 +194,37 @@ def run_stages(exp, results, n_atoms, n_frames):
         )
         flush(results)
 
+    # --------------------------------------- fused unwrap+Einstein (opt-in)
+    if "einstein_fused_s" not in results and "einstein_s" in results:
+        # same args as the materialised run; drop the cached computation
+        # and the materialised tensors so fusion engages for real
+        from lammps_analysis_tpu.utils.config import config
+
+        exp.db.delete_computations(
+            exp.name, "EinsteinDiffusionCoefficients"
+        )
+        for sp in exp.species:
+            exp.store.drop(f"{sp}/Unwrapped_Positions")
+        config.fuse_streaming = True
+        try:
+            t0 = time.perf_counter()
+            exp.run.EinsteinDiffusionCoefficients(
+                data_range=w, correlation_time=stride, plot=False
+            )
+            fused_s = time.perf_counter() - t0
+        finally:
+            config.fuse_streaming = False
+        results["einstein_fused_s"] = round(fused_s, 1)
+        results["einstein_fused_note"] = (
+            "config.fuse_streaming: unwraps in-flight — replaces the "
+            "unwrap_s + einstein_s sequence (no Unwrapped_Positions "
+            "write/read)"
+        )
+        results["einstein_fused_speedup_vs_sequence"] = round(
+            (results["unwrap_s"] + results["einstein_s"]) / fused_s, 2
+        )
+        flush(results)
+
     # ------------------------------------------------- GK self-diffusion
     if "gk_diffusion_s" not in results:
         t0 = time.perf_counter()

@@ -327,17 +327,27 @@ class TrajectoryCalculator(Calculator):
         )
 
     def _window_slab_plan(
-        self, path: str, data_range: int, correlation_time: int
+        self, path: str, data_range: int, correlation_time: int,
+        max_slab_bytes: Optional[int] = None,
     ) -> list:
         """Window-aligned (start, stop) slabs covering every sliding window.
 
         Consecutive slabs overlap by ``data_range - correlation_time`` frames
         so every window (stride ``correlation_time``) is seen exactly once
-        across slab boundaries.
+        across slab boundaries. ``max_slab_bytes`` additionally caps the
+        slab size (callers whose per-slab kernels compile or degrade
+        superlinearly in the slab length — the fused unwrap scan — want
+        many same-shaped moderate slabs, not two huge ones).
         """
         plan = self._plan_for([path], data_range=data_range)
         n_frames = plan.total_frames
         slab = plan.frame_batch
+        if max_slab_bytes is not None:
+            _, n_atoms, n_dims = self.experiment.store.get_data_size(path)
+            per_frame = max(n_atoms * n_dims * 4, 1)
+            slab = max(
+                min(slab, max_slab_bytes // per_frame), 2 * data_range
+            )
         slabs = []
         start = 0
         while start + data_range <= n_frames:
@@ -402,7 +412,14 @@ class TrajectoryCalculator(Calculator):
 
         exp = self.experiment
         pos_path = join_path(species, mp.positions.name)
-        slabs = self._window_slab_plan(pos_path, data_range, correlation_time)
+        # moderate same-shaped slabs: the unwrap scan's XLA-CPU compile
+        # cost grows with the slab length (measured ~60-100 s for a
+        # 55k-frame slab vs seconds at 8k) and its execution rate drops
+        # ~2.7x; ~0.5 GB slabs keep one cached compile + peak throughput
+        slabs = self._window_slab_plan(
+            pos_path, data_range, correlation_time,
+            max_slab_bytes=1 << 29,
+        )
         atoms = self.resolve_atom_selection(
             self.args.get("atom_selection"), species
         )
@@ -426,12 +443,16 @@ class TrajectoryCalculator(Calculator):
             )[pos_path]
 
         trafo = CoordinateUnwrapper()
+        # jit-compiled: eager dispatch materialises a slab-sized temporary
+        # per op (measured 18 s vs 2.6 s per 1 GB slab — see
+        # Transformation._batch_kernel)
+        kernel = trafo._batch_kernel()
         box = jnp.asarray(np.asarray(exp.box_array, dtype=dtype))
         carry = None
         for i, pos in enumerate(
             prefetch_to_device(load, slabs, depth=2, device=device)
         ):
-            unwrapped, _ = trafo.transform_batch(
+            unwrapped, _ = kernel(
                 {
                     mp.positions.name: pos,
                     mp.box_length.name: box,

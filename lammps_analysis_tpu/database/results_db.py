@@ -275,6 +275,37 @@ class ResultsDatabase:
                 )
         return Computation(calc_name, json.loads(args_key), dict(results), experiment)
 
+    def delete_computations(
+        self, experiment: str, calc_name: str, args: Optional[dict] = None
+    ) -> int:
+        """Invalidate cached computations; returns the number deleted.
+
+        ``args=None`` deletes every cached run of the calculator for the
+        experiment; with ``args`` only the exact canonical-args match is
+        removed. This is the user-facing \"force recompute\" hook — the
+        next identical call recomputes instead of hitting the cache.
+        """
+        eid = self.ensure_experiment(experiment)
+        where = "experiment_id=? AND name=?"
+        params: list = [eid, calc_name]
+        if args is not None:
+            where += " AND args_key=?"
+            params.append(canonical_json(args))
+        with self._connect() as con:
+            ids = [
+                r[0]
+                for r in con.execute(
+                    f"SELECT id FROM computations WHERE {where}", params
+                )
+            ]
+            for cid in ids:
+                con.execute(
+                    "DELETE FROM computation_results WHERE computation_id=?",
+                    (cid,),
+                )
+                con.execute("DELETE FROM computations WHERE id=?", (cid,))
+        return len(ids)
+
     def list_computations(self, experiment: str) -> List[dict]:
         eid = self.ensure_experiment(experiment)
         with self._connect() as con:

@@ -243,6 +243,20 @@ class TrajectoryStore:
         with self._open("r") as db:
             return path in db
 
+    def drop(self, path: str) -> bool:
+        """Delete a dataset (and its append cursor); True if it existed.
+
+        Lets users force a derived tensor (e.g. ``Unwrapped_Positions``)
+        to be recomputed, or reclaim logical space. Note HDF5 does not
+        shrink the file in place — freed blocks are reused by later
+        writes.
+        """
+        with self._open("a") as db:
+            if path not in db:
+                return False
+            del db[path]
+        return True
+
     def get_data_size(self, path: str) -> tuple:
         """Return ``(n_configurations, n_particles, n_dims)`` of a dataset.
 

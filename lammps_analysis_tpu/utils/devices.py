@@ -27,14 +27,28 @@ log = logging.getLogger(__name__)
 #: remote tunnels in tens of MB/s — the two regimes are far apart.
 SLOW_LINK_MBPS = 200.0
 
+#: if the 2 MB probe has not completed within this deadline the link is
+#: classified slow immediately (a wedged remote tunnel once blocked the
+#: probe for 18 MINUTES; any link that cannot move 4 MB in this time is
+#: far below SLOW_LINK_MBPS anyway, so the early answer is exact)
+PROBE_DEADLINE_S = 10.0
+
 _measured_mbps: Optional[float] = None
 
 
 def device_transfer_bandwidth_mbps() -> float:
-    """Measured host->default-device transfer bandwidth (cached)."""
+    """Measured host->default-device transfer bandwidth (cached).
+
+    The probe runs in a daemon thread with a deadline: a blocked or
+    pathologically slow link reports its (tiny) upper-bound bandwidth
+    after ``PROBE_DEADLINE_S`` instead of stalling the analysis — the
+    thread is left to drain in the background.
+    """
     global _measured_mbps
     if _measured_mbps is not None:
         return _measured_mbps
+    import threading
+
     import jax
     import numpy as np
 
@@ -47,11 +61,33 @@ def device_transfer_bandwidth_mbps() -> float:
     # from a host-side buffer long before bytes cross the link (this
     # machine's tunnel reports GB/s on put-only but ~30 MB/s for real
     # traffic) — only a fetch forces the wire
-    np.asarray(jax.device_put(x, dev))  # warm the path
-    t0 = time.perf_counter()
-    np.asarray(jax.device_put(x, dev))
-    dt = time.perf_counter() - t0
-    _measured_mbps = 2 * 2.0 / max(dt, 1e-9)  # up + down
+    done = threading.Event()
+    result: list = []
+
+    def probe():
+        try:
+            np.asarray(jax.device_put(x, dev))  # warm the path
+            t0 = time.perf_counter()
+            np.asarray(jax.device_put(x, dev))
+            result.append(2 * 2.0 / max(time.perf_counter() - t0, 1e-9))
+        except Exception as err:  # pragma: no cover - backend specific
+            log.warning("bandwidth probe failed: %s", err)
+            result.append(0.0)
+        done.set()
+
+    t_start = time.perf_counter()
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(PROBE_DEADLINE_S):
+        # can't move 4 MB within the deadline: bound the bandwidth from
+        # above — certainly a slow link
+        _measured_mbps = 4.0 / (time.perf_counter() - t_start)
+        log.warning(
+            "host->%s bandwidth probe exceeded %.0f s deadline; "
+            "classifying the link as slow (<= %.1f MB/s)",
+            jax.default_backend(), PROBE_DEADLINE_S, _measured_mbps,
+        )
+        return _measured_mbps
+    _measured_mbps = result[0]
     log.info(
         "host->%s transfer bandwidth: %.0f MB/s",
         jax.default_backend(), _measured_mbps,

@@ -209,3 +209,45 @@ def test_store_dtype_follows_config(tmp_path, rng):
     sdef.initialize(meta)
     out = sdef.load(["Na/Positions"])["Na/Positions"]
     assert out.dtype == np.float64  # conftest enables x64
+
+
+def test_store_drop_dataset(tmp_path):
+    """drop() removes a dataset; later recompute recreates it."""
+    from lammps_analysis_tpu.database.contracts import (
+        SpeciesInfo,
+        TrajectoryChunkData,
+        TrajectoryMetadata,
+    )
+    from lammps_analysis_tpu.database.properties import PropertyInfo
+    from lammps_analysis_tpu.database.trajectory_store import TrajectoryStore
+
+    props = [PropertyInfo("Positions", 3)]
+    sp = [SpeciesInfo("X", 4, props)]
+    meta = TrajectoryMetadata(
+        n_configurations=3, species_list=sp, box_l=[5.0] * 3, sample_rate=1
+    )
+    store = TrajectoryStore(tmp_path / "db.h5")
+    store.initialize(meta)
+    chunk = TrajectoryChunkData(sp, 3)
+    chunk.add_data(np.zeros((3, 4, 3)), 0, "X", "Positions")
+    store.add_chunk(chunk)
+    assert store.check_existence("X/Positions")
+    assert store.drop("X/Positions") is True
+    assert not store.check_existence("X/Positions")
+    assert store.drop("X/Positions") is False  # idempotent
+
+
+def test_results_db_delete_computations(tmp_path):
+    """delete_computations() invalidates the cache (exact args or all)."""
+    from lammps_analysis_tpu.database.results_db import ResultsDatabase
+
+    db = ResultsDatabase(tmp_path / "p.db")
+    a1, a2 = {"x": 1}, {"x": 2}
+    db.store_computation("e", "Calc", a1, 1, {"s": {"v": 1}})
+    db.store_computation("e", "Calc", a2, 1, {"s": {"v": 2}})
+    assert db.find_computation("e", "Calc", a1, 1) is not None
+    assert db.delete_computations("e", "Calc", a1) == 1
+    assert db.find_computation("e", "Calc", a1, 1) is None
+    assert db.find_computation("e", "Calc", a2, 1) is not None
+    assert db.delete_computations("e", "Calc") == 1  # remaining a2
+    assert db.find_computation("e", "Calc", a2, 1) is None

@@ -185,3 +185,30 @@ def test_golden_section_matches_scipy_golden():
     ref = scipy_golden(f, brack=(1.0, 1.8, 2.5), tol=1e-8)
     lo, hi = golden_section_search([x, y], 1.0, 2.5)
     assert lo - 1e-3 <= ref <= hi + 1e-3
+
+
+def test_bandwidth_probe_deadline(monkeypatch):
+    """A wedged link must not stall the probe: past the deadline the link
+    classifies as slow with a bounded bandwidth estimate (observed: a
+    wedged remote tunnel blocked the old probe for 18 minutes)."""
+    import time as _time
+
+    import jax
+
+    from lammps_analysis_tpu.utils import devices as dv
+
+    dv.reset_measurement()
+    monkeypatch.setattr(dv, "PROBE_DEADLINE_S", 0.2)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    def hang_put(x, d):
+        _time.sleep(2.0)
+        return x
+
+    monkeypatch.setattr(jax, "device_put", hang_put)
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: [None])
+    t0 = _time.perf_counter()
+    mbps = dv.device_transfer_bandwidth_mbps()
+    assert _time.perf_counter() - t0 < 1.5  # returned at the deadline
+    assert mbps < dv.SLOW_LINK_MBPS
+    dv.reset_measurement()
