@@ -56,11 +56,17 @@ class Calculator(abc.ABC):
     # ------------------------------------------------------------ entry point
     def __call__(self, **kwargs) -> Union[Computation, Dict[str, Computation]]:
         plot = kwargs.pop("plot", self.plot)
+        # force=True invalidates the cached computation with these exact
+        # args and recomputes (the reference can only recompute via an
+        # experiment-version bump; this is the per-call hook)
+        force = kwargs.pop("force", False)
         results: Dict[str, Computation] = {}
         for exp in self.experiments:
             self.experiment = exp
             self.args = self.prepare_args(**kwargs)
             cache_args = dict(self.args)
+            if force:
+                exp.db.delete_computations(exp.name, self.name, cache_args)
             comp = exp.db.find_computation(
                 exp.name, self.name, cache_args, exp.version
             )

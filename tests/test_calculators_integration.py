@@ -332,3 +332,42 @@ def test_fused_unwrap_prefers_materialised(tmp_path, rng):
         assert not calc._fusible_unwrap("X")
     finally:
         config.fuse_streaming = False
+
+
+def test_force_recompute(tmp_path, rng):
+    """force=True must invalidate the cached computation and recompute."""
+    n_frames, n_atoms, step_std, dt = 200, 10, 0.05, 0.1
+    pos = random_walk(rng, n_frames, n_atoms, step_std)
+    sp = [SpeciesInfo("X", n_atoms, [UNWRAPPED])]
+    meta = TrajectoryMetadata(
+        n_configurations=n_frames, species_list=sp, box_l=[100.0] * 3,
+        sample_rate=1,
+    )
+    chunk = TrajectoryChunkData(sp, n_frames)
+    chunk.add_data(pos, 0, "X", "Unwrapped_Positions")
+    project = make_project(tmp_path)
+    exp = project.add_experiment(
+        "f", timestep=dt, units="si",
+        simulation_data=ScriptInput(chunk, meta, "d"),
+    )
+    calls = []
+    from lammps_analysis_tpu.calculators.einstein_diffusion_coefficients import (
+        EinsteinDiffusionCoefficients,
+    )
+    orig = EinsteinDiffusionCoefficients.run_calculator
+
+    def spy(self):
+        calls.append(1)
+        return orig(self)
+
+    EinsteinDiffusionCoefficients.run_calculator = spy
+    try:
+        exp.run.EinsteinDiffusionCoefficients(data_range=50, plot=False)
+        exp.run.EinsteinDiffusionCoefficients(data_range=50, plot=False)
+        assert len(calls) == 1  # cache hit
+        exp.run.EinsteinDiffusionCoefficients(
+            data_range=50, plot=False, force=True
+        )
+        assert len(calls) == 2  # forced recompute
+    finally:
+        EinsteinDiffusionCoefficients.run_calculator = orig
