@@ -379,7 +379,7 @@ class GreenKuboViscosity(_SystemWindowedCalculator):
 
 
 class GreenKuboViscosityFlux(_SystemWindowedCalculator):
-    """eta directly from flux-file stress columns (``Stress_visc``)."""
+    """eta directly from flux-file stress columns (``Stress_Visc``)."""
 
     loaded_property = mp.stress_viscosity
     scale_function = {"linear": {"scale_factor": 5}}

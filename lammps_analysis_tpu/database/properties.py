@@ -40,14 +40,17 @@ class _Properties:
     box_images = PropertyInfo("Box_Images", 3)
     momenta = PropertyInfo("Momenta", 3)
     torque = PropertyInfo("Torque", 3)
-    angular_velocities = PropertyInfo("Angular_Velocities", 3)
+    angular_velocity_spherical = PropertyInfo("Angular_Velocity_Spherical", 3)
+    angular_velocity_non_spherical = PropertyInfo(
+        "Angular_Velocity_Non_Spherical", 3
+    )
     dipole_orientation_magnitude = PropertyInfo("Dipole_Orientation_Magnitude", 3)
 
     # per-atom scalars
     charge = PropertyInfo("Charge", 1)
     masses = PropertyInfo("Masses", 1)
-    kinetic_energy = PropertyInfo("KE", 1)
-    potential_energy = PropertyInfo("PE", 1)
+    kinetic_energy = PropertyInfo("Kinetic_Energy", 1)
+    potential_energy = PropertyInfo("Potential_Energy", 1)
     energy = PropertyInfo("Energy", 1)
     temperature = PropertyInfo("Temperature", 1)
 
@@ -56,7 +59,7 @@ class _Properties:
 
     # system-wide time series (stored under the Observables group)
     thermal_flux = PropertyInfo("Thermal_Flux", 3)
-    stress_viscosity = PropertyInfo("Stress_visc", 3)
+    stress_viscosity = PropertyInfo("Stress_Visc", 3)
     momentum_flux = PropertyInfo("Momentum_Flux", 3)
     ionic_current = PropertyInfo("Ionic_Current", 3)
     translational_dipole_moment = PropertyInfo("Translational_Dipole_Moment", 3)

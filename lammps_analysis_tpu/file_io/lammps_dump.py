@@ -37,8 +37,8 @@ COLUMN_MAP = {
     mp.forces: ["fx", "fy", "fz"],
     mp.box_images: ["ix", "iy", "iz"],
     mp.dipole_orientation_magnitude: ["mux", "muy", "muz"],
-    mp.angular_velocities: ["omegax", "omegay", "omegaz"],
-    mp.momenta: ["angmomx", "angmomy", "angmomz"],
+    mp.angular_velocity_spherical: ["omegax", "omegay", "omegaz"],
+    mp.angular_velocity_non_spherical: ["angmomx", "angmomy", "angmomz"],
     mp.torque: ["tqx", "tqy", "tqz"],
     mp.charge: ["q"],
     mp.kinetic_energy: ["c_KE"],

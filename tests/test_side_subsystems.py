@@ -13,7 +13,7 @@ from lammps_analysis_tpu.database import (
 from lammps_analysis_tpu.file_io import ScriptInput
 
 POSITIONS = PropertyInfo("Positions", 3)
-PE = PropertyInfo("PE", 1)
+PE = PropertyInfo("Potential_Energy", 1)
 
 
 @pytest.fixture()
@@ -44,8 +44,8 @@ def sdf_experiment(tmp_path, rng):
     chunk = TrajectoryChunkData(sp, n_frames)
     chunk.add_data(center, 0, "A", "Positions")
     chunk.add_data(partners, 0, "B", "Positions")
-    chunk.add_data(rng.normal(size=(n_frames, 1, 1)), 0, "A", "PE")
-    chunk.add_data(rng.normal(size=(n_frames, n_b, 1)), 0, "B", "PE")
+    chunk.add_data(rng.normal(size=(n_frames, 1, 1)), 0, "A", "Potential_Energy")
+    chunk.add_data(rng.normal(size=(n_frames, n_b, 1)), 0, "B", "Potential_Energy")
     project = latpu.Project(name="proj", storage_path=tmp_path)
     return project.add_experiment(
         "sdf", timestep=0.1, temperature=300.0, units="real",
@@ -71,7 +71,7 @@ def test_sdf_finds_polar_cluster(sdf_experiment):
 def test_time_series_energies(sdf_experiment):
     out = sdf_experiment.time_series.Energies(window=3)
     assert set(out["series"]) == {"A", "B"}
-    assert (sdf_experiment.path / "figures" / "timeseries_PE.png").exists()
+    assert (sdf_experiment.path / "figures" / "timeseries_Potential_Energy.png").exists()
     with pytest.raises(AttributeError):
         sdf_experiment.time_series.DoesNotExist
 

@@ -132,7 +132,7 @@ def test_thermal_flux_voigt_contraction(rng):
     pe = rng.normal(size=(t, n, 1))
     out, _ = ThermalFlux().transform_batch(
         {"X": {"Stress": jnp.asarray(stress), "Velocities": jnp.asarray(vel),
-               "KE": jnp.asarray(ke), "PE": jnp.asarray(pe)}}
+               "Kinetic_Energy": jnp.asarray(ke), "Potential_Energy": jnp.asarray(pe)}}
     )
     # numpy oracle with explicit Voigt [xx, yy, zz, xy, xz, yz]
     s = stress
@@ -166,7 +166,7 @@ def test_integrated_heat_current(rng):
     pe = rng.normal(size=(6, 4, 1))
     out, _ = IntegratedHeatCurrent().transform_batch(
         {"X": {"Unwrapped_Positions": jnp.asarray(pos),
-               "KE": jnp.asarray(ke), "PE": jnp.asarray(pe)}}
+               "Kinetic_Energy": jnp.asarray(ke), "Potential_Energy": jnp.asarray(pe)}}
     )
     np.testing.assert_allclose(
         np.asarray(out), ((ke + pe) * pos).sum(axis=1), atol=1e-12
@@ -187,7 +187,7 @@ def test_kinaci_carryover_chains(rng):
                 "Unwrapped_Positions": jnp.asarray(pos[lo:hi]),
                 "Velocities": jnp.asarray(vel[lo:hi]),
                 "Forces": jnp.asarray(force[lo:hi]),
-                "PE": jnp.asarray(pe[lo:hi]),
+                "Potential_Energy": jnp.asarray(pe[lo:hi]),
                 "Time_Step": jnp.asarray(dt),
                 "Sample_Rate": jnp.asarray(1.0),
             }

@@ -239,7 +239,7 @@ def test_thermal_chain_from_per_atom_data(tmp_path, rng):
     n_frames, n_atoms, dt = 1500, 12, 0.1
     props = [
         PropertyInfo("Stress", 6), PropertyInfo("Velocities", 3),
-        PropertyInfo("KE", 1), PropertyInfo("PE", 1),
+        PropertyInfo("Kinetic_Energy", 1), PropertyInfo("Potential_Energy", 1),
         PropertyInfo("Unwrapped_Positions", 3), PropertyInfo("Forces", 3),
     ]
     sp = [SpeciesInfo("X", n_atoms, props)]
@@ -250,8 +250,8 @@ def test_thermal_chain_from_per_atom_data(tmp_path, rng):
     chunk = TrajectoryChunkData(sp, n_frames)
     chunk.add_data(rng.normal(size=(n_frames, n_atoms, 6)), 0, "X", "Stress")
     chunk.add_data(rng.normal(size=(n_frames, n_atoms, 3)), 0, "X", "Velocities")
-    chunk.add_data(rng.normal(size=(n_frames, n_atoms, 1)) ** 2, 0, "X", "KE")
-    chunk.add_data(-rng.normal(size=(n_frames, n_atoms, 1)) ** 2, 0, "X", "PE")
+    chunk.add_data(rng.normal(size=(n_frames, n_atoms, 1)) ** 2, 0, "X", "Kinetic_Energy")
+    chunk.add_data(-rng.normal(size=(n_frames, n_atoms, 1)) ** 2, 0, "X", "Potential_Energy")
     chunk.add_data(
         np.cumsum(rng.normal(scale=0.05, size=(n_frames, n_atoms, 3)), axis=0),
         0, "X", "Unwrapped_Positions",
