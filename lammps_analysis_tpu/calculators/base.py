@@ -474,6 +474,50 @@ class TrajectoryCalculator(Calculator):
                 carry = (pos[j], image)
             yield unwrapped
 
+    def _stream_properties_multi(
+        self,
+        species_list: List[str],
+        prop_name: str,
+        data_range: int,
+        correlation_time: int,
+    ):
+        """Yield ``{species: slab}`` dicts over window-aligned slabs.
+
+        Multi-species analog of :meth:`_stream_property` for calculators
+        that correlate two species' series (the distinct diffusion
+        family) — replaces their full-trajectory ``load_matrix`` loads
+        with prefetched streaming (a 100k-frame pair is ~25 GB loaded
+        whole; slabs are bounded by the batch plan).
+        """
+        import jax
+
+        from ..pipeline.prefetch import prefetch_to_device
+        from ..utils.devices import bandwidth_bound_device
+
+        store = self.experiment.store
+        paths = {sp: join_path(sp, prop_name) for sp in species_list}
+        slabs = self._window_slab_plan(
+            next(iter(paths.values())), data_range, correlation_time
+        )
+        device = bandwidth_bound_device()
+        on_cpu = device is not None or jax.default_backend() == "cpu"
+        dtype = (
+            np.float64
+            if on_cpu and jax.config.jax_enable_x64
+            else np.float32
+        )
+
+        def load(slab):
+            start, stop = slab
+            data = store.load(
+                sorted(set(paths.values())),
+                frames=slice(start, stop),
+                dtype=dtype,
+            )
+            return {sp: data[p] for sp, p in paths.items()}
+
+        yield from prefetch_to_device(load, slabs, depth=2, device=device)
+
     def _stream_property(
         self, species: str, prop_name: str, data_range: int, correlation_time: int
     ):

@@ -89,27 +89,31 @@ class EinsteinDistinctDiffusionCoefficients(TrajectoryCalculator):
         tau_idx = np.asarray(self.tau_values)
         results = {}
         for sp_a, sp_b in itertools.combinations_with_replacement(a["species"], 2):
-            data = exp.load_matrix(
-                self.loaded_property.name, [sp_a, sp_b]
-            )
-            xa, xb = data[sp_a], data[sp_b]
             msd_sum = np.zeros(self.data_resolution)
             n_windows = 0
-            for seg_a, seg_b in zip(
-                _window_slabs(xa, w, a["correlation_time"]),
-                _window_slabs(xb, w, a["correlation_time"]),
+            # streamed window-aligned slabs: the full pair is never
+            # resident (a 100k-frame pair loaded whole is ~25 GB)
+            for slab in self._stream_properties_multi(
+                [sp_a, sp_b], self.loaded_property.name, w,
+                a["correlation_time"],
             ):
-                da = seg_a[tau_idx] - seg_a[0]  # (R, Na, 3)
-                db = seg_b[tau_idx] - seg_b[0]
-                cross = np.mean(
-                    da.mean(axis=1) * db.mean(axis=1), axis=-1
-                )  # (W,)
-                if sp_a == sp_b:
-                    cross = cross - np.mean(
-                        np.mean(da * db, axis=-1), axis=1
-                    )
-                msd_sum += cross
-                n_windows += 1
+                xa = np.asarray(slab[sp_a])
+                xb = np.asarray(slab[sp_b])
+                for seg_a, seg_b in zip(
+                    _window_slabs(xa, w, a["correlation_time"]),
+                    _window_slabs(xb, w, a["correlation_time"]),
+                ):
+                    da = seg_a[tau_idx] - seg_a[0]  # (R, Na, 3)
+                    db = seg_b[tau_idx] - seg_b[0]
+                    cross = np.mean(
+                        da.mean(axis=1) * db.mean(axis=1), axis=-1
+                    )  # (W,)
+                    if sp_a == sp_b:
+                        cross = cross - np.mean(
+                            np.mean(da * db, axis=-1), axis=1
+                        )
+                    msd_sum += cross
+                    n_windows += 1
             msd = msd_sum / max(n_windows, 1)
             msd *= exp.units.length**2
             try:
@@ -205,33 +209,43 @@ class GreenKuboDistinctDiffusionCoefficients(TrajectoryCalculator):
         prefactor = exp.units.length**2 / (exp.units.time * (w - 1))
         results = {}
         for sp_a, sp_b in itertools.combinations_with_replacement(a["species"], 2):
-            data = exp.load_matrix(self.loaded_property.name, [sp_a, sp_b])
-            xa, xb = data[sp_a], data[sp_b]
-            n_a, n_b = xa.shape[1], xb.shape[1]
             vacf_sum = np.zeros(self.data_resolution)
             sigmas = []
-            for full_a, full_b in zip(
-                _window_slabs(xa, w, a["correlation_time"]),
-                _window_slabs(xb, w, a["correlation_time"]),
+            # streamed window-aligned slabs (the full pair is never
+            # resident — see EinsteinDistinct)
+            for slab in self._stream_properties_multi(
+                [sp_a, sp_b], self.loaded_property.name, w,
+                a["correlation_time"],
             ):
-                # gather the window at the requested lags before correlating
-                # (reference gathers the ensemble at tau_values)
-                seg_a, seg_b = full_a[tau_idx], full_b[tau_idx]
-                # bilinearity: mean_{ij} corr(a_i, b_j) = corr(mean a, mean b)
-                cross = self._raw_cross_corr(
-                    seg_a.mean(axis=1), seg_b.mean(axis=1)
-                )
-                if sp_a == sp_b:
-                    # mean over particles of per-particle self correlation:
-                    per_particle = np.stack(
-                        [
-                            self._raw_cross_corr(seg_a[:, i], seg_b[:, i])
-                            for i in range(n_a)
-                        ]
-                    ).mean(axis=0)
-                    cross = cross - per_particle
-                vacf_sum += cross
-                sigmas.append(prefactor * np.trapezoid(cross, x=times))
+                xa = np.asarray(slab[sp_a])
+                xb = np.asarray(slab[sp_b])
+                for full_a, full_b in zip(
+                    _window_slabs(xa, w, a["correlation_time"]),
+                    _window_slabs(xb, w, a["correlation_time"]),
+                ):
+                    # gather the window at the requested lags before
+                    # correlating (reference gathers the ensemble at
+                    # tau_values)
+                    seg_a, seg_b = full_a[tau_idx], full_b[tau_idx]
+                    # bilinearity: mean_{ij} corr(a_i, b_j)
+                    #            = corr(mean a, mean b)
+                    cross = self._raw_cross_corr(
+                        seg_a.mean(axis=1), seg_b.mean(axis=1)
+                    )
+                    if sp_a == sp_b:
+                        # mean over particles of per-particle self
+                        # correlation — one batched FFT over the particle
+                        # axis (was a Python loop over particles)
+                        w_len = seg_a.shape[0]
+                        cc = cross_correlation_biased(
+                            jnp.asarray(seg_b), jnp.asarray(seg_a), axis=0
+                        )  # (W, N, 3)
+                        per_particle = (
+                            np.asarray(jnp.mean(cc, axis=(1, 2))) * w_len
+                        )
+                        cross = cross - per_particle
+                    vacf_sum += cross
+                    sigmas.append(prefactor * np.trapezoid(cross, x=times))
             vacf = vacf_sum / max(len(sigmas), 1)
             sigmas = np.asarray(sigmas)
             results[f"{sp_a}_{sp_b}"] = {

@@ -286,3 +286,30 @@ def test_thermal_chain_from_per_atom_data(tmp_path, rng):
     )
     assert exp.store.check_existence("Observables/Momentum_Flux")
     assert np.isfinite(res_visc["System"]["viscosity"][0])
+
+
+def test_distinct_diffusion_multislab_equals_single(tmp_path, rng):
+    """Shrinking the memory budget forces multi-slab streaming; the
+    window-aligned slabs must reproduce the single-slab results exactly
+    (same windows, same math — the TPU analog of the reference's
+    desired_memory parametrisation)."""
+    from lammps_analysis_tpu.utils.config import change_memory_fraction
+
+    exp, _ = _ionic_experiment(tmp_path, rng, n_frames=600)
+    kw = dict(data_range=40, correlation_time=40, plot=False)
+    ref_e = exp.run.EinsteinDistinctDiffusionCoefficients(**kw)
+    ref_g = exp.run.GreenKuboDistinctDiffusionCoefficients(**kw)
+    with change_memory_fraction(1e-7):
+        small_e = exp.run.EinsteinDistinctDiffusionCoefficients(
+            force=True, **kw
+        )
+        small_g = exp.run.GreenKuboDistinctDiffusionCoefficients(
+            force=True, **kw
+        )
+    for key in ref_e.keys():
+        np.testing.assert_allclose(
+            small_e[key]["msd"], ref_e[key]["msd"], rtol=1e-10
+        )
+        np.testing.assert_allclose(
+            small_g[key]["vacf"], ref_g[key]["vacf"], rtol=1e-10
+        )
