@@ -371,3 +371,56 @@ def test_force_recompute(tmp_path, rng):
         assert len(calls) == 2  # forced recompute
     finally:
         EinsteinDiffusionCoefficients.run_calculator = orig
+
+
+def test_fused_unwrap_multislab_carry(tmp_path, rng):
+    """Fused unwrap across MANY overlapping slabs (tiny memory budget)
+    must chain the carry seam-free and equal the materialised path."""
+    from lammps_analysis_tpu.utils.config import change_memory_fraction, config
+
+    n_frames, n_atoms, step_std, dt = 600, 12, 0.3, 0.1
+    box = 2.0
+    unwrapped = random_walk(rng, n_frames, n_atoms, step_std) + box / 2
+    wrapped = unwrapped - box * np.floor(unwrapped / box)
+    sp = [SpeciesInfo("X", n_atoms, [POSITIONS])]
+    meta = TrajectoryMetadata(
+        n_configurations=n_frames, species_list=sp, box_l=[box] * 3,
+        sample_rate=1,
+    )
+
+    def build(name):
+        chunk = TrajectoryChunkData(sp, n_frames)
+        chunk.add_data(wrapped, 0, "X", "Positions")
+        project = latpu.Project(name=name, storage_path=tmp_path)
+        return project.add_experiment(
+            "w", timestep=dt, units="si",
+            simulation_data=ScriptInput(chunk, meta, "d"),
+        )
+
+    exp_mat = build("mat")
+    res_mat = exp_mat.run.EinsteinDiffusionCoefficients(
+        data_range=64, correlation_time=16, plot=False
+    )
+
+    exp_fused = build("fused")
+    from lammps_analysis_tpu.calculators.einstein_diffusion_coefficients import (
+        EinsteinDiffusionCoefficients,
+    )
+    probe = EinsteinDiffusionCoefficients(exp_fused)
+    probe.args = probe.prepare_args(data_range=64, correlation_time=16)
+    with change_memory_fraction(1e-7):
+        slabs = probe._window_slab_plan(
+            "X/Positions", 64, 16, max_slab_bytes=1 << 29
+        )
+        assert len(slabs) > 3, "budget did not force multiple slabs"
+        config.fuse_streaming = True
+        try:
+            res_fused = exp_fused.run.EinsteinDiffusionCoefficients(
+                data_range=64, correlation_time=16, plot=False
+            )
+        finally:
+            config.fuse_streaming = False
+    np.testing.assert_allclose(
+        np.array(res_fused["X"]["msd"]), np.array(res_mat["X"]["msd"]),
+        rtol=1e-10,
+    )
