@@ -105,6 +105,30 @@ class Project:
         for n in names:
             self.db.set_active(n, False)
 
+    def load_experiments(self, names):
+        """Activate experiments by name (reference alias,
+        ``project.py:247-249``). Accepts one name or a list."""
+        if isinstance(names, str):
+            names = [names]
+        self.activate_experiments(names)
+
+    def add_data(self, data_sets: Dict[str, object]) -> None:
+        """Ingest data into several experiments at once.
+
+        ``data_sets`` maps experiment name -> simulation data (any form
+        ``Experiment.add_data`` accepts). Reference analog:
+        ``project.py:286-306``.
+        """
+        experiments = self.experiments
+        missing = [n for n in data_sets if n not in experiments]
+        if missing:
+            raise KeyError(
+                f"Unknown experiment(s) {missing}; create them with "
+                "add_experiment first."
+            )
+        for name, data in data_sets.items():
+            experiments[name].add_data(data)
+
     # ------------------------------------------------------------------ runs
     @property
     def run(self) -> RunComputation:

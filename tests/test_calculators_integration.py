@@ -424,3 +424,37 @@ def test_fused_unwrap_multislab_carry(tmp_path, rng):
         np.array(res_fused["X"]["msd"]), np.array(res_mat["X"]["msd"]),
         rtol=1e-10,
     )
+
+
+def test_project_add_data_and_load_experiments(tmp_path, rng):
+    """Project.add_data dispatches ingestion per experiment name;
+    load_experiments re-activates (reference project.py:247-306)."""
+    n_frames, n_atoms = 50, 8
+    sp = [SpeciesInfo("X", n_atoms, [UNWRAPPED])]
+    meta = TrajectoryMetadata(
+        n_configurations=n_frames, species_list=sp, box_l=[9.0] * 3,
+        sample_rate=1,
+    )
+
+    def make_chunk():
+        chunk = TrajectoryChunkData(sp, n_frames)
+        chunk.add_data(random_walk(rng, n_frames, n_atoms, 0.1), 0, "X",
+                       "Unwrapped_Positions")
+        return chunk
+
+    project = make_project(tmp_path)
+    project.add_experiment("e1", timestep=0.1, units="si")
+    project.add_experiment("e2", timestep=0.1, units="si")
+    project.add_data({
+        "e1": ScriptInput(make_chunk(), meta, "d1"),
+        "e2": ScriptInput(make_chunk(), meta, "d2"),
+    })
+    assert project.experiments["e1"].number_of_configurations == n_frames
+    assert project.experiments["e2"].number_of_configurations == n_frames
+    with pytest.raises(KeyError):
+        project.add_data({"nope": ScriptInput(make_chunk(), meta, "d3")})
+
+    project.disable_experiments(["e2"])
+    assert set(project.active_experiments) == {"e1"}
+    project.load_experiments("e2")
+    assert set(project.active_experiments) == {"e1", "e2"}
