@@ -245,8 +245,17 @@ class StructureFactor(_RDFPostProcessor):
     result_series_keys = ["q", "S"]
 
     def prepare_args(
-        self, rdf_data=None, resolution: int = 700, **kwargs
+        self, rdf_data=None, resolution: int = 700,
+        method: str = "Faber-Ziman", **kwargs
     ) -> Dict[str, Any]:
+        # reference arg contract (structure_factor.py:142); Faber-Ziman is
+        # the only formalism upstream supports too — reject others loudly
+        # instead of silently ignoring the request
+        if method != "Faber-Ziman":
+            raise ValueError(
+                f"{self.name}: unsupported method {method!r}; only "
+                "'Faber-Ziman' is implemented (same as the reference)."
+            )
         self.rdf_data = self._resolve_rdf(rdf_data)
         return {"resolution": int(resolution), **self._rdf_args(self.rdf_data)}
 
@@ -302,7 +311,8 @@ class NernstEinsteinIonicConductivity(Calculator):
     result_series_keys = []
 
     def prepare_args(
-        self, diffusion_data=None, distinct_diffusion_data=None, **kwargs
+        self, diffusion_data=None, distinct_diffusion_data=None,
+        corrected: bool = False, **kwargs
     ) -> Dict[str, Any]:
         if isinstance(diffusion_data, Computation):
             self.diffusion_data = diffusion_data
@@ -315,6 +325,14 @@ class NernstEinsteinIonicConductivity(Calculator):
             if isinstance(distinct_diffusion_data, Computation)
             else None
         )
+        # reference arg contract (nernst_einstein_...py:71): corrected=True
+        # adds the distinct (cross) terms — auto-run them if not supplied
+        if corrected and self.distinct_diffusion_data is None:
+            self.distinct_diffusion_data = (
+                self.experiment.run.EinsteinDistinctDiffusionCoefficients(
+                    plot=False
+                )
+            )
         args = {
             "diffusion_source": self.diffusion_data.name,
             "diffusion_args": self.diffusion_data.args,

@@ -163,3 +163,21 @@ def test_adf_tetrahedral_angle(tmp_path, rng):
     # key O_H_H: central O with two H neighbours at 104.5 degrees
     data = res["O_H_H"]
     assert abs(data["max_peak"] - 104.5) < 2.0
+
+
+def test_structure_factor_rejects_unknown_method(experiment):
+    """The reference's method= arg: only Faber-Ziman exists; anything else
+    must raise instead of being silently ignored."""
+    n_bins = 50
+    r = np.linspace(0, 0.5, n_bins)
+    rdf = Computation(
+        "RadialDistributionFunction",
+        {"number_of_bins": n_bins, "cutoff": 5.0,
+         "number_of_configurations": 10},
+        {"X_X": {"x": r.tolist(), "y": np.ones(n_bins).tolist()}},
+        "synthetic",
+    )
+    with pytest.raises(ValueError, match="Faber-Ziman"):
+        experiment.run.StructureFactor(
+            rdf_data=rdf, method="Ashcroft-Langreth", plot=False
+        )

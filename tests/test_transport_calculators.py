@@ -313,3 +313,19 @@ def test_distinct_diffusion_multislab_equals_single(tmp_path, rng):
         np.testing.assert_allclose(
             small_g[key]["vacf"], ref_g[key]["vacf"], rtol=1e-10
         )
+
+
+def test_nernst_einstein_corrected_flag(tmp_path, rng):
+    """corrected=True (reference arg) auto-runs the distinct diffusion and
+    emits the corrected conductivity key."""
+    exp, _ = _ionic_experiment(tmp_path, rng, n_frames=600)
+    diff = exp.run.GreenKuboDiffusionCoefficients(
+        data_range=40, correlation_time=40, plot=False
+    )
+    res = exp.run.NernstEinsteinIonicConductivity(
+        diffusion_data=diff, corrected=True, plot=False
+    )
+    assert "corrected_nernst_einstein_ionic_conductivity" in res["System"]
+    assert np.isfinite(
+        res["System"]["corrected_nernst_einstein_ionic_conductivity"]
+    )
