@@ -123,6 +123,20 @@ def sharded_rdf_histogram(
     mesh = mesh or get_default_mesh()
     n_dev = _n_mesh_devices(mesh)
     f = positions.shape[0]
+    # a 2-D (data, atoms) mesh: route to the tensor-parallel kernel so the
+    # atoms axis does real work (i-rows sharded, j side all_gathered over
+    # ICI) instead of replicating the full computation
+    if (
+        "atoms" in getattr(mesh, "shape", {})
+        and mesh.shape["atoms"] > 1
+        and f % mesh.shape["data"] == 0
+        and positions.shape[1] % mesh.shape["atoms"] == 0
+    ):
+        return sharded_rdf_histogram_2d(
+            positions, species_id, pair_table, box,
+            cutoff=cutoff, n_bins=n_bins, n_pairs=n_pairs, mesh=mesh,
+            i_block=i_block,
+        )
     if use_pallas is None:
         use_pallas = rdf_use_pallas()
     kernel = _rdf_backend_kernel(

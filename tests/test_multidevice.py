@@ -277,3 +277,27 @@ def test_adf_pipeline_topk_pallas_branch_traces():
         jax.ShapeDtypeStruct((3,), jnp.float32),
     )
     assert out[0].shape == (len(order), 24)
+
+
+def test_rdf_routes_to_2d_mesh(system):
+    """sharded_rdf_histogram under a (data, atoms) mesh must route to the
+    tensor-parallel kernel and still produce exact counts."""
+    from lammps_analysis_tpu.parallel.mesh import make_2d_mesh
+
+    sid, n_pad, ptab, n_pairs, pos, box = system
+    ref = np.asarray(
+        rdf_ops.rdf_histogram(
+            jnp.asarray(pos), jnp.asarray(sid), jnp.asarray(ptab),
+            jnp.asarray(box), cutoff=2.4, n_bins=60, n_pairs=n_pairs,
+            i_block=8,
+        )
+    )
+    mesh = make_2d_mesh(data=2, atoms=4)
+    h = np.asarray(
+        sharded_rdf_histogram(
+            jnp.asarray(pos), jnp.asarray(sid), jnp.asarray(ptab),
+            jnp.asarray(box), cutoff=2.4, n_bins=60, n_pairs=n_pairs,
+            mesh=mesh,
+        )
+    )
+    np.testing.assert_array_equal(h, ref)
