@@ -657,16 +657,21 @@ def sharded_windowed_msd(
         return msd_ops.windowed_msd_sum(x, tau_values, window, stride)
 
     main = (n_particles // n_dev) * n_dev
+    # particles are independent: on a multi-axis mesh shard them over ALL
+    # axes (a (data, atoms) mesh would otherwise replicate the compute
+    # along the unnamed axes)
+    axes = tuple(mesh.shape.keys())
+    part_spec = axes[0] if len(axes) == 1 else axes
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(None, "data"), P()),
+        in_specs=(P(None, part_spec), P()),
         out_specs=(P(), P()),
     )
     def sharded(x_shard, tau):
         s, n = msd_ops.windowed_msd_sum(x_shard, tau, window, stride)
-        return jax.lax.psum(s, "data"), n
+        return jax.lax.psum(s, axes), n
 
     msum, nw = sharded(x[:, :main], tau_values)
     if main < n_particles:

@@ -301,3 +301,21 @@ def test_rdf_routes_to_2d_mesh(system):
         )
     )
     np.testing.assert_array_equal(h, ref)
+
+
+def test_msd_2d_mesh_uses_all_devices(rng):
+    """Windowed MSD on a (data, atoms) mesh shards particles over all
+    axes and still matches the single-device sum."""
+    from lammps_analysis_tpu.parallel.mesh import make_2d_mesh
+
+    pos = np.cumsum(rng.normal(size=(40, 24, 3)), axis=0)
+    tau = jnp.arange(8)
+    ref, _ = sharded_windowed_msd(
+        jnp.asarray(pos), tau, window=8, stride=8,
+        mesh=make_data_mesh(1),
+    )
+    s, _ = sharded_windowed_msd(
+        jnp.asarray(pos), tau, window=8, stride=8,
+        mesh=make_2d_mesh(data=2, atoms=4),
+    )
+    np.testing.assert_allclose(np.asarray(s), np.asarray(ref), rtol=1e-12)
