@@ -18,7 +18,7 @@ import numpy as np
 from scipy.integrate import cumulative_trapezoid
 
 from ..database.properties import mdsuite_properties as mp
-from ..ops.correlation import windowed_acf_sum
+from ..parallel.sharded_ops import sharded_windowed_acf
 from .base import TrajectoryCalculator
 
 log = logging.getLogger(__name__)
@@ -82,7 +82,7 @@ class GreenKuboDiffusionCoefficients(TrajectoryCalculator):
             for slab in self._stream_property(
                 sp, self.loaded_property.name, data_range, a["correlation_time"]
             ):
-                s, per_window = windowed_acf_sum(
+                s, per_window = sharded_windowed_acf(
                     jnp.asarray(slab), data_range, a["correlation_time"],
                     tau=tau,
                 )

@@ -560,6 +560,57 @@ class AdfBatchRunner:
         return self._hist
 
 
+def sharded_windowed_acf(
+    x: jnp.ndarray,
+    window: int,
+    stride: int,
+    chunk: int = 32,
+    tau=None,
+    mesh=None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Windowed ACF with the *particle* axis sharded over the whole mesh.
+
+    Same contract as ``ops.correlation.windowed_acf_sum``: the ACF sum is
+    a plain psum; the per-window particle-MEAN combines as a
+    count-weighted mean across shards (exact when particle counts divide,
+    and the remainder tail is folded in with its own weight).
+    """
+    from ..ops.correlation import windowed_acf_sum
+
+    mesh = mesh or get_default_mesh()
+    n_dev = _n_mesh_devices(mesh)
+    n_particles = x.shape[1]
+    if n_dev == 1 or n_particles < n_dev:
+        return windowed_acf_sum(x, window, stride, chunk=chunk, tau=tau)
+
+    main = (n_particles // n_dev) * n_dev
+    axes = tuple(mesh.shape.keys())
+    part_spec = axes[0] if len(axes) == 1 else axes
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, part_spec),),
+        out_specs=(P(), P()),
+    )
+    def sharded(x_shard):
+        s, pw = windowed_acf_sum(x_shard, window, stride, chunk=chunk, tau=tau)
+        n_loc = x_shard.shape[1]
+        # pw is the LOCAL particle mean: psum the weighted numerators
+        return jax.lax.psum(s, axes), jax.lax.psum(pw * n_loc, axes)
+
+    s, pw_sum = sharded(x[:, :main])
+    pw = pw_sum / main
+    if main < n_particles:
+        s_t, pw_t = windowed_acf_sum(
+            x[:, main:], window, stride, chunk=chunk, tau=tau
+        )
+        s = s + s_t
+        n_tail = n_particles - main
+        pw = (pw * main + pw_t * n_tail) / n_particles
+    return s, pw
+
+
 def sharded_rdf_histogram_2d(
     positions: jnp.ndarray,
     species_id: jnp.ndarray,

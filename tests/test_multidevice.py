@@ -319,3 +319,20 @@ def test_msd_2d_mesh_uses_all_devices(rng):
         mesh=make_2d_mesh(data=2, atoms=4),
     )
     np.testing.assert_allclose(np.asarray(s), np.asarray(ref), rtol=1e-12)
+
+
+def test_acf_1_vs_8_devices(rng):
+    """Particle-sharded windowed ACF: 1-device and 8-device meshes agree,
+    including the per-window particle-mean (count-weighted across shards)
+    and a remainder-particle tail."""
+    from lammps_analysis_tpu.parallel.sharded_ops import sharded_windowed_acf
+
+    vel = jnp.asarray(rng.normal(size=(60, 19, 3)))  # 19: remainder tail
+    results = {}
+    for n_dev in (1, 8):
+        s, pw = sharded_windowed_acf(
+            vel, window=16, stride=8, mesh=make_data_mesh(n_dev)
+        )
+        results[n_dev] = (np.asarray(s), np.asarray(pw))
+    np.testing.assert_allclose(results[1][0], results[8][0], rtol=1e-12)
+    np.testing.assert_allclose(results[1][1], results[8][1], rtol=1e-12)
