@@ -252,7 +252,11 @@ class _AdfPlan:
 
 def _sharded_runner(mesh, n_dev, n_counts=0):
     """Build run(kernel, positions, ...): shard the kernel over frames;
-    psum the histogram, pmax any trailing diagnostic counts."""
+    psum the histogram, pmax any trailing diagnostic counts. Frames are
+    independent, so they shard over EVERY mesh axis (a multi-axis mesh
+    would otherwise replicate the compute along the extra axes)."""
+    axes = tuple(mesh.shape.keys())
+    frame_spec = axes[0] if len(axes) == 1 else axes
 
     def run(kernel, positions, species_id, triple_table, box):
         f = positions.shape[0]
@@ -265,16 +269,16 @@ def _sharded_runner(mesh, n_dev, n_counts=0):
         @functools.partial(
             jax.shard_map,
             mesh=mesh,
-            in_specs=(P("data"), P(), P(), P()),
+            in_specs=(P(frame_spec), P(), P(), P()),
             out_specs=out_spec,
         )
         def sharded(pos_shard, sid, ttab, box_):
             out = kernel(pos_shard, sid, ttab, box_)
             if n_counts:
-                return (jax.lax.psum(out[0], "data"),) + tuple(
-                    jax.lax.pmax(c, "data") for c in out[1:]
+                return (jax.lax.psum(out[0], axes),) + tuple(
+                    jax.lax.pmax(c, axes) for c in out[1:]
                 )
-            return jax.lax.psum(out, "data")
+            return jax.lax.psum(out, axes)
 
         out = sharded(positions[:main], species_id, triple_table, box)
         if main < f:

@@ -336,3 +336,25 @@ def test_acf_1_vs_8_devices(rng):
         results[n_dev] = (np.asarray(s), np.asarray(pw))
     np.testing.assert_allclose(results[1][0], results[8][0], rtol=1e-12)
     np.testing.assert_allclose(results[1][1], results[8][1], rtol=1e-12)
+
+
+def test_adf_2d_mesh_matches_1d(system):
+    """ADF on a (data, atoms) mesh shards frames over all axes."""
+    from lammps_analysis_tpu.parallel.mesh import make_2d_mesh
+
+    sid, n_pad, ptab, n_pairs, pos, box = system
+    ttab, order = adf_ops.build_triple_table(2)
+    kw = dict(cutoff=2.0, n_bins=36, n_triples=len(order), c_block=8)
+    ref = np.asarray(
+        sharded_adf_histogram(
+            jnp.asarray(pos), jnp.asarray(sid), jnp.asarray(ttab),
+            jnp.asarray(box), mesh=make_data_mesh(1), **kw,
+        )
+    )
+    h = np.asarray(
+        sharded_adf_histogram(
+            jnp.asarray(pos), jnp.asarray(sid), jnp.asarray(ttab),
+            jnp.asarray(box), mesh=make_2d_mesh(data=2, atoms=4), **kw,
+        )
+    )
+    np.testing.assert_allclose(h, ref, rtol=1e-6)
