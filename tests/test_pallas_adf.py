@@ -262,3 +262,31 @@ def test_packed_stage2_matches_unpacked(rng):
             sid_pk, n_bins, 2, pack=pack, interpret=True,
         ))
         np.testing.assert_allclose(packed, base, rtol=1e-6, atol=1e-6)
+
+
+def test_counts_chunk_skip_is_invisible(rng):
+    """The SMEM-counts j-chunk skip must not change the histogram: skipped
+    chunks lie entirely beyond each sub-list's contiguous valid prefix and
+    would contribute zero anyway."""
+    from lammps_analysis_tpu.ops.pallas_adf import (
+        adf_pairs_histogram_pallas,
+        pallas_neighbor_components,
+    )
+
+    f, n, box_l, cutoff, n_bins = 2, 256, 9.0, 2.0, 73
+    pos = rng.uniform(0, box_l, (f, n, 3)).astype(np.float32)
+    sid = np.repeat(np.arange(2), n // 2).astype(np.int32)
+    box = jnp.asarray([box_l] * 3, jnp.float32)
+    (rx, ry, rz), d_n, sid_n, sid_pad, mc = pallas_neighbor_components(
+        jnp.asarray(pos), jnp.asarray(sid), box, cutoff,
+        k_n=128, interpret=True,
+    )
+    counts = jnp.sum(sid_n >= 0, axis=2)[..., None]  # (F, Np, 1)
+    base = np.asarray(adf_pairs_histogram_pallas(
+        (rx, ry, rz), d_n, sid_n, sid_pad, n_bins, 2, interpret=True
+    ))
+    skipped = np.asarray(adf_pairs_histogram_pallas(
+        (rx, ry, rz), d_n, sid_n, sid_pad, n_bins, 2,
+        counts=counts, interpret=True,
+    ))
+    np.testing.assert_array_equal(skipped, base)
