@@ -183,7 +183,7 @@ _EMPTY = 3.0e7  # key for non-neighbor lanes
 _TAKEN = 6.0e7  # key for already-extracted lanes
 
 
-@functools.partial(jax.jit, static_argnames=("k_n", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k_n", "interpret", "tc"))
 def _neighbor_extract_pallas(
     positions: jnp.ndarray,  # (F, N, 3) float32
     species_id: jnp.ndarray,  # (N,) int32, -1 padding
@@ -191,6 +191,7 @@ def _neighbor_extract_pallas(
     cutoff,
     k_n: int = PALLAS_ADF_K,
     interpret: bool = False,
+    tc: int | None = None,
 ):
     """Per-center in-cutoff neighbor indices, no ``top_k``, no HBM gathers.
 
@@ -227,8 +228,13 @@ def _neighbor_extract_pallas(
         species_id = jnp.pad(species_id, (0, n_pad - n), constant_values=-1)
     # centers per block: the chunk sweep's per-chunk overhead amortises
     # over the block's rows (measured 41.8 -> 15.8 ms/frame going 8 -> 32
-    # at 10k atoms); the full-width mask build is insensitive (~10 ms)
-    tc = 32
+    # at 10k atoms); the full-width mask build is insensitive (~10 ms).
+    # The 6 full-width (tc, n_pad) f32 scratches must fit scoped VMEM
+    # (16 MB), so tc steps down for very wide systems — correctness is
+    # tc-independent (each center block is self-contained).
+    if tc is None:
+        tc = 32 if n_pad <= 16384 else (16 if n_pad <= 32768 else 8)
+    assert n_pad % tc == 0
     n_blocks = n_pad // tc
 
     # row layout (j-side): (F, 1, N) so the (1, 1, N) block's trailing dims

@@ -290,3 +290,27 @@ def test_counts_chunk_skip_is_invisible(rng):
         counts=counts, interpret=True,
     ))
     np.testing.assert_array_equal(skipped, base)
+
+
+@pytest.mark.parametrize("tc", [8, 16])
+def test_extract_kernel_tc_invariant(rng, tc):
+    """The extract kernel's center-block height (tc) is a VMEM-sizing knob
+    only: per-row compaction is block-independent, so every output must be
+    bit-identical to the default tc=32 (large N drops tc to fit the
+    six full-width scratches in scoped VMEM)."""
+    from lammps_analysis_tpu.ops.pallas_adf import _neighbor_extract_pallas
+
+    f, n, box_l, cutoff = 2, 256, 8.0, 2.4
+    pos = rng.uniform(0, box_l, (f, n, 3)).astype(np.float32)
+    sid = np.repeat(np.arange(2), n // 2).astype(np.int32)
+    box = jnp.asarray([box_l] * 3, jnp.float32)
+    ref = _neighbor_extract_pallas(
+        jnp.asarray(pos), jnp.asarray(sid), box, cutoff,
+        k_n=128, interpret=True,
+    )
+    out = _neighbor_extract_pallas(
+        jnp.asarray(pos), jnp.asarray(sid), box, cutoff,
+        k_n=128, interpret=True, tc=tc,
+    )
+    for a, b in zip(ref, out):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
