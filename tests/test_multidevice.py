@@ -142,7 +142,7 @@ def test_rdf_2d_mesh_matches_1d(system):
 def test_rdf_pallas_vmem_fallback(system, monkeypatch):
     """When a single frame exceeds the Pallas VMEM budget the backend must
     silently fall back to the XLA kernel (exercised here by shrinking the
-    budget; in production this is the N > ~40k atoms regime)."""
+    budget; in production this is the padded-N > ~300k regime)."""
     from lammps_analysis_tpu.parallel import sharded_ops
 
     sid, n_pad, ptab, n_pairs, pos, box = system
