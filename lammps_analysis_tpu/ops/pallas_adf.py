@@ -70,7 +70,8 @@ from .geometry import minimum_image
 #: neighbor-list width the kernel is built for (one full lane register)
 PALLAS_ADF_K = 128
 _TC = 8  # centers per grid step
-_CR = 32  # j-rows per inner chunk
+_CR = 32  # j-rows per inner chunk (pack == 1 angle path)
+_RS = 8  # row-slice height of the dense-packed angle path
 
 
 def _round_up(x: int, m: int) -> int:
@@ -636,6 +637,19 @@ def adf_pairs_histogram_pallas(
     n_chunks = k // _CR
     n_blocks = rows_pad // _TC
     s_f = float(n_species)
+    sub = k // pack
+    # Dense-packed path (pack > 1): in the generic chunk layout only the
+    # same-sub-list lane pairs survive the mask, so (pack-1)/pack of every
+    # chunk's element work is waste. Instead each row-slice pairs slot
+    # ``local`` of EVERY sub-list against that sub-list's own lanes: the
+    # j-operands become (RS, K) block matrices (per-sub-list one-hot picks
+    # masked to their own lane blocks) and every lane is a useful
+    # same-center pair. 8-row slices skip past the valid prefix.
+    dense = pack > 1
+    buf_rows = _RS if dense else _CR
+    if dense:
+        assert sub % _RS == 0
+    n_slices = sub // _RS
 
     def kernel(
         xr_ref, yr_ref, zr_ref, dr_ref, sr_ref,
@@ -662,17 +676,13 @@ def adf_pairs_histogram_pallas(
             jnp.int32, (1, k), 1
         )
 
-        sub = k // pack
-
         def chunk_body(step, _):
             c = step // n_chunks
             ch = step % n_chunks
-            # skip chunks entirely beyond the sub-list's valid prefix
-            # (valid slots are contiguous per sub-list; counts from SMEM)
-            h = (ch * _CR) // sub
-            local = ch * _CR - h * sub
+            # skip chunks entirely beyond the center's valid prefix
+            # (valid slots are contiguous; counts from SMEM)
 
-            @pl.when(local < cnts_ref[c, h])
+            @pl.when(ch * _CR < cnts_ref[c, 0])
             def _process():
                 _chunk_work(c, ch)
             return 0
@@ -685,9 +695,7 @@ def adf_pairs_histogram_pallas(
             zk = zr_ref[row, :]
             dk = dr_ref[row, :]
             sk = sr_ref[row, :]
-            # per-lane center species row: constant across lanes when
-            # pack == 1, per-sub-list when centers are packed
-            sa = sidc_ref[row, :]  # (1, K)
+            sa = sidc_ref[row, :]  # (1, K) per-lane center species
             # j-side: CR of the center's neighbor slots as (CR, 1)
             # sublane vectors — one-hot MXU transpose of the row (a
             # one-hot x f32 dot at HIGHEST is exact: the only nonzero
@@ -707,13 +715,79 @@ def adf_pairs_histogram_pallas(
                     precision=jax.lax.Precision.HIGHEST,
                 )  # (CR, 1)
 
-            xj = pick(xk)
-            yj = pick(yk)
-            zj = pick(zk)
-            dj = pick(dk)
-            sj = pick(sk)
+            j_slot = ch * _CR + jax.lax.broadcasted_iota(
+                jnp.int32, (_CR, 1), 0
+            )
+            _tile(
+                sa, xk, yk, zk, dk, sk,
+                pick(xk), pick(yk), pick(zk), pick(dk), pick(sk), j_slot,
+            )
 
-            g = xj * xk + yj * yk + zj * zk  # (CR, K)
+        def dense_body(step, _):
+            c = step // n_slices
+            sl = step % n_slices
+            # rows at/past every sub-list's valid prefix do nothing
+            mx = cnts_ref[c, 0]
+            for q in range(1, pack):
+                mx = jnp.maximum(mx, cnts_ref[c, q])
+
+            @pl.when(sl * _RS < mx)
+            def _process():
+                _dense_work(c, sl)
+            return 0
+
+        def _dense_work(c, sl):
+            row = pl.ds(c, 1)
+            xk = xr_ref[row, :]  # (1, K)
+            yk = yr_ref[row, :]
+            zk = zr_ref[row, :]
+            dk = dr_ref[row, :]
+            sk = sr_ref[row, :]
+            sa = sidc_ref[row, :]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+            local = sl * _RS + jax.lax.broadcasted_iota(
+                jnp.int32, (_RS, 1), 0
+            )  # (RS, 1) local slot per row
+            # j-operands as (RS, K) block matrices: lane k pairs slot
+            # ``local`` of ITS OWN sub-list. Built by per-sub-list one-hot
+            # MXU picks (exact at HIGHEST) masked to that sub-list's lane
+            # block — the blocks are disjoint, so the sum places each
+            # sub-list's value exactly once.
+            xj = jnp.zeros((_RS, k), jnp.float32)
+            yj = jnp.zeros((_RS, k), jnp.float32)
+            zj = jnp.zeros((_RS, k), jnp.float32)
+            dj = jnp.zeros((_RS, k), jnp.float32)
+            sj = jnp.zeros((_RS, k), jnp.float32)
+            for q in range(pack):
+                sel = jnp.where(lane == q * sub + local, 1.0, 0.0)  # (RS,K)
+                qm = jnp.where(
+                    (lane >= q * sub) & (lane < (q + 1) * sub), 1.0, 0.0
+                )  # (1, K)
+
+                def pick(row_vals, sel=sel):
+                    return jax.lax.dot_general(
+                        sel, row_vals,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # (RS, 1)
+
+                xj = xj + pick(xk) * qm
+                yj = yj + pick(yk) * qm
+                zj = zj + pick(zk) * qm
+                dj = dj + pick(dk) * qm
+                sj = sj + pick(sk) * qm
+            j_slot = (lane // sub) * sub + local  # (RS, K)
+            _tile(sa, xk, yk, zk, dk, sk, xj, yj, zj, dj, sj, j_slot)
+
+        def _tile(sa, xk, yk, zk, dk, sk, xj, yj, zj, dj, sj, j_slot):
+            """Angle/bin/one-hot/MXU accumulation over one operand tile.
+
+            j-operands are (rows, 1) columns on the pack == 1 path and
+            (rows, K) block matrices on the dense-packed path; every op
+            below broadcasts over either layout.
+            """
+            g = xj * xk + yj * yk + zj * zk  # (rows, K)
             denom = dj * dk
             safe = denom > 0.0
             inv_den = jnp.where(safe, 1.0 / jnp.where(safe, denom, 1.0), 0.0)
@@ -739,9 +813,6 @@ def adf_pairs_histogram_pallas(
             )
             ordered = (sa <= b_id) & (b_id <= c_id)
 
-            j_slot = ch * _CR + jax.lax.broadcasted_iota(
-                jnp.int32, (_CR, 1), 0
-            )
             mask = (
                 ordered
                 & (sa >= 0.0)
@@ -750,13 +821,6 @@ def adf_pairs_histogram_pallas(
                 & (j_slot != k_slot)
                 & safe
             )
-            if pack > 1:
-                # packed rows: pairs must come from the same center's
-                # sub-list (slots [h*sub, (h+1)*sub) for the same h)
-                sub_inv = 1.0 / (k // pack)
-                half_j = jnp.floor(j_slot.astype(jnp.float32) * sub_inv)
-                half_k = jnp.floor(k_slot.astype(jnp.float32) * sub_inv)
-                mask = mask & (half_j == half_k)
 
             # weight = inv_den^p, integer power by squaring (static p)
             result = jnp.ones_like(inv_den)
@@ -782,7 +846,7 @@ def adf_pairs_histogram_pallas(
             wh = w.astype(jnp.bfloat16).astype(jnp.float32)
             wl = w - wh
 
-            for r in range(_CR):
+            for r in range(buf_rows):
                 lanes = pl.ds(r * k, k)
                 hi_buf[0:1, lanes] = hi_id[r : r + 1, :]
                 lo_buf[0:1, lanes] = lo_id[r : r + 1, :]
@@ -806,7 +870,10 @@ def adf_pairs_histogram_pallas(
                 out2[0:hi_pad, :] + out2[hi_pad : 2 * hi_pad, :]
             )
 
-        jax.lax.fori_loop(0, _TC * n_chunks, chunk_body, 0)
+        if dense:
+            jax.lax.fori_loop(0, _TC * n_slices, dense_body, 0)
+        else:
+            jax.lax.fori_loop(0, _TC * n_chunks, chunk_body, 0)
 
         @pl.when(i == pl.num_programs(0) - 1)
         def _():
@@ -829,10 +896,10 @@ def adf_pairs_histogram_pallas(
         out_shape=jax.ShapeDtypeStruct((hi_pad, k_pad), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((hi_pad, k_pad), jnp.float32),
-            pltpu.VMEM((1, _CR * k), jnp.float32),
-            pltpu.VMEM((1, _CR * k), jnp.float32),
-            pltpu.VMEM((1, _CR * k), jnp.float32),
-            pltpu.VMEM((1, _CR * k), jnp.float32),
+            pltpu.VMEM((1, buf_rows * k), jnp.float32),
+            pltpu.VMEM((1, buf_rows * k), jnp.float32),
+            pltpu.VMEM((1, buf_rows * k), jnp.float32),
+            pltpu.VMEM((1, buf_rows * k), jnp.float32),
         ],
         interpret=interpret,
     )(xr, yr, zr, dr, sr, sid_center, cnts)
