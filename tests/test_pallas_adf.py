@@ -262,6 +262,18 @@ def test_packed_stage2_matches_unpacked(rng):
             sid_pk, n_bins, 2, pack=pack, interpret=True,
         ))
         np.testing.assert_allclose(packed, base, rtol=1e-6, atol=1e-6)
+        # the dense-packed row-slice skip (counts from SMEM) is invisible:
+        # skipped slices lie beyond every sub-list's valid prefix
+        counts = jnp2.minimum(
+            jnp2.sum(sid_n >= 0, axis=2), sub
+        ).reshape(f, rows, pack)
+        skipped = np.asarray(adf_pairs_histogram_pallas(
+            r_n[:, :, :sub].reshape(f, rows, k, 3),
+            d_n[:, :, :sub].reshape(f, rows, k),
+            sid_n[:, :, :sub].reshape(f, rows, k),
+            sid_pk, n_bins, 2, pack=pack, counts=counts, interpret=True,
+        ))
+        np.testing.assert_array_equal(skipped, packed)
 
 
 def test_counts_chunk_skip_is_invisible(rng):
