@@ -537,7 +537,9 @@ def pallas_neighbor_components(
 # ------------------------------------------------------ stage 2: the kernel
 @functools.partial(
     jax.jit,
-    static_argnames=("n_bins", "n_species", "norm_power", "pack", "interpret"),
+    static_argnames=(
+        "n_bins", "n_species", "norm_power", "pack", "fold", "interpret"
+    ),
 )
 def adf_pairs_histogram_pallas(
     r_n: jnp.ndarray,  # (F, N, K, 3) neighbor displacements
@@ -549,6 +551,7 @@ def adf_pairs_histogram_pallas(
     norm_power: int = 4,
     pack: int = 1,
     counts: jnp.ndarray | None = None,
+    fold: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused ordered-pair angle histogram from neighbor lists.
@@ -570,6 +573,15 @@ def adf_pairs_histogram_pallas(
     j-chunks that lie entirely beyond a sub-list's contiguous valid
     prefix — an SMEM scalar predicate per chunk, no vector->scalar
     stalls. At first-shell occupancies this halves the tile work.
+
+    ``fold`` enumerates each UNORDERED pair once instead of both ordered
+    pairs — the element count (the VPU bottleneck) halves. Row ``d`` of a
+    tile pairs lane ``l`` with its sub-list's lane ``(l - d) mod sub``
+    (two strided ``pltpu.roll``s + a wrap select build the j-operands; no
+    MXU transpose picks), ``d = 1 .. sub/2`` with the self-diagonal gone
+    by construction. Identical semantics: an unordered pair contributes
+    its ordered pair exactly once when the neighbor species differ (keyed
+    by ``(min, max)``) and twice when equal — folded in as a 2x weight.
     """
     if isinstance(r_n, (tuple, list)):
         rx, ry, rz = r_n  # SoA components (F, N, K) — no relayout needed
@@ -645,11 +657,18 @@ def adf_pairs_histogram_pallas(
     # j-operands become (RS, K) block matrices (per-sub-list one-hot picks
     # masked to their own lane blocks) and every lane is a useful
     # same-center pair. 8-row slices skip past the valid prefix.
-    dense = pack > 1
-    buf_rows = _RS if dense else _CR
+    dense = pack > 1 and not fold
+    buf_rows = _RS if (dense or fold) else _CR
     if dense:
         assert sub % _RS == 0
     n_slices = sub // _RS
+    # Folded path: offsets d = 1 .. sub/2, _RS offsets per tile
+    n_off = sub // 2
+    if fold:
+        assert n_off % _RS == 0, (
+            f"fold needs sub-list width {sub} with sub/2 a multiple of {_RS}"
+        )
+    n_fslices = n_off // _RS
 
     def kernel(
         xr_ref, yr_ref, zr_ref, dr_ref, sr_ref,
@@ -780,7 +799,63 @@ def adf_pairs_histogram_pallas(
             j_slot = (lane // sub) * sub + local  # (RS, K)
             _tile(sa, xk, yk, zk, dk, sk, xj, yj, zj, dj, sj, j_slot)
 
-        def _tile(sa, xk, yk, zk, dk, sk, xj, yj, zj, dj, sj, j_slot):
+        def fold_body(step, _):
+            c = step // n_fslices
+            sl = step % n_fslices
+            mx = cnts_ref[c, 0]
+            for q in range(1, pack):
+                mx = jnp.maximum(mx, cnts_ref[c, q])
+            d0 = sl * _RS + 1
+            # prefix-contiguous sub-lists leave offsets in [cnt, sub-cnt]
+            # with no valid pair: keep slices holding a direct-pair offset
+            # (d < cnt) or a wrapped-pair offset (d > sub - cnt)
+            @pl.when((d0 < mx) | (d0 + _RS - 1 > sub - mx))
+            def _process():
+                _fold_work(c, sl)
+            return 0
+
+        def _fold_work(c, sl):
+            row = pl.ds(c, 1)
+            xk = xr_ref[row, :]  # (1, K)
+            yk = yr_ref[row, :]
+            zk = zr_ref[row, :]
+            dk = dr_ref[row, :]
+            sk = sr_ref[row, :]
+            sa = sidc_ref[row, :]
+            d0 = sl * _RS + 1
+            d_row = d0 + jax.lax.broadcasted_iota(
+                jnp.int32, (_RS, 1), 0
+            )  # (RS, 1) pair offset per row
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+            l_loc = lane - (lane // sub) * sub
+            # j-operands: row d pairs lane l with ITS sub-list's lane
+            # (l_loc - d) mod sub. A full-row roll by d lands in the same
+            # sub-list except for the first d lanes, which wrap into the
+            # previous block — those take the roll by d + (k - sub)
+            # instead (same block, offset d, modulo sub). Strided rolls
+            # give every row its own offset in one op.
+            wrap = l_loc < d_row  # (RS, K)
+
+            def rot(v):
+                vb = jnp.broadcast_to(v, (_RS, k))
+                a = pltpu.roll(vb, d0, axis=1, stride=1, stride_axis=0)
+                if sub == k:
+                    return a
+                b = pltpu.roll(
+                    vb, d0 + (k - sub), axis=1, stride=1, stride_axis=0
+                )
+                return jnp.where(wrap, b, a)
+
+            _tile(
+                sa, xk, yk, zk, dk, sk,
+                rot(xk), rot(yk), rot(zk), rot(dk), rot(sk),
+                None, fold_dedup=(d_row, l_loc),
+            )
+
+        def _tile(
+            sa, xk, yk, zk, dk, sk, xj, yj, zj, dj, sj, j_slot,
+            fold_dedup=None,
+        ):
             """Angle/bin/one-hot/MXU accumulation over one operand tile.
 
             j-operands are (rows, 1) columns on the pack == 1 path and
@@ -799,8 +874,20 @@ def adf_pairs_histogram_pallas(
 
             # ordered-triple combinations-with-replacement index
             # (same closed form as ops/adf.py:381-395)
-            b_id = sj
-            c_id = sk
+            if fold_dedup is None:
+                b_id = sj
+                c_id = sk
+                ordered = (sa <= b_id) & (b_id <= c_id)
+                pair_ok = j_slot != k_slot
+            else:
+                # folded: key the unordered pair by (min, max); self-pairs
+                # are gone by construction (d >= 1), but offset sub/2
+                # enumerates each pair at both of its lanes — keep one
+                d_row, l_loc = fold_dedup
+                b_id = jnp.minimum(sj, sk)
+                c_id = jnp.maximum(sj, sk)
+                ordered = sa <= b_id
+                pair_ok = (d_row != sub // 2) | (l_loc >= sub // 2)
             saf = s_f - sa
             block_a = (
                 s_f * (s_f + 1.0) * (s_f + 2.0)
@@ -811,14 +898,13 @@ def adf_pairs_histogram_pallas(
                 block_a + bb * (s_f - sa) - bb * (bb - 1.0) * 0.5
                 + (c_id - b_id)
             )
-            ordered = (sa <= b_id) & (b_id <= c_id)
 
             mask = (
                 ordered
                 & (sa >= 0.0)
                 & (sj >= 0.0)
                 & (sk >= 0.0)
-                & (j_slot != k_slot)
+                & pair_ok
                 & safe
             )
 
@@ -832,7 +918,15 @@ def adf_pairs_histogram_pallas(
                 e >>= 1
                 if e:
                     base = base * base
-            w = jnp.where(mask, result, 0.0)
+            if fold_dedup is None:
+                w = jnp.where(mask, result, 0.0)
+            else:
+                # an unordered same-species pair stands for both of its
+                # ordered pairs (2x is exact in f32 and keeps both bf16
+                # halves representable); a mixed pair for exactly one
+                w = jnp.where(
+                    mask, jnp.where(sj == sk, result + result, result), 0.0
+                )
 
             combined = jnp.where(mask, t_id, 0.0) * float(n_bins) + bin_f
             hi_id = jnp.floor(combined * (1.0 / k_lo))
@@ -870,7 +964,9 @@ def adf_pairs_histogram_pallas(
                 out2[0:hi_pad, :] + out2[hi_pad : 2 * hi_pad, :]
             )
 
-        if dense:
+        if fold:
+            jax.lax.fori_loop(0, _TC * n_fslices, fold_body, 0)
+        elif dense:
             jax.lax.fori_loop(0, _TC * n_slices, dense_body, 0)
         else:
             jax.lax.fori_loop(0, _TC * n_chunks, chunk_body, 0)

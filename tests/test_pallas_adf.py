@@ -276,6 +276,62 @@ def test_packed_stage2_matches_unpacked(rng):
         np.testing.assert_array_equal(skipped, packed)
 
 
+def test_folded_stage2_matches_unfolded(rng):
+    """The offset-folded angle stage (each unordered pair enumerated once
+    via strided lane rolls, same-species pairs at 2x weight) matches the
+    ordered-pair enumeration at every pack level, and its counts skip —
+    including the wrapped-pair direction when cnt > sub/2 — is bit-invisible."""
+    import jax.numpy as jnp2
+    from lammps_analysis_tpu.ops.pallas_adf import (
+        adf_pairs_histogram_pallas,
+        pallas_neighbor_lists,
+    )
+
+    f, n, box_l, n_bins = 2, 256, 9.0, 73
+    pos = rng.uniform(0, box_l, (f, n, 3)).astype(np.float32)
+    sid = np.repeat(np.arange(2), n // 2).astype(np.int32)
+    box = jnp.asarray([box_l] * 3, jnp.float32)
+    # cutoff 2.0: packs up to 4 valid; 3.2: sub-lists more than half full,
+    # so the fold's wrapped offsets (d > sub - cnt) carry live pairs
+    for cutoff, packs in ((2.0, (1, 2, 4)), (3.2, (1,))):
+        r_n, d_n, sid_n, sid_pad, mc = pallas_neighbor_lists(
+            jnp.asarray(pos), jnp.asarray(sid), box, cutoff,
+            k_n=128, interpret=True,
+        )
+        k, n_pad = r_n.shape[2], r_n.shape[1]
+        base = np.asarray(adf_pairs_histogram_pallas(
+            r_n, d_n, sid_n, sid_pad, n_bins, 2, interpret=True
+        ))
+        for pack in packs:
+            sub, rows = k // pack, n_pad // pack
+            if pack == 1:
+                args = (r_n, d_n, sid_n, sid_pad)
+            else:
+                assert int(mc) <= sub
+                sid_pk = jnp2.repeat(
+                    sid_pad.reshape(rows, pack).astype(jnp2.float32),
+                    sub, axis=1,
+                )
+                args = (
+                    r_n[:, :, :sub].reshape(f, rows, k, 3),
+                    d_n[:, :, :sub].reshape(f, rows, k),
+                    sid_n[:, :, :sub].reshape(f, rows, k),
+                    sid_pk,
+                )
+            folded = np.asarray(adf_pairs_histogram_pallas(
+                *args, n_bins, 2, pack=pack, fold=True, interpret=True,
+            ))
+            np.testing.assert_allclose(folded, base, rtol=1e-5, atol=1e-6)
+            counts = jnp2.minimum(
+                jnp2.sum(sid_n >= 0, axis=2), sub
+            ).reshape(f, rows, pack)
+            skipped = np.asarray(adf_pairs_histogram_pallas(
+                *args, n_bins, 2, pack=pack, fold=True, counts=counts,
+                interpret=True,
+            ))
+            np.testing.assert_array_equal(skipped, folded)
+
+
 def test_counts_chunk_skip_is_invisible(rng):
     """The SMEM-counts j-chunk skip must not change the histogram: skipped
     chunks lie entirely beyond each sub-list's contiguous valid prefix and
