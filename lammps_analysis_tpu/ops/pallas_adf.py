@@ -72,6 +72,7 @@ PALLAS_ADF_K = 128
 _TC = 8  # centers per grid step
 _CR = 32  # j-rows per inner chunk (pack == 1 angle path)
 _RS = 8  # row-slice height of the dense-packed angle path
+_FRS = 32  # offset-rows per tile of the folded angle path
 
 
 def _round_up(x: int, m: int) -> int:
@@ -658,17 +659,19 @@ def adf_pairs_histogram_pallas(
     # masked to their own lane blocks) and every lane is a useful
     # same-center pair. 8-row slices skip past the valid prefix.
     dense = pack > 1 and not fold
-    buf_rows = _RS if (dense or fold) else _CR
     if dense:
         assert sub % _RS == 0
     n_slices = sub // _RS
-    # Folded path: offsets d = 1 .. sub/2, _RS offsets per tile
+    # Folded path: offsets d = 1 .. sub/2, _FRS offsets per tile (taller
+    # tiles amortise per-iteration row loads and feed the one-hot MXU
+    # contraction bigger operands; measured 47 -> 31 ms/frame at
+    # pack == 1, 10240 atoms going 8 -> 32)
     n_off = sub // 2
+    frs = min(_FRS, n_off)
     if fold:
-        assert n_off % _RS == 0, (
-            f"fold needs sub-list width {sub} with sub/2 a multiple of {_RS}"
-        )
-    n_fslices = n_off // _RS
+        assert n_off % frs == 0
+    n_fslices = n_off // frs
+    buf_rows = frs if fold else (_RS if dense else _CR)
 
     def kernel(
         xr_ref, yr_ref, zr_ref, dr_ref, sr_ref,
@@ -805,11 +808,11 @@ def adf_pairs_histogram_pallas(
             mx = cnts_ref[c, 0]
             for q in range(1, pack):
                 mx = jnp.maximum(mx, cnts_ref[c, q])
-            d0 = sl * _RS + 1
+            d0 = sl * frs + 1
             # prefix-contiguous sub-lists leave offsets in [cnt, sub-cnt]
             # with no valid pair: keep slices holding a direct-pair offset
             # (d < cnt) or a wrapped-pair offset (d > sub - cnt)
-            @pl.when((d0 < mx) | (d0 + _RS - 1 > sub - mx))
+            @pl.when((d0 < mx) | (d0 + frs - 1 > sub - mx))
             def _process():
                 _fold_work(c, sl)
             return 0
@@ -822,10 +825,10 @@ def adf_pairs_histogram_pallas(
             dk = dr_ref[row, :]
             sk = sr_ref[row, :]
             sa = sidc_ref[row, :]
-            d0 = sl * _RS + 1
+            d0 = sl * frs + 1
             d_row = d0 + jax.lax.broadcasted_iota(
-                jnp.int32, (_RS, 1), 0
-            )  # (RS, 1) pair offset per row
+                jnp.int32, (frs, 1), 0
+            )  # (frs, 1) pair offset per row
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
             l_loc = lane - (lane // sub) * sub
             # j-operands: row d pairs lane l with ITS sub-list's lane
@@ -837,7 +840,7 @@ def adf_pairs_histogram_pallas(
             wrap = l_loc < d_row  # (RS, K)
 
             def rot(v):
-                vb = jnp.broadcast_to(v, (_RS, k))
+                vb = jnp.broadcast_to(v, (frs, k))
                 a = pltpu.roll(vb, d0, axis=1, stride=1, stride_axis=0)
                 if sub == k:
                     return a
@@ -1143,7 +1146,7 @@ def adf_histogram_pallas(
         counts = counts[..., None]  # (F, n_pad, 1)
     hist = adf_pairs_histogram_pallas(
         r_n, d_n, sid_n, sid_pad, n_bins, n_species,
-        norm_power=norm_power, pack=pack, counts=counts,
+        norm_power=norm_power, pack=pack, counts=counts, fold=True,
         interpret=interpret,
     )
     return hist, max_count

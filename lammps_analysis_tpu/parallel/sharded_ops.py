@@ -374,14 +374,14 @@ def _adf_pipeline(plan: _AdfPlan, n_species, cutoff, n_bins, norm_power):
                     r_pk, repack(d_nn), repack(s_nn),
                     sid_pk, n_bins, n_species,
                     norm_power=norm_power, pack=_pack,
-                    counts=cnts_arr,
+                    counts=cnts_arr, fold=True,
                 )
             else:
                 if cnts_arr is not None:
                     cnts_arr = cnts_arr[..., None]
                 h = adf_pairs_histogram_pallas(
                     r_nn, d_nn, s_nn, sid_pad, n_bins, n_species,
-                    norm_power=norm_power, counts=cnts_arr,
+                    norm_power=norm_power, counts=cnts_arr, fold=True,
                 )
         else:
             h = adf_ops.adf_pairs_histogram_xla(
