@@ -360,6 +360,115 @@ def test_counts_chunk_skip_is_invisible(rng):
     np.testing.assert_array_equal(skipped, base)
 
 
+def _triple_multiset(d, s, sid_c, decimals=5):
+    """Per-frame multiset of (center_sp, neighbor_sp, round(d)) triples."""
+    out = []
+    for fr in range(d.shape[0]):
+        rows = []
+        for c in range(d.shape[1]):
+            if sid_c[fr, c] < 0:
+                continue
+            m = s[fr, c] >= 0
+            for sp, dist in zip(s[fr, c][m], d[fr, c][m]):
+                rows.append((int(sid_c[fr, c]), int(sp),
+                             round(float(dist), decimals)))
+        out.append(sorted(rows))
+    return out
+
+
+def test_sorted_extract_matches_unsorted(rng):
+    """Morton-sorted extract + bbox chunk-skip == the unsorted kernel:
+    identical per-frame multisets of (center species, neighbor species,
+    distance) triples — no in-cutoff pair is lost to a skipped chunk —
+    and the folded per-frame-centers angle stage reproduces the
+    unsorted histogram. Includes species padding and a non-128 atom
+    count."""
+    from lammps_analysis_tpu.ops.pallas_adf import (
+        _neighbor_extract_pallas,
+        adf_pairs_histogram_pallas,
+        sorted_neighbor_extract,
+    )
+
+    f, n, box_l, cutoff, n_bins = 2, 300, 9.0, 2.4, 73
+    pos = rng.uniform(0, box_l, (f, n, 3)).astype(np.float32)
+    sid = np.r_[np.zeros(140), np.ones(150), -np.ones(10)].astype(np.int32)
+    box = jnp.asarray([box_l] * 3, jnp.float32)
+    rx, ry, rz, d_s, s_s, cnt_s, sid_s = sorted_neighbor_extract(
+        jnp.asarray(pos), jnp.asarray(sid), box, cutoff,
+        k_n=128, interpret=True,
+    )
+    _, _, _, _, d_u, s_u, cnt_u = _neighbor_extract_pallas(
+        jnp.asarray(pos), jnp.asarray(sid), box, cutoff,
+        k_n=128, interpret=True,
+    )
+    d_s, s_s, sid_s = map(np.asarray, (d_s, s_s, sid_s))
+    d_u, s_u = np.asarray(d_u), np.asarray(s_u)
+    sid_pad = np.r_[sid, -np.ones(d_u.shape[1] - n, np.int32)]
+    sid_u = np.broadcast_to(sid_pad, d_u.shape[:2])
+    assert _triple_multiset(d_s, s_s, sid_s) == _triple_multiset(
+        d_u, s_u, sid_u
+    )
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(cnt_s), axis=1), np.sort(np.asarray(cnt_u), axis=1)
+    )
+    # the displacement components are consistent with the distances
+    dd = np.sqrt(np.asarray(rx) ** 2 + np.asarray(ry) ** 2
+                 + np.asarray(rz) ** 2)
+    np.testing.assert_allclose(dd, d_s, atol=1e-5)
+
+    # full folded pipeline: per-frame center species via the 3-D sid form
+    _, rxu, ryu, rzu, d_u2, s_u2, _ = _neighbor_extract_pallas(
+        jnp.asarray(pos), jnp.asarray(sid), box, cutoff,
+        k_n=128, interpret=True,
+    )
+    h_ref = np.asarray(adf_pairs_histogram_pallas(
+        (rxu, ryu, rzu), d_u2, s_u2, jnp.asarray(sid_pad), n_bins, 2,
+        fold=True, interpret=True,
+    ))
+    h_sorted = np.asarray(adf_pairs_histogram_pallas(
+        (rx, ry, rz), d_s, s_s,
+        jnp.asarray(sid_s, dtype=jnp.float32)[..., None], n_bins, 2,
+        fold=True, counts=cnt_s[..., None], interpret=True,
+    ))
+    np.testing.assert_allclose(h_sorted, h_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_chunk_skip_bitmap_is_conservative(rng):
+    """Every (center-block, j-chunk) pair with any in-cutoff pair must be
+    flagged process=1; on a dilute box most chunks are skipped."""
+    from lammps_analysis_tpu.ops.pallas_adf import (
+        _chunk_skip_bitmap,
+        _extract_tc,
+        _spatial_sort,
+    )
+
+    f, n, box_l, cutoff = 1, 2048, 32.0, 2.0
+    pos = rng.uniform(0, box_l, (f, n, 3)).astype(np.float32)
+    sid = np.zeros(n, np.int32)
+    box = jnp.asarray([box_l] * 3, jnp.float32)
+    pos_s, sid_s = _spatial_sort(jnp.asarray(pos), jnp.asarray(sid), box)
+    tc = _extract_tc(n)
+    skip = np.asarray(
+        _chunk_skip_bitmap(pos_s, sid_s, box, cutoff, tc)
+    ).reshape(f, n // tc, n // 128)
+    pos_s = np.asarray(pos_s)
+    # brute-force: min-image distance between any block row and chunk atom
+    for fr in range(f):
+        r = pos_s[fr][:, None, :] - pos_s[fr][None, :, :]
+        r -= box_l * np.round(r / box_l)
+        d = np.sqrt((r ** 2).sum(-1))
+        within = d <= cutoff
+        for b in range(n // tc):
+            for c in range(n // 128):
+                blk = within[b * tc:(b + 1) * tc, c * 128:(c + 1) * 128]
+                if blk.any():
+                    assert skip[fr, b, c] == 1, (fr, b, c)
+    # some chunks are actually skipped (the fraction grows with N: a
+    # 128-atom chunk's bbox shrinks relative to the box — measured
+    # process fractions 0.86 at 2k atoms, 0.39 at 10k)
+    assert skip.mean() < 0.95
+
+
 @pytest.mark.parametrize("tc", [8, 16])
 def test_extract_kernel_tc_invariant(rng, tc):
     """The extract kernel's center-block height (tc) is a VMEM-sizing knob
