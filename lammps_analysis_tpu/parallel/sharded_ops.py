@@ -214,6 +214,10 @@ class _AdfPlan:
                 if int(np.ceil(1.5 * expected)) + 8 <= 128 // p:
                     self.pack = p
                     break
+        # Morton-sorted extract: the bbox chunk-skip only pays once
+        # 128-atom j-chunks are spatially compact relative to the box
+        # (measured 61% of chunks skipped at 10k atoms, 14% at 2k)
+        self.use_sorted = bool(use_pallas) and n_avail >= 4096
         self._normalise()
 
     def _normalise(self):
@@ -303,35 +307,45 @@ def _adf_pipeline(plan: _AdfPlan, n_species, cutoff, n_bins, norm_power):
     — and stage 2 histograms the neighbor-pair angles: the fused Pallas
     kernel on TPU, the XLA from-lists kernel elsewhere.
     """
+    from ..ops import pallas_adf as _pk
     from ..ops.cells import neighbor_lists_cells
-    from ..ops.pallas_adf import (
-        _JCAP,
-        _neighbor_extract_pallas,
-        _pad_sid,
-        adf_neighbor_lists,
-        adf_pairs_histogram_pallas,
-    )
+    from ..ops.pallas_adf import _JCAP, _pad_sid, adf_neighbor_lists
 
     use_cells = plan.use_cells
     n_dim = plan.n_dim
     n_avail = plan.n_avail
+    use_sorted = getattr(plan, "use_sorted", False)
 
     def pipeline(pos_shard, sid, ttab, box_, *, _k=plan.k_n,
                  _cap=plan.capacity, use_pallas=plan.use_pallas_run,
                  _pack=plan.pack):
         cnts = None
+        per_frame_sid = False
         if use_cells:
             r_nn, d_nn, s_nn, sid_pad, mc, occ = neighbor_lists_cells(
                 pos_shard, sid, box_, cutoff,
                 k_n=_k, n_dim=n_dim, capacity=_cap,
             )
+        elif use_pallas and n_avail <= _JCAP and use_sorted:
+            # Morton-sorted extract: the bbox chunk-skip bitmap lets the
+            # kernel bypass spatially distant j-chunks (61% at 10k atoms)
+            rxn, ryn, rzn, d_nn, s_nn, cnts, sid_s = (
+                _pk.sorted_neighbor_extract(
+                    pos_shard, sid, box_, cutoff, k_n=_k
+                )
+            )
+            r_nn = (rxn, ryn, rzn)
+            sid_pad = sid_s  # (F, Npad): sorting permutes atoms per frame
+            per_frame_sid = True
+            mc = jnp.max(cnts).astype(jnp.int32)
+            occ = jnp.asarray(0, jnp.int32)
         elif use_pallas and n_avail <= _JCAP:
             # Pallas fused extract kernel (distances + values emitted
             # in-kernel): replaces top_k + gathers, 137 -> 21 ms/frame
             # at 10k atoms; per-center counts drive the angle stage's
             # chunk skip
             _, rxn, ryn, rzn, d_nn, s_nn, cnts = (
-                _neighbor_extract_pallas(
+                _pk._neighbor_extract_pallas(
                     pos_shard, sid, box_, cutoff, k_n=_k
                 )
             )
@@ -362,15 +376,21 @@ def _adf_pipeline(plan: _AdfPlan, n_species, cutoff, n_bins, norm_power):
                     r_pk = tuple(repack(c) for c in r_nn)
                 else:
                     r_pk = r_nn[:, :, :sub].reshape(ff, rows, kk, 3)
-                sid_pk = jnp.repeat(
-                    sid_pad.reshape(rows, _pack).astype(jnp.float32),
-                    sub, axis=1,
-                )
+                if per_frame_sid:
+                    sid_pk = jnp.repeat(
+                        sid_pad.reshape(ff, rows, _pack).astype(jnp.float32),
+                        sub, axis=2,
+                    )
+                else:
+                    sid_pk = jnp.repeat(
+                        sid_pad.reshape(rows, _pack).astype(jnp.float32),
+                        sub, axis=1,
+                    )
                 if cnts_arr is not None:
                     cnts_arr = jnp.minimum(cnts_arr, sub).reshape(
                         ff, rows, _pack
                     )
-                h = adf_pairs_histogram_pallas(
+                h = _pk.adf_pairs_histogram_pallas(
                     r_pk, repack(d_nn), repack(s_nn),
                     sid_pk, n_bins, n_species,
                     norm_power=norm_power, pack=_pack,
@@ -379,8 +399,12 @@ def _adf_pipeline(plan: _AdfPlan, n_species, cutoff, n_bins, norm_power):
             else:
                 if cnts_arr is not None:
                     cnts_arr = cnts_arr[..., None]
-                h = adf_pairs_histogram_pallas(
-                    r_nn, d_nn, s_nn, sid_pad, n_bins, n_species,
+                sid_arg = (
+                    sid_pad.astype(jnp.float32)[..., None]
+                    if per_frame_sid else sid_pad
+                )
+                h = _pk.adf_pairs_histogram_pallas(
+                    r_nn, d_nn, s_nn, sid_arg, n_bins, n_species,
                     norm_power=norm_power, counts=cnts_arr, fold=True,
                 )
         else:

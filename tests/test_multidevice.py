@@ -358,3 +358,51 @@ def test_adf_2d_mesh_matches_1d(system):
         )
     )
     np.testing.assert_allclose(h, ref, rtol=1e-6)
+
+
+@pytest.mark.parametrize("force_pack", [None, 1])
+def test_adf_pipeline_sorted_extract_matches_unsorted(rng, monkeypatch,
+                                                      force_pack):
+    """The full sorted-extract pipeline route (Morton sort + chunk-skip
+    extract + per-frame-centers angle stage) must match the unsorted
+    Pallas route, at the plan's natural packing and at pack=1."""
+    import functools
+
+    from lammps_analysis_tpu.ops import pallas_adf as PK
+    from lammps_analysis_tpu.parallel.sharded_ops import (
+        _AdfPlan,
+        _adf_pipeline,
+    )
+
+    f, n, box_l, cutoff, n_bins = 2, 256, 9.0, 2.0, 36
+    pos = rng.uniform(0, box_l, (f, n, 3)).astype(np.float32)
+    sid = np.repeat(np.arange(2), n // 2).astype(np.int32)
+    ttab, order = adf_ops.build_triple_table(2)
+    box = np.array([box_l] * 3, np.float32)
+    args = (jnp.asarray(pos), jnp.asarray(sid), jnp.asarray(ttab),
+            jnp.asarray(box))
+
+    # CPU can only execute the kernels in interpret mode
+    for fn in ("sorted_neighbor_extract", "_neighbor_extract_pallas",
+               "adf_pairs_histogram_pallas"):
+        monkeypatch.setattr(
+            PK, fn, functools.partial(getattr(PK, fn), interpret=True)
+        )
+
+    results = {}
+    for use_sorted in (False, True):
+        plan = _AdfPlan(n, box, cutoff, use_pallas=True)
+        if not plan.use_pallas_run:
+            plan.k_n = 128
+            plan._normalise()
+        if force_pack is not None:
+            plan.pack = force_pack
+        plan.use_sorted = use_sorted
+        assert plan.use_pallas_run
+        h, mc, _ = _adf_pipeline(plan, 2, cutoff, n_bins, 4)(*args)
+        results[use_sorted] = np.asarray(h)
+        assert int(mc) < plan.k_n
+    np.testing.assert_allclose(
+        results[True], results[False], rtol=1e-5, atol=1e-6
+    )
+    assert results[True].sum() > 0
