@@ -185,7 +185,9 @@ _EMPTY = 3.0e7  # key for non-neighbor lanes
 _TAKEN = 6.0e7  # key for already-extracted lanes
 
 
-@functools.partial(jax.jit, static_argnames=("k_n", "interpret", "tc"))
+@functools.partial(
+    jax.jit, static_argnames=("k_n", "interpret", "tc", "e_fixed")
+)
 def _neighbor_extract_pallas(
     positions: jnp.ndarray,  # (F, N, 3) float32
     species_id: jnp.ndarray,  # (N,) int32, -1 padding; or (F, N) per-frame
@@ -194,7 +196,8 @@ def _neighbor_extract_pallas(
     k_n: int = PALLAS_ADF_K,
     interpret: bool = False,
     tc: int | None = None,
-    skip: jnp.ndarray | None = None,  # (F * n_blocks, n_chunks) int32
+    window: jnp.ndarray | None = None,  # (F * n_blocks, 2) int32
+    e_fixed: int = 4,
 ):
     """Per-center in-cutoff neighbor indices, no ``top_k``, no HBM gathers.
 
@@ -220,12 +223,23 @@ def _neighbor_extract_pallas(
     ``(F, Npad, k_n)`` (idx/sid int32, -1 for empty slots; r/d zeroed on
     empty slots), counts ``(F, Npad)`` f32 per-center valid-slot counts.
 
-    ``skip`` (optional, from :func:`_chunk_skip_bitmap` over spatially
-    sorted frames): per-(frame, center-block) row of per-chunk process
-    flags in SMEM. A zero chunk only stores empty keys (~100x less work
-    than the distance+extract sweep); the skipped fraction grows with N
-    as chunk bboxes shrink relative to the box (measured 61% at 10k
-    atoms / first-shell cutoff, 14% at 2k).
+    ``window`` (optional, from :func:`_chunk_window` over z-sorted
+    frames): per-(frame, center-block) (start, count) circular j-chunk
+    window in SMEM — the chunk sweep runs only that window, with CONSECUTIVE
+    addresses (one wrap subtract), so skipped chunks cost nothing and
+    the loop still pipelines. Two rejected designs, measured slower
+    than no skip at all: per-chunk ``pl.when`` (accumulators forced out
+    of registers into the output refs — per-chunk VMEM round trips), and
+    a front-packed scattered chunk-id list (every chunk's loads waited
+    on its SMEM index load).
+
+    ``e_fixed`` (static): per-chunk extraction depth of sweep 1. The
+    window CONCENTRATES the in-cutoff lanes into few chunks (expected
+    neighbors per processed chunk ~ count / window-size), so windowed
+    callers must scale it (:func:`extract_e_for`) or the full-width
+    cleanup sweep explodes — measured 37 vs 23 ms/frame unsorted at a
+    5.5 cutoff with e_fixed=4 (~5 in-cutoff lanes per chunk, ~18
+    cleanup iterations x 8 MB of VMEM reads per block).
     """
     f, n, _ = positions.shape
     n_pad = _round_up(n, 128)
@@ -283,14 +297,14 @@ def _neighbor_extract_pallas(
          cutoff_f, use_mic]
     )[None, :]  # (1, 8) SMEM
 
-    has_skip = skip is not None
+    has_window = window is not None
 
     def kernel(
         px_ref, py_ref, pz_ref, pxc_ref, pyc_ref, pzc_ref,
         sid_row_ref, sid_col_ref, params_ref, *rest,
     ):
-        if has_skip:
-            skip_ref, *rest = rest
+        if has_window:
+            win_ref, *rest = rest
         (out_idx_ref, out_rx_ref, out_ry_ref, out_rz_ref,
          out_d_ref, out_sid_ref, out_cnt_ref,
          keys_ref, dxs_ref, dys_ref, dzs_ref, ds_ref, sids_ref) = rest
@@ -316,28 +330,10 @@ def _neighbor_extract_pallas(
         slot_iota = jax.lax.broadcasted_iota(
             jnp.int32, (1, k_n), 1
         ).astype(jnp.float32)
-        # the output refs double as the extraction accumulators (so the
-        # chunk loop carries nothing and chunks can sit under pl.when)
+        idx0 = jnp.full((tc, k_n), -1.0, jnp.float32)
+        sid0 = jnp.full((tc, k_n), -1.0, jnp.float32)
         zk = jnp.zeros((tc, k_n), jnp.float32)
-        out_idx_ref[...] = jnp.full((tc, k_n), -1.0, jnp.float32)
-        out_sid_ref[...] = jnp.full((tc, k_n), -1.0, jnp.float32)
-        out_rx_ref[...] = zk
-        out_ry_ref[...] = zk
-        out_rz_ref[...] = zk
-        out_d_ref[...] = zk
-        out_cnt_ref[...] = jnp.zeros((tc, 1), jnp.float32)
-
-        def load_accs():
-            return (
-                out_idx_ref[...], out_rx_ref[...], out_ry_ref[...],
-                out_rz_ref[...], out_d_ref[...], out_sid_ref[...],
-                out_cnt_ref[...],
-            )
-
-        def store_accs(carry):
-            (out_idx_ref[...], out_rx_ref[...], out_ry_ref[...],
-             out_rz_ref[...], out_d_ref[...], out_sid_ref[...],
-             out_cnt_ref[...]) = carry
+        slot0 = jnp.zeros((tc, 1), jnp.float32)
 
         def take_min(carry, keys_w, vals_w):
             """Extract each row's smallest live key into its next slot,
@@ -377,9 +373,8 @@ def _neighbor_extract_pallas(
         # the full-width-sweep variant it replaced). Fusing the build
         # keeps only (TC, 128) temporaries live — full-width (TC, N)
         # register arrays overflowed the 16 MB scoped-VMEM limit.
-        e_fixed = 4
 
-        def chunk_work(c):
+        def chunk_work(c, carry):
             c0 = pl.multiple_of(c * 128, 128)
             lanes = pl.ds(c0, 128)
             xjc = px_ref[0, 0:1, lanes]  # (1, 128)
@@ -410,32 +405,32 @@ def _neighbor_extract_pallas(
             ds_ref[:, lanes] = dc
             sids_ref[:, lanes] = sidc
             vals = (dxc, dyc, dzc, dc, sidc)
-            carry = load_accs()
             for _ in range(e_fixed):
                 carry, chunk = take_min(carry, chunk, vals)
             keys_ref[:, lanes] = chunk
-            store_accs(carry)
+            return carry
 
-        def chunk_body(c, _):
-            if has_skip:
-                @pl.when(skip_ref[0, c] != 0)
-                def _process():
-                    chunk_work(c)
+        init = (idx0, zk, zk, zk, zk, sid0, slot0)
+        n_chunks_k = n_pad // 128
+        if has_window:
+            # dynamic (start, count) circular window: addresses stay
+            # consecutive (one wrap subtract off the loop counter), so
+            # the sweep pipelines; out-of-window chunks cost nothing.
+            # Their key lanes stay at the _EMPTY fill below, so the
+            # cleanup sweep never selects them (their value scratch is
+            # stale, but empty keys pick no lane)
+            keys_ref[...] = jnp.full((tc, n_pad), _EMPTY, jnp.float32)
+            w_start = win_ref[0, 0, 0]
+            w_cnt = win_ref[0, 0, 1]
 
-                @pl.when(skip_ref[0, c] == 0)
-                def _empty():
-                    # the cleanup sweep reads full-width keys: skipped
-                    # chunks must read empty (their value scratch may be
-                    # stale, but empty keys never select a lane)
-                    lanes = pl.ds(pl.multiple_of(c * 128, 128), 128)
-                    keys_ref[:, lanes] = jnp.full(
-                        (tc, 128), _EMPTY, jnp.float32
-                    )
-            else:
-                chunk_work(c)
-            return 0
+            def chunk_body(t, carry):
+                cw = w_start + t
+                cw = jnp.where(cw >= n_chunks_k, cw - n_chunks_k, cw)
+                return chunk_work(cw, carry)
 
-        jax.lax.fori_loop(0, n_pad // 128, chunk_body, 0)
+            carry = jax.lax.fori_loop(0, w_cnt, chunk_body, init)
+        else:
+            carry = jax.lax.fori_loop(0, n_chunks_k, chunk_work, init)
 
         # Sweep 2 — exact cleanup: one scalar per BLOCK. Rows denser than
         # E per chunk keep their leftovers in keys_ref; the trip count is
@@ -453,7 +448,16 @@ def _neighbor_extract_pallas(
             keys_ref[...] = keys_w
             return carry
 
-        store_accs(jax.lax.fori_loop(0, left, cleanup, load_accs()))
+        idx, rxa, rya, rza, da, sa, slot = jax.lax.fori_loop(
+            0, left, cleanup, carry
+        )
+        out_idx_ref[...] = idx
+        out_rx_ref[...] = rxa
+        out_ry_ref[...] = rya
+        out_rz_ref[...] = rza
+        out_d_ref[...] = da
+        out_sid_ref[...] = sa
+        out_cnt_ref[...] = slot
 
     grid = (f, n_blocks)
     row_spec = pl.BlockSpec(
@@ -491,16 +495,18 @@ def _neighbor_extract_pallas(
         + [pl.BlockSpec(memory_space=pltpu.SMEM)]
     )
     inputs = [px, py, pz, pxc, pyc, pzc, sid_row, sid_col, params]
-    if has_skip:
-        n_chunks = n_pad // 128
+    if has_window:
+        # 3-D with a singleton middle axis: Mosaic requires the block's
+        # last two dims to divide (8, 128) or equal the array dims — the
+        # (1, 1, 2) block matches the trailing (1, 2)
         in_specs.append(pl.BlockSpec(
-            (1, n_chunks),
-            lambda fi, ib: (fi * n_blocks + ib, 0),
+            (1, 1, 2),
+            lambda fi, ib: (fi * n_blocks + ib, 0, 0),
             memory_space=pltpu.SMEM,
         ))
-        inputs.append(skip.astype(jnp.int32).reshape(
-            f * n_blocks, n_chunks
-        ))
+        inputs.append(
+            window.astype(jnp.int32).reshape(f * n_blocks, 1, 2)
+        )
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -523,38 +529,28 @@ def _neighbor_extract_pallas(
     )
 
 
-def _spread3(v):
-    """Space the low 4 bits of ``v`` to positions 0, 3, 6, 9."""
-    r = jnp.zeros_like(v)
-    for i in range(4):
-        r = r | (((v >> i) & 1) << (3 * i))
-    return r
-
-
 @jax.jit
 def _spatial_sort(positions, species_id, box):
-    """Per-frame Morton order on a 16^3 grid; invalid atoms sort last.
+    """Per-frame sort along z (slab decomposition); invalid atoms last.
 
     The angle histogram is center-permutation-invariant, so each frame
     may be reordered independently — one argsort + gather per frame in
-    XLA buys spatially compact center blocks and j-chunks, which is what
-    makes the extract kernel's chunk-skip bitmap effective.
+    XLA. A single-axis sort (vs Morton order) makes each center block's
+    in-cutoff j-chunks a CONTIGUOUS (circularly, under PBC) window of
+    the sorted order: the extract kernel can take a per-block (start,
+    count) window with consecutive chunk addresses, which pipelines,
+    where a scattered per-chunk index list measured SLOWER than no skip
+    at all (each chunk's loads waited on an SMEM index load).
 
     Returns ``(pos_sorted (F, N, 3), sid_sorted (F, N))``.
     """
     f, n, _ = positions.shape
-    box_arr = jnp.asarray(box, positions.dtype).reshape(3)
-    g = jnp.clip(positions / box_arr * 16.0, 0.0, 15.0).astype(jnp.int32)
-    key = (
-        (_spread3(g[..., 0]) << 2)
-        | (_spread3(g[..., 1]) << 1)
-        | _spread3(g[..., 2])
-    )
+    key = positions[..., 2]
     if species_id.ndim == 1:
         sid2 = jnp.broadcast_to(species_id, (f, n))
     else:
         sid2 = species_id
-    key = jnp.where(sid2 >= 0, key, 1 << 30)
+    key = jnp.where(sid2 >= 0, key, jnp.asarray(jnp.inf, key.dtype))
     order = jnp.argsort(key, axis=1)
     pos_s = jnp.take_along_axis(positions, order[..., None], axis=1)
     sid_s = jnp.take_along_axis(sid2, order, axis=1)
@@ -602,24 +598,73 @@ def _chunk_skip_bitmap(pos_s, sid_s, box, cutoff, tc):
     return process.astype(jnp.int32).reshape(f * n_blocks, n_chunks)
 
 
+@functools.partial(jax.jit, static_argnames=("tc",))
+def _chunk_window(pos_s, sid_s, box, cutoff, tc):
+    """Per-(frame, block) circular chunk window covering all process flags.
+
+    With z-sorted atoms the bbox process flags form (at most) one
+    circular arc per block: valid chunks are consecutive z-slabs, so the
+    1-D gap to the block's z-interval is quasi-convex in chunk index
+    (modulo the periodic seam). The arc is found as the unique 0->1 run
+    start; if the flags are NOT a single arc (empty-chunk holes,
+    degenerate geometry), the window falls back to the full range —
+    conservative, never lossy.
+
+    Returns ``(F * n_blocks, 2) int32``: (start chunk, chunk count).
+    """
+    flags = _chunk_skip_bitmap(pos_s, sid_s, box, cutoff, tc)
+    r, c = flags.shape
+    prev = jnp.roll(flags, 1, axis=1)
+    run_start = (flags == 1) & (prev == 0)
+    start = jnp.argmax(run_start, axis=1).astype(jnp.int32)
+    cnt = jnp.sum(flags, axis=1).astype(jnp.int32)
+    ar = jnp.arange(c, dtype=jnp.int32)[None, :]
+    arc = ((ar - start[:, None]) % c) < cnt[:, None]
+    ok = jnp.all((flags == 0) | arc, axis=1)
+    start = jnp.where(ok, start, 0)
+    cnt = jnp.where(ok, cnt, c)
+    return jnp.stack([start, cnt], axis=1)
+
+
 def _extract_tc(n_pad: int) -> int:
     return 32 if n_pad <= 16384 else (16 if n_pad <= 32768 else 8)
 
 
-@functools.partial(jax.jit, static_argnames=("k_n", "interpret"))
+def extract_e_for(n_atoms: int, box, cutoff) -> int:
+    """Static sweep-1 extraction depth for the z-window sorted extract.
+
+    Expected in-cutoff lanes per PROCESSED chunk = expected neighbor
+    count / window chunk count; depth must cover it or leftovers spill
+    into the expensive full-width cleanup sweep. Needs STATIC (host)
+    box/cutoff values — callers with traced values keep the default.
+    """
+    box_np = np.asarray(box, np.float64).reshape(3)
+    volume = float(np.prod(box_np))
+    expected = n_atoms / max(volume, 1e-30) * (
+        4.0 / 3.0 * np.pi * float(cutoff) ** 3
+    )
+    n_chunks = max(n_atoms // 128, 1)
+    window_frac = min(1.0, 2.1 * float(cutoff) / float(box_np[2]))
+    per_chunk = expected / max(window_frac * n_chunks, 1.0)
+    return int(np.clip(2 * np.ceil((per_chunk + 2.0) / 2.0), 4, 16))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k_n", "interpret", "e_fixed")
+)
 def sorted_neighbor_extract(
     positions: jnp.ndarray,  # (F, N, 3)
     species_id: jnp.ndarray,  # (N,) or (F, N)
-    box,  # (3,) — required (spatial grid needs an extent)
+    box,  # (3,) — required (the z-slab window needs an extent)
     cutoff,
     k_n: int = PALLAS_ADF_K,
     interpret: bool = False,
+    e_fixed: int = 4,
 ):
-    """Spatially sorted extract: Morton sort + bbox chunk-skip bitmap.
+    """Spatially sorted extract: z-sort + per-block circular chunk window.
 
     A growing fraction of the O(N^2) distance sweep is skipped as N
-    grows (chunk bboxes shrink relative to the box — measured 61% of
-    chunks skipped at 10k atoms / first-shell cutoff, 14% at 2k).
+    grows (the ~2*cutoff z-slab window shrinks relative to the box).
     Returns ``(rx, ry, rz, d, sid, counts, sid_sorted)`` with the same
     contracts as :func:`_neighbor_extract_pallas` — neighbor sets are
     identical to the unsorted kernel's up to center order, and
@@ -639,10 +684,10 @@ def sorted_neighbor_extract(
         positions.astype(jnp.float32), species_id, box
     )
     tc = _extract_tc(n_pad)
-    skip = _chunk_skip_bitmap(pos_s, sid_s, box, cutoff, tc)
+    win = _chunk_window(pos_s, sid_s, box, cutoff, tc)
     _, rx, ry, rz, d_n, sid_n, cnt = _neighbor_extract_pallas(
         pos_s, sid_s, box, cutoff, k_n=k_n, interpret=interpret,
-        tc=tc, skip=skip,
+        tc=tc, window=win, e_fixed=e_fixed,
     )
     return rx, ry, rz, d_n, sid_n, cnt, sid_s
 

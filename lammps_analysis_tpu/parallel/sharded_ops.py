@@ -214,10 +214,17 @@ class _AdfPlan:
                 if int(np.ceil(1.5 * expected)) + 8 <= 128 // p:
                     self.pack = p
                     break
-        # Morton-sorted extract: the bbox chunk-skip only pays once
+        # z-sorted extract: the ~2*cutoff slab window only pays once
         # 128-atom j-chunks are spatially compact relative to the box
-        # (measured 61% of chunks skipped at 10k atoms, 14% at 2k)
+        # (~80% of chunks skipped at 10k atoms / first-shell cutoffs);
+        # the sweep's extraction depth scales with the window density
+        from ..ops.pallas_adf import extract_e_for
+
         self.use_sorted = bool(use_pallas) and n_avail >= 4096
+        self.extract_e = (
+            extract_e_for(n_avail, box_np, float(cutoff))
+            if self.use_sorted else 4
+        )
         self._normalise()
 
     def _normalise(self):
@@ -318,7 +325,7 @@ def _adf_pipeline(plan: _AdfPlan, n_species, cutoff, n_bins, norm_power):
 
     def pipeline(pos_shard, sid, ttab, box_, *, _k=plan.k_n,
                  _cap=plan.capacity, use_pallas=plan.use_pallas_run,
-                 _pack=plan.pack):
+                 _pack=plan.pack, _ee=getattr(plan, "extract_e", 4)):
         cnts = None
         per_frame_sid = False
         if use_cells:
@@ -327,11 +334,11 @@ def _adf_pipeline(plan: _AdfPlan, n_species, cutoff, n_bins, norm_power):
                 k_n=_k, n_dim=n_dim, capacity=_cap,
             )
         elif use_pallas and n_avail <= _JCAP and use_sorted:
-            # Morton-sorted extract: the bbox chunk-skip bitmap lets the
-            # kernel bypass spatially distant j-chunks (61% at 10k atoms)
+            # z-sorted extract: the circular chunk window skips the
+            # j-chunks outside the ~2*cutoff slab (~80% at 10k atoms)
             rxn, ryn, rzn, d_nn, s_nn, cnts, sid_s = (
                 _pk.sorted_neighbor_extract(
-                    pos_shard, sid, box_, cutoff, k_n=_k
+                    pos_shard, sid, box_, cutoff, k_n=_k, e_fixed=_ee,
                 )
             )
             r_nn = (rxn, ryn, rzn)

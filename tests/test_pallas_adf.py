@@ -376,7 +376,8 @@ def _triple_multiset(d, s, sid_c, decimals=5):
     return out
 
 
-def test_sorted_extract_matches_unsorted(rng):
+@pytest.mark.parametrize("e_fixed", [4, 8])
+def test_sorted_extract_matches_unsorted(rng, e_fixed):
     """Morton-sorted extract + bbox chunk-skip == the unsorted kernel:
     identical per-frame multisets of (center species, neighbor species,
     distance) triples — no in-cutoff pair is lost to a skipped chunk —
@@ -395,7 +396,7 @@ def test_sorted_extract_matches_unsorted(rng):
     box = jnp.asarray([box_l] * 3, jnp.float32)
     rx, ry, rz, d_s, s_s, cnt_s, sid_s = sorted_neighbor_extract(
         jnp.asarray(pos), jnp.asarray(sid), box, cutoff,
-        k_n=128, interpret=True,
+        k_n=128, interpret=True, e_fixed=e_fixed,
     )
     _, _, _, _, d_u, s_u, cnt_u = _neighbor_extract_pallas(
         jnp.asarray(pos), jnp.asarray(sid), box, cutoff,
@@ -433,11 +434,14 @@ def test_sorted_extract_matches_unsorted(rng):
     np.testing.assert_allclose(h_sorted, h_ref, rtol=1e-5, atol=1e-6)
 
 
-def test_chunk_skip_bitmap_is_conservative(rng):
+def test_chunk_skip_bitmap_and_window_are_conservative(rng):
     """Every (center-block, j-chunk) pair with any in-cutoff pair must be
-    flagged process=1; on a dilute box most chunks are skipped."""
+    flagged process=1; the circular (start, count) window must cover every
+    flagged chunk (including blocks whose window wraps the periodic
+    seam); on a dilute box most chunks are skipped."""
     from lammps_analysis_tpu.ops.pallas_adf import (
         _chunk_skip_bitmap,
+        _chunk_window,
         _extract_tc,
         _spatial_sort,
     )
@@ -448,25 +452,34 @@ def test_chunk_skip_bitmap_is_conservative(rng):
     box = jnp.asarray([box_l] * 3, jnp.float32)
     pos_s, sid_s = _spatial_sort(jnp.asarray(pos), jnp.asarray(sid), box)
     tc = _extract_tc(n)
+    n_chunks = n // 128
     skip = np.asarray(
         _chunk_skip_bitmap(pos_s, sid_s, box, cutoff, tc)
-    ).reshape(f, n // tc, n // 128)
+    ).reshape(f, n // tc, n_chunks)
+    win = np.asarray(
+        _chunk_window(pos_s, sid_s, box, cutoff, tc)
+    ).reshape(f, n // tc, 2)
     pos_s = np.asarray(pos_s)
     # brute-force: min-image distance between any block row and chunk atom
+    wrapped = 0
     for fr in range(f):
         r = pos_s[fr][:, None, :] - pos_s[fr][None, :, :]
         r -= box_l * np.round(r / box_l)
         d = np.sqrt((r ** 2).sum(-1))
         within = d <= cutoff
         for b in range(n // tc):
-            for c in range(n // 128):
+            start, cnt = win[fr, b]
+            in_win = ((np.arange(n_chunks) - start) % n_chunks) < cnt
+            wrapped += start + cnt > n_chunks
+            for c in range(n_chunks):
                 blk = within[b * tc:(b + 1) * tc, c * 128:(c + 1) * 128]
                 if blk.any():
                     assert skip[fr, b, c] == 1, (fr, b, c)
-    # some chunks are actually skipped (the fraction grows with N: a
-    # 128-atom chunk's bbox shrinks relative to the box — measured
-    # process fractions 0.86 at 2k atoms, 0.39 at 10k)
+                    assert in_win[c], (fr, b, c, start, cnt)
+    assert wrapped > 0  # z-periodic seam blocks exercise the wrap path
+    # most chunks are skipped: the window is a ~2*cutoff z-slab
     assert skip.mean() < 0.95
+    assert (win[..., 1] / n_chunks).mean() < 0.5
 
 
 @pytest.mark.parametrize("tc", [8, 16])
