@@ -1309,6 +1309,71 @@ def auto_neighbor_lists(
         capacity *= 2
 
 
+def adf_stage2_auto(
+    r_n,
+    d_n: jnp.ndarray,
+    sid_n: jnp.ndarray,
+    sid_pad: jnp.ndarray,
+    n_bins: int,
+    n_species: int,
+    *,
+    norm_power: int = 4,
+    pack: int = 1,
+    counts: jnp.ndarray | None = None,
+    per_frame_sid: bool = False,
+    fold: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Angle stage with the center-packing plumbing shared by callers.
+
+    Handles the sub-list repack for ``pack > 1`` (first ``K/pack``
+    neighbor slots of ``pack`` consecutive centers share a row), the
+    per-lane center-species forms — static ``(Npad,)`` or per-frame
+    ``(F, Npad)`` from the sorted extract (sorting permutes atoms per
+    frame) — and the counts reshape for the chunk/row-slice skips.
+    """
+    k = (r_n[0] if isinstance(r_n, (tuple, list)) else r_n).shape[2]
+    f, n_pad = d_n.shape[0], d_n.shape[1]
+    if pack > 1 and n_pad % pack == 0:
+        sub, rows = k // pack, n_pad // pack
+
+        def repack(x):
+            return x[:, :, :sub].reshape(f, rows, k)
+
+        if isinstance(r_n, (tuple, list)):
+            r_n = tuple(repack(c) for c in r_n)
+        else:
+            r_n = r_n[:, :, :sub].reshape(f, rows, k, 3)
+        d_n = repack(d_n)
+        sid_n = repack(sid_n)
+        if per_frame_sid:
+            sid_arg = jnp.repeat(
+                sid_pad.reshape(f, rows, pack).astype(jnp.float32),
+                sub, axis=2,
+            )
+        else:
+            sid_arg = jnp.repeat(
+                sid_pad.reshape(rows, pack).astype(jnp.float32),
+                sub, axis=1,
+            )
+        if counts is not None:
+            counts = jnp.minimum(counts, sub).reshape(f, rows, pack)
+        eff_pack = pack
+    else:
+        sid_arg = (
+            sid_pad.astype(jnp.float32)[..., None]
+            if per_frame_sid else sid_pad
+        )
+        if counts is not None and counts.ndim == 2:
+            counts = counts[..., None]
+        eff_pack = 1
+    return adf_pairs_histogram_pallas(
+        r_n, d_n, sid_n, sid_arg, n_bins, n_species,
+        norm_power=norm_power, pack=eff_pack, counts=counts, fold=fold,
+        interpret=interpret,
+    )
+
+
 def adf_histogram_pallas(
     positions: jnp.ndarray,
     species_id: jnp.ndarray,
@@ -1339,14 +1404,30 @@ def adf_histogram_pallas(
     use_components = (
         interpret or jax.default_backend() == "tpu"
     ) and _round_up(n, 128) <= _JCAP
-    if use_components:
+    per_frame_sid = False
+    if use_components and box is not None and n >= 4096:
+        # z-sorted extract: the circular chunk window skips j-chunks
+        # outside the ~2*cutoff slab (box/cutoff must be concrete here)
+        e_fix = extract_e_for(n, np.asarray(box), float(cutoff))
+        rx, ry, rz, d_n, sid_n, cnt, sid_s = sorted_neighbor_extract(
+            positions, species_id, box, cutoff, k_n=k_n,
+            interpret=interpret, e_fixed=e_fix,
+        )
+        r_n = (rx, ry, rz)
+        sid_pad = sid_s  # (F, Npad): sorting permutes atoms per frame
+        per_frame_sid = True
+        max_count = jnp.max(cnt).astype(jnp.int32)
+        counts = cnt  # (F, n_pad) — enables the angle stage's chunk skip
+        k = rx.shape[2]
+        n_pad = rx.shape[1]
+    elif use_components:
         _, rx, ry, rz, d_n, sid_n, cnt = _neighbor_extract_pallas(
             positions, species_id, box, cutoff, k_n=k_n, interpret=interpret
         )
         r_n = (rx, ry, rz)
         sid_pad = _pad_sid(species_id, rx.shape[1])
         max_count = jnp.max(cnt).astype(jnp.int32)
-        counts = cnt  # (F, n_pad) — enables the angle stage's chunk skip
+        counts = cnt
         k = rx.shape[2]
         n_pad = rx.shape[1]
     else:
@@ -1372,30 +1453,9 @@ def adf_histogram_pallas(
         # overflowed sub-lists are invisible to the packed stage — report
         # them as saturation so callers retry
         max_count = jnp.where(max_count > k // pack, k_n, max_count)
-        f = d_n.shape[0]
-        sub = k // pack
-        rows = n_pad // pack
-
-        def repack(x):
-            return x[:, :, :sub].reshape(f, rows, k)
-
-        if isinstance(r_n, tuple):
-            r_n = tuple(repack(c) for c in r_n)
-        else:
-            r_n = r_n[:, :, :sub].reshape(f, rows, k, 3)
-        d_n = repack(d_n)
-        sid_n = repack(sid_n)
-        sid_pad = jnp.repeat(
-            sid_pad.reshape(rows, pack).astype(jnp.float32), sub, axis=1
-        )
-        if counts is not None:
-            # counts beyond the packed sub-width would mislead the skip
-            counts = jnp.minimum(counts, sub).reshape(f, rows, pack)
-    elif counts is not None:
-        counts = counts[..., None]  # (F, n_pad, 1)
-    hist = adf_pairs_histogram_pallas(
+    hist = adf_stage2_auto(
         r_n, d_n, sid_n, sid_pad, n_bins, n_species,
-        norm_power=norm_power, pack=pack, counts=counts, fold=True,
-        interpret=interpret,
+        norm_power=norm_power, pack=pack, counts=counts,
+        per_frame_sid=per_frame_sid, fold=True, interpret=interpret,
     )
     return hist, max_count

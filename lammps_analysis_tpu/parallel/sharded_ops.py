@@ -368,52 +368,11 @@ def _adf_pipeline(plan: _AdfPlan, n_species, cutoff, n_bins, norm_power):
         if use_pallas:
             # only the fused extract stage emits per-center counts (the
             # cell-list and top_k stages process every chunk)
-            cnts_arr = cnts
-            kk = d_nn.shape[2]
-            n_rows = d_nn.shape[1]
-            if _pack > 1 and n_rows % _pack == 0:
-                ff = d_nn.shape[0]
-                sub = kk // _pack
-                rows = n_rows // _pack
-
-                def repack(x):
-                    return x[:, :, :sub].reshape(ff, rows, kk)
-
-                if isinstance(r_nn, tuple):
-                    r_pk = tuple(repack(c) for c in r_nn)
-                else:
-                    r_pk = r_nn[:, :, :sub].reshape(ff, rows, kk, 3)
-                if per_frame_sid:
-                    sid_pk = jnp.repeat(
-                        sid_pad.reshape(ff, rows, _pack).astype(jnp.float32),
-                        sub, axis=2,
-                    )
-                else:
-                    sid_pk = jnp.repeat(
-                        sid_pad.reshape(rows, _pack).astype(jnp.float32),
-                        sub, axis=1,
-                    )
-                if cnts_arr is not None:
-                    cnts_arr = jnp.minimum(cnts_arr, sub).reshape(
-                        ff, rows, _pack
-                    )
-                h = _pk.adf_pairs_histogram_pallas(
-                    r_pk, repack(d_nn), repack(s_nn),
-                    sid_pk, n_bins, n_species,
-                    norm_power=norm_power, pack=_pack,
-                    counts=cnts_arr, fold=True,
-                )
-            else:
-                if cnts_arr is not None:
-                    cnts_arr = cnts_arr[..., None]
-                sid_arg = (
-                    sid_pad.astype(jnp.float32)[..., None]
-                    if per_frame_sid else sid_pad
-                )
-                h = _pk.adf_pairs_histogram_pallas(
-                    r_nn, d_nn, s_nn, sid_arg, n_bins, n_species,
-                    norm_power=norm_power, counts=cnts_arr, fold=True,
-                )
+            h = _pk.adf_stage2_auto(
+                r_nn, d_nn, s_nn, sid_pad, n_bins, n_species,
+                norm_power=norm_power, pack=_pack, counts=cnts,
+                per_frame_sid=per_frame_sid, fold=True,
+            )
         else:
             h = adf_ops.adf_pairs_histogram_xla(
                 r_nn, d_nn, s_nn, sid_pad, n_bins, n_species,

@@ -384,7 +384,7 @@ def test_adf_pipeline_sorted_extract_matches_unsorted(rng, monkeypatch,
 
     # CPU can only execute the kernels in interpret mode
     for fn in ("sorted_neighbor_extract", "_neighbor_extract_pallas",
-               "adf_pairs_histogram_pallas"):
+               "adf_stage2_auto"):
         monkeypatch.setattr(
             PK, fn, functools.partial(getattr(PK, fn), interpret=True)
         )
