@@ -294,3 +294,73 @@ def adf_reference(
         name = "_".join(species[s] for s in key)
         out[name] = (angles_deg, h / (total * bw) if total > 0 else h)
     return out
+
+
+# ------------------------------------------------ RDF post-processing chain
+def cn_integral_reference(radii: np.ndarray, rdf: np.ndarray,
+                          density: float) -> np.ndarray:
+    """CN(r) integral exactly as the reference computes it.
+
+    ``calculators/coordination_number_calculation.py:77-81``:
+    ``4 pi rho cumtrapz(r[1:]^2 g[1:], x=r[1:])`` — note the extra leading
+    point drop (the calculator already dropped radii[0]).
+    """
+    integral = cumulative_trapezoid(
+        radii[1:] ** 2 * rdf[1:], x=radii[1:]
+    )
+    return 4.0 * np.pi * density * integral
+
+
+def pmf_reference(rdf: np.ndarray, temperature: float) -> np.ndarray:
+    """w(r) per ``calculators/potential_of_mean_force.py:199-201``:
+    ``-kT ln g`` scaled by 6.242e8 (J -> "eV" with the reference's
+    hard-coded factor, reproduced verbatim for parity)."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return -BOLTZMANN * temperature * np.log(rdf) * 6.242e8
+
+
+def kbi_reference(radii: np.ndarray, rdf: np.ndarray,
+                  window: int = 17, order: int = 2) -> np.ndarray:
+    """G(r) per ``calculators/kirkwood_buff_integrals.py:172-181``:
+    savgol-filtered g, then ``4 pi cumtrapz((g_f[1:] - 1) r[1:]^2)``."""
+    from scipy.signal import savgol_filter
+
+    filtered = savgol_filter(np.asarray(rdf, float), window, order)
+    return 4.0 * np.pi * cumulative_trapezoid(
+        (filtered[1:] - 1.0) * radii[1:] ** 2, x=radii[1:]
+    )
+
+
+def structure_factor_reference(
+    radii_ang: np.ndarray,
+    rdf_by_pair: dict,
+    q: np.ndarray,
+    rho_0: float,
+    x_frac: dict,
+    form_factors: dict,
+) -> dict:
+    """Faber-Ziman S(q) (standard textbook expressions; the upstream
+    implementation ``calculators/structure_factor.py:62-372`` is disabled
+    there and omits the density factor — the build documents this
+    divergence, so the oracle pins the corrected math instead):
+    partial ``S_ab = 1 + 4 pi rho int r^2 (g_ab - 1) sinc(qr) dr``, total
+    ``S = 1 + sum_ab (2 - delta_ab) x_a x_b f_a f_b (S_ab - 1) / <f>^2``.
+    """
+    f_mean = sum(x_frac[s] * form_factors[s] for s in x_frac)
+    out = {}
+    total = np.zeros_like(q)
+    for pair, g in rdf_by_pair.items():
+        qr = np.outer(q, radii_ang)
+        kernel = radii_ang**2 * np.sin(qr) / qr
+        s_partial = 1.0 + 4.0 * np.pi * rho_0 * np.trapezoid(
+            kernel * (g - 1.0), x=radii_ang, axis=1
+        )
+        out[pair] = s_partial
+        a, b = pair.split("_")
+        factor = 1.0 if a == b else 2.0
+        total += (
+            factor * x_frac[a] * x_frac[b] * form_factors[a]
+            * form_factors[b] / f_mean**2 * (s_partial - 1.0)
+        )
+    out["System"] = 1.0 + total
+    return out

@@ -232,3 +232,122 @@ def test_gk_thermal_formulation_divergence_documented(tmp_path, rng):
         prefactor * sigmas[0],
         rtol=1e-9,
     )
+
+
+def _synthetic_rdf(exp, n_bins=400, r_max_nm=0.6):
+    """Clean liquid-like g(r) Computation (nm radii, like the RDF output):
+    excluded core, first shell at 0.25 nm, second at 0.45 nm."""
+    from lammps_analysis_tpu.database.results_db import Computation
+
+    r = np.linspace(0.0, r_max_nm, n_bins)
+    data = {}
+    for pair, (h1, h2) in {
+        "Na_Na": (1.5, 0.4), "Na_Cl": (2.5, 0.6), "Cl_Cl": (1.2, 0.3)
+    }.items():
+        g = (
+            1.0
+            + h1 * np.exp(-(((r - 0.25) / 0.03) ** 2))
+            + h2 * np.exp(-(((r - 0.45) / 0.05) ** 2))
+        ) / (1.0 + np.exp(-(r - 0.2) / 0.01))
+        data[pair] = {"x": r.tolist(), "y": g.tolist()}
+    return Computation(
+        "RadialDistributionFunction",
+        {"number_of_bins": n_bins, "cutoff": r_max_nm * 10,
+         "number_of_configurations": 8},
+        data, experiment=exp.name,
+    )
+
+
+def test_coordination_numbers_parity(nacl):
+    """CN series == the reference integral; CN_1 == the integral at the
+    exact discrete RDF minimum between the first two peaks (the
+    golden-section search must land there on clean data)."""
+    exp, _, _ = nacl
+    rdf = _synthetic_rdf(exp)
+    res = exp.run.CoordinationNumbers(
+        rdf_data=rdf, number_of_shells=1, plot=False
+    )
+    volume_nm3 = exp.volume * exp.units.volume / 1e-27
+    for pair in ("Na_Na", "Na_Cl", "Cl_Cl"):
+        radii = np.asarray(rdf[pair]["x"], float)[1:]
+        g = np.asarray(rdf[pair]["y"], float)[1:]
+        density = exp.species[pair.split("_")[0]].n_particles / volume_nm3
+        ref = oracle.cn_integral_reference(radii, g, density)
+        np.testing.assert_allclose(res[pair]["cn"], ref, rtol=1e-10)
+        # exact shell boundary: raw-RDF argmin between the two peaks
+        from scipy.signal import find_peaks, savgol_filter
+
+        peaks = find_peaks(savgol_filter(g, 17, 2), height=1.0)[0]
+        lo, hi = peaks[0], peaks[1]
+        m = lo + int(np.argmin(g[lo:hi]))
+        cn_exact = ref[min(m, len(ref) - 1)]
+        assert abs(res[pair]["CN_1"] - cn_exact) <= 0.02 * abs(cn_exact), pair
+
+
+def test_pmf_parity(nacl):
+    """POMF series == -kT ln g * 6.242e8 (reference's verbatim conversion);
+    POMF_1 == the potential at the exact g(r) maximum."""
+    exp, _, _ = nacl
+    rdf = _synthetic_rdf(exp)
+    res = exp.run.PotentialOfMeanForce(
+        rdf_data=rdf, number_of_shells=1, plot=False
+    )
+    for pair in ("Na_Na", "Na_Cl", "Cl_Cl"):
+        radii = np.asarray(rdf[pair]["x"], float)[1:]
+        g = np.asarray(rdf[pair]["y"], float)[1:]
+        ref = oracle.pmf_reference(g, exp.temperature)
+        got = np.asarray(res[pair]["pomf"], float)
+        finite = np.isfinite(ref)
+        np.testing.assert_allclose(got[finite], ref[finite], rtol=1e-10)
+        pomf_exact = ref[int(np.argmax(g))]
+        assert abs(res[pair]["POMF_1"] - pomf_exact) <= max(
+            5e-3, 0.02 * abs(pomf_exact)
+        ), pair
+
+
+def test_kbi_parity(nacl):
+    exp, _, _ = nacl
+    rdf = _synthetic_rdf(exp)
+    res = exp.run.KirkwoodBuffIntegral(rdf_data=rdf, plot=False)
+    for pair in ("Na_Na", "Na_Cl", "Cl_Cl"):
+        radii = np.asarray(rdf[pair]["x"], float)[1:]
+        g = np.asarray(rdf[pair]["y"], float)[1:]
+        ref = oracle.kbi_reference(radii, g, window=17, order=2)
+        np.testing.assert_allclose(
+            res[pair]["kb_integral"], ref, rtol=1e-9, atol=1e-12
+        )
+
+
+def test_structure_factor_parity(nacl):
+    """Partial and total Faber-Ziman S(q) == the standard expressions
+    (the documented corrected math — upstream's disabled implementation
+    omits the density factor); form factors from the package's
+    Cromer-Mann table (the integral chain is what's under test)."""
+    from lammps_analysis_tpu.data.form_factors import form_factor
+
+    exp, _, _ = nacl
+    rdf = _synthetic_rdf(exp)
+    res = exp.run.StructureFactor(rdf_data=rdf, resolution=300, plot=False)
+    q = np.asarray(res["Na_Na"]["q"], float)
+    np.testing.assert_allclose(q, np.linspace(0.5, 12.0, 300), rtol=1e-12)
+    volume_ang3 = exp.volume * exp.units.volume / 1e-30
+    n_total = sum(
+        sp.n_particles for n, sp in exp.species.items() if n != "Observables"
+    )
+    radii_ang = np.asarray(rdf["Na_Na"]["x"], float)[1:] * 10.0
+    ref = oracle.structure_factor_reference(
+        radii_ang,
+        {p: np.asarray(rdf[p]["y"], float)[1:]
+         for p in ("Na_Na", "Na_Cl", "Cl_Cl")},
+        q,
+        rho_0=n_total / volume_ang3,
+        x_frac={n: sp.n_particles / n_total
+                for n, sp in exp.species.items() if n != "Observables"},
+        form_factors={n: form_factor(n, q)
+                      for n in exp.species if n != "Observables"},
+    )
+    for key in ("Na_Na", "Na_Cl", "Cl_Cl", "System"):
+        np.testing.assert_allclose(
+            res[key]["S"], ref[key], rtol=1e-9, atol=1e-12,
+            err_msg=f"S(q) parity broken for {key}",
+        )
