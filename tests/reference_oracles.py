@@ -364,3 +364,64 @@ def structure_factor_reference(
         )
     out["System"] = 1.0 + total
     return out
+
+
+# --------------------------------------------------- GK self-diffusion
+def gk_self_diffusion_reference(
+    vel: np.ndarray, data_range: int, correlation_time: int, dt: float,
+    sample_rate: int, units_length: float, units_time: float,
+    integration_range: int,
+):
+    """``green_kubo_self_diffusion_coefficients.py:179-296``.
+
+    Per window: biased VACF (tfp ``normalize=False, center=False``) scaled
+    by ``units_length^2/units_time^2``; the running counter adds
+    ``n_particles`` per window (:196) plus 1 per window in the ensemble
+    loop (:334); per-window integrals for the SEM use the particle-MEAN
+    VACF (:200-203); ``D = sigma[integration_range - 1] / 3`` (:288).
+
+    Returns ``(times_si, acf, integral, integral_sem, D)``.
+    """
+    t, n, _ = vel.shape
+    starts = _window_starts(t, data_range, correlation_time)
+    vel_scale = units_length**2 / units_time**2
+    times = np.arange(data_range) * dt * sample_rate * units_time
+    acf_sum = np.zeros(data_range)
+    count = 0
+    sigmas = []
+    for s in starts:
+        seg = vel[s : s + data_range]  # (W, N, 3)
+        acf = biased_acf(seg)  # (W, N, 3)
+        acf_sum += vel_scale * np.sum(acf, axis=(1, 2))
+        count += n + 1
+        sigmas.append(cumulative_trapezoid(
+            vel_scale * np.mean(np.sum(acf, axis=2), axis=1), x=times
+        ))
+    acf_avg = acf_sum / count
+    sigma = cumulative_trapezoid(acf_avg, x=times)
+    sem = np.std(np.array(sigmas), axis=0) / np.sqrt(len(sigmas))
+    ir = min(integration_range - 1, len(sigma) - 1)
+    return times, acf_avg, sigma, sem, sigma[ir] / 3.0
+
+
+# ------------------------------------------- Einstein-Helfand MSD series
+def eh_msd_reference(
+    current_integral: np.ndarray, data_range: int, correlation_time: int,
+    dt: float, sample_rate: int, prefactor: float,
+):
+    """``einstein_helfand_ionic_conductivity.py:142-181``: per window the
+    squared difference from the window origin summed over components,
+    scaled by the prefactor, averaged over windows; times stay in raw
+    simulation units (the prefactor carries every conversion).
+
+    Returns ``(times_raw, msd)`` for a system series of shape (T, 3).
+    """
+    t = current_integral.shape[0]
+    starts = _window_starts(t, data_range, correlation_time)
+    msd = np.zeros(data_range)
+    for s in starts:
+        seg = current_integral[s : s + data_range]
+        msd += np.sum((seg - seg[0]) ** 2, axis=-1)
+    msd = prefactor * msd / len(starts)
+    times = np.arange(data_range) * dt * sample_rate
+    return times, msd

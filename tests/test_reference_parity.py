@@ -351,3 +351,65 @@ def test_structure_factor_parity(nacl):
             res[key]["S"], ref[key], rtol=1e-9, atol=1e-12,
             err_msg=f"S(q) parity broken for {key}",
         )
+
+
+def test_gk_self_diffusion_parity(nacl):
+    """VACF, running integral, SEM, and D against the reference's exact
+    counter/prefactor chain (windows x (n_particles + 1), particle-mean
+    per-window integrals, D = integral/3)."""
+    exp, data, cfg = nacl
+    w, stride = 64, 32
+    res = exp.run.GreenKuboDiffusionCoefficients(
+        data_range=w, correlation_time=stride, plot=False
+    )
+    for sp in ("Na", "Cl"):
+        times_ref, acf_ref, sigma_ref, sem_ref, d_ref = (
+            oracle.gk_self_diffusion_reference(
+                data[sp]["vel"], w, stride, cfg["dt"], 1,
+                exp.units.length, exp.units.time, w - 1,
+            )
+        )
+        np.testing.assert_allclose(res[sp]["time"], times_ref, rtol=1e-10)
+        np.testing.assert_allclose(
+            res[sp]["acf"], acf_ref, rtol=5e-5,
+            atol=1e-7 * abs(acf_ref[0]),
+        )
+        np.testing.assert_allclose(
+            res[sp]["integral"], sigma_ref, rtol=5e-5, atol=1e-20
+        )
+        np.testing.assert_allclose(
+            res[sp]["integral_uncertainty"], sem_ref, rtol=1e-3, atol=1e-20
+        )
+        np.testing.assert_allclose(
+            res[sp]["diffusion_coefficient"][0], d_ref, rtol=5e-5
+        )
+
+
+def test_eh_ionic_conductivity_parity(nacl):
+    """EH MSD series == prefactor x window-averaged squared dipole
+    displacement, with the dipole re-derived from charges x unwrapped
+    positions (locks the TranslationalDipoleMoment chain too)."""
+    exp, data, cfg = nacl
+    w, stride = 64, 32
+    res = exp.run.EinsteinHelfandIonicConductivity(
+        data_range=w, correlation_time=stride, plot=False
+    )
+    dipole = data["Na"]["unwrapped"].sum(axis=1) - data["Cl"][
+        "unwrapped"
+    ].sum(axis=1)  # charges +1 / -1
+    prefactor = (
+        exp.units.length**2 * oracle.ELEMENTARY_CHARGE**2
+        / (
+            exp.units.time
+            * exp.volume * exp.units.volume
+            * exp.temperature * oracle.BOLTZMANN
+        )
+    )
+    times_ref, msd_ref = oracle.eh_msd_reference(
+        dipole, w, stride, cfg["dt"], 1, prefactor
+    )
+    np.testing.assert_allclose(res["System"]["time"], times_ref, rtol=1e-10)
+    np.testing.assert_allclose(
+        res["System"]["msd"], msd_ref, rtol=1e-4,
+        atol=1e-9 * abs(msd_ref[-1]),
+    )
