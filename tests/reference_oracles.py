@@ -425,3 +425,89 @@ def eh_msd_reference(
     msd = prefactor * msd / len(starts)
     times = np.arange(data_range) * dt * sample_rate
     return times, msd
+
+
+# -------------------------------------------- distinct (cross) diffusion
+def distinct_einstein_msd_reference(
+    xa: np.ndarray, xb: np.ndarray, data_range: int, correlation_time: int,
+    same: bool, units_length: float,
+):
+    """``einstein_distinct_diffusion_coefficients.py:174-265`` via the
+    direct O(Na x Nb) Gram loop: per window
+    ``mean_i mean_j mean_d (a_i - a_i[0])(b_j - b_j[0])``, minus the
+    atom-mean self term when the species coincide
+    (``_compute_self_correlation``), window-averaged, scaled by length^2.
+
+    The build computes this through the bilinear identity
+    ``mean_ij corr(a_i, b_j) == corr(mean a, mean b)`` — this oracle is
+    the independent check that the identity holds numerically.
+    """
+    t, n_a, _ = xa.shape
+    n_b = xb.shape[1]
+    starts = _window_starts(t, data_range, correlation_time)
+    msd = np.zeros(data_range)
+    for s in starts:
+        da = xa[s : s + data_range] - xa[s]  # (W, Na, 3)
+        db = xb[s : s + data_range] - xb[s]
+        acc = np.zeros(data_range)
+        for i in range(n_a):
+            for j in range(n_b):
+                acc += np.mean(da[:, i] * db[:, j], axis=-1)
+        acc /= n_a * n_b
+        if same:
+            acc -= np.mean(np.mean(da * db, axis=-1), axis=1)
+        msd += acc
+    return msd / len(starts) * units_length**2
+
+
+def distinct_gk_vacf_reference(
+    va: np.ndarray, vb: np.ndarray, data_range: int, correlation_time: int,
+    same: bool, dt: float, sample_rate: int, units_length: float,
+    units_time: float,
+):
+    """``green_kubo_distinct_diffusion_coefficients.py:230-313`` with the
+    ``correlate`` helper (``utils/calculator_helper_methods.py:110-150``):
+    per window ``mean_i mean_j`` of the positive-lag full correlation
+    averaged over dims (via np.correlate — independent of the build's FFT
+    estimator), self term subtracted for same species;
+    ``D = mean_w prefactor * trapz(vacf_w, t_raw)`` with
+    ``prefactor = length^2 / (time_unit * (data_range - 1))``.
+
+    Returns ``(vacf_series, D, sem)``.
+    """
+    t, n_a, _ = va.shape
+    n_b = vb.shape[1]
+    starts = _window_starts(t, data_range, correlation_time)
+    times_raw = np.arange(data_range) * dt * sample_rate
+    prefactor = units_length**2 / (units_time * (data_range - 1))
+
+    def pos_lag_corr(a, b):  # (W, 3) x (W, 3) -> (W,)
+        return np.mean(
+            [np.correlate(a[:, d], b[:, d], "full")[data_range - 1:]
+             for d in range(a.shape[1])],
+            axis=0,
+        )
+
+    vacf_total = np.zeros(data_range)
+    sigmas = []
+    for s in starts:
+        sa = va[s : s + data_range]
+        sb = vb[s : s + data_range]
+        acc = np.zeros(data_range)
+        for i in range(n_a):
+            for j in range(n_b):
+                acc += pos_lag_corr(sa[:, i], sb[:, j])
+        acc /= n_a * n_b
+        if same:
+            acc -= np.mean(
+                [pos_lag_corr(sa[:, i], sb[:, i]) for i in range(n_a)],
+                axis=0,
+            )
+        vacf_total += acc
+        sigmas.append(prefactor * np.trapezoid(acc, x=times_raw))
+    sigmas = np.asarray(sigmas)
+    return (
+        vacf_total / len(starts),
+        float(np.mean(sigmas)),
+        float(np.std(sigmas) / np.sqrt(len(sigmas))),
+    )

@@ -413,3 +413,54 @@ def test_eh_ionic_conductivity_parity(nacl):
         res["System"]["msd"], msd_ref, rtol=1e-4,
         atol=1e-9 * abs(msd_ref[-1]),
     )
+
+
+def test_einstein_distinct_diffusion_parity(nacl):
+    """The bilinear O(N) cross-displacement MSD == the reference's direct
+    O(Na x Nb) Gram loop, per species pair including the same-species
+    self-term subtraction."""
+    exp, data, cfg = nacl
+    w, stride = 48, 48
+    res = exp.run.EinsteinDistinctDiffusionCoefficients(
+        data_range=w, correlation_time=stride, plot=False
+    )
+    for pair in ("Na_Na", "Na_Cl", "Cl_Cl"):
+        a, b = pair.split("_")
+        ref = oracle.distinct_einstein_msd_reference(
+            data[a]["unwrapped"], data[b]["unwrapped"], w, stride,
+            same=(a == b), units_length=exp.units.length,
+        )
+        np.testing.assert_allclose(
+            res[pair]["msd"], ref, rtol=1e-8,
+            atol=1e-10 * np.abs(ref).max(),
+            err_msg=f"distinct MSD parity broken for {pair}",
+        )
+
+
+def test_gk_distinct_diffusion_parity(nacl):
+    """The batched-FFT cross-VACF == the reference's np.correlate Gram
+    loop; D = window-mean of the prefactored integral."""
+    exp, data, cfg = nacl
+    w, stride = 48, 48
+    res = exp.run.GreenKuboDistinctDiffusionCoefficients(
+        data_range=w, correlation_time=stride, plot=False
+    )
+    for pair in ("Na_Na", "Na_Cl", "Cl_Cl"):
+        a, b = pair.split("_")
+        vacf_ref, d_ref, sem_ref = oracle.distinct_gk_vacf_reference(
+            data[a]["vel"], data[b]["vel"], w, stride, same=(a == b),
+            dt=cfg["dt"], sample_rate=1,
+            units_length=exp.units.length, units_time=exp.units.time,
+        )
+        scale = np.abs(vacf_ref).max()
+        np.testing.assert_allclose(
+            res[pair]["vacf"], vacf_ref, rtol=1e-4, atol=1e-6 * scale,
+            err_msg=f"distinct VACF parity broken for {pair}",
+        )
+        np.testing.assert_allclose(
+            res[pair]["diffusion_coefficient"], d_ref, rtol=1e-4,
+            atol=1e-6 * abs(d_ref) + 1e-30,
+        )
+        np.testing.assert_allclose(
+            res[pair]["uncertainty"], sem_ref, rtol=1e-3, atol=1e-30
+        )
