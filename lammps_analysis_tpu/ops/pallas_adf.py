@@ -925,7 +925,7 @@ def adf_pairs_histogram_pallas(
     def kernel(
         xr_ref, yr_ref, zr_ref, dr_ref, sr_ref,
         sidc_ref, cnts_ref, out_ref, acc_ref,
-        hi_buf, lo_buf, wh_buf, wl_buf,
+        comb_buf, w_buf,
     ):
         i = pl.program_id(0)
 
@@ -1181,29 +1181,34 @@ def adf_pairs_histogram_pallas(
                 )
 
             combined = jnp.where(mask, t_id, 0.0) * float(n_bins) + bin_f
-            hi_id = jnp.floor(combined * (1.0 / k_lo))
-            lo_id = combined - hi_id * k_lo
-            hi_id = jnp.where(mask, hi_id, float(hi_pad))
+            # masked elements park at id hi_pad * k_lo: hi lands exactly
+            # on the out-of-range hi_pad row (zero one-hot column), so no
+            # separate mask select is needed after the flatten
+            comb_m = jnp.where(mask, combined, float(hi_pad) * k_lo)
 
-            # weight halves, both exactly bf16-representable but kept in
-            # f32 scratch: Mosaic cannot relayout an f32-compare mask onto
-            # bf16 select operands, so the selects run in f32 and the
-            # results convert (losslessly) to bf16 for the MXU.
-            wh = w.astype(jnp.bfloat16).astype(jnp.float32)
-            wl = w - wh
-
+            # flatten through VMEM scratch with TWO stores per row (was
+            # four): hi/lo split and the bf16 weight halves are derived
+            # in the flat layout, where they cost k/(rows*k) as much
             for r in range(buf_rows):
                 lanes = pl.ds(r * k, k)
-                hi_buf[0:1, lanes] = hi_id[r : r + 1, :]
-                lo_buf[0:1, lanes] = lo_id[r : r + 1, :]
-                wh_buf[0:1, lanes] = wh[r : r + 1, :]
-                wl_buf[0:1, lanes] = wl[r : r + 1, :]
+                comb_buf[0:1, lanes] = comb_m[r : r + 1, :]
+                w_buf[0:1, lanes] = w[r : r + 1, :]
 
-            oh_lo = jnp.where(lo_buf[...] == lo_ids, 1.0, 0.0).astype(
+            comb_flat = comb_buf[...]  # (1, rows*K)
+            hi_flat = jnp.floor(comb_flat * (1.0 / k_lo))
+            lo_flat = comb_flat - hi_flat * k_lo
+            # weight halves, both exactly bf16-representable but kept in
+            # f32: Mosaic cannot relayout an f32-compare mask onto bf16
+            # select operands, so the selects run in f32 and the results
+            # convert (losslessly) to bf16 for the MXU.
+            w_flat = w_buf[...]
+            wh = w_flat.astype(jnp.bfloat16).astype(jnp.float32)
+            wl = w_flat - wh
+
+            oh_lo = jnp.where(lo_flat == lo_ids, 1.0, 0.0).astype(
                 jnp.bfloat16
             )  # (LO, CR*K)
-            hi_flat = hi_buf[...]
-            sel_w = jnp.where(row_is_high, wh_buf[...], wl_buf[...])
+            sel_w = jnp.where(row_is_high, wh, wl)
             oh_hi = jnp.where(hi_flat == hi_ids2, sel_w, 0.0).astype(
                 jnp.bfloat16
             )  # (2 HI, CR*K); both weight halves are bf16-representable
@@ -1244,8 +1249,6 @@ def adf_pairs_histogram_pallas(
         out_shape=jax.ShapeDtypeStruct((hi_pad, k_pad), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((hi_pad, k_pad), jnp.float32),
-            pltpu.VMEM((1, buf_rows * k), jnp.float32),
-            pltpu.VMEM((1, buf_rows * k), jnp.float32),
             pltpu.VMEM((1, buf_rows * k), jnp.float32),
             pltpu.VMEM((1, buf_rows * k), jnp.float32),
         ],
