@@ -186,7 +186,8 @@ _TAKEN = 6.0e7  # key for already-extracted lanes
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k_n", "interpret", "tc", "e_fixed")
+    jax.jit,
+    static_argnames=("k_n", "interpret", "tc", "e_fixed", "w_chunks"),
 )
 def _neighbor_extract_pallas(
     positions: jnp.ndarray,  # (F, N, 3) float32
@@ -198,6 +199,7 @@ def _neighbor_extract_pallas(
     tc: int | None = None,
     window: jnp.ndarray | None = None,  # (F * n_blocks, 2) int32
     e_fixed: int = 4,
+    w_chunks: int | None = None,
 ):
     """Per-center in-cutoff neighbor indices, no ``top_k``, no HBM gathers.
 
@@ -240,6 +242,16 @@ def _neighbor_extract_pallas(
     cleanup sweep explodes — measured 37 vs 23 ms/frame unsorted at a
     5.5 cutoff with e_fixed=4 (~5 in-cutoff lanes per chunk, ~18
     cleanup iterations x 8 MB of VMEM reads per block).
+
+    ``w_chunks`` (static, window callers only): upper bound on any
+    block's window count. The six value/key scratches shrink from
+    (tc, Npad) to (tc, w_chunks * 128) — window chunks store at
+    WINDOW-RELATIVE lanes — which frees scoped VMEM for much taller
+    center blocks (tc up to 128: fewer blocks, fewer per-block fixed
+    costs, smaller cleanup reads). Windows larger than the bound are
+    CLAMPED in-kernel (never out-of-bounds); callers must detect the
+    overflow outside (``sorted_neighbor_extract`` returns the flag) and
+    retry un-windowed — a clamped run under-counts.
     """
     f, n, _ = positions.shape
     n_pad = _round_up(n, 128)
@@ -298,6 +310,10 @@ def _neighbor_extract_pallas(
     )[None, :]  # (1, 8) SMEM
 
     has_window = window is not None
+    # scratch width in chunks: window-relative when bounded
+    n_chunks_all = n_pad // 128
+    sw = w_chunks if (has_window and w_chunks) else n_chunks_all
+    sw = min(sw, n_chunks_all)
 
     def kernel(
         px_ref, py_ref, pz_ref, pxc_ref, pyc_ref, pzc_ref,
@@ -341,24 +357,33 @@ def _neighbor_extract_pallas(
             (exactly one matching lane — keys are the unique j ids)."""
             idx_acc, rxa, rya, rza, da, sa, slot = carry
             cur = jnp.min(keys_w, axis=1, keepdims=True)  # (TC, 1)
-            m_f = jnp.where(keys_w == cur, 1.0, 0.0)
-            keys_w = jnp.where(keys_w == cur, _TAKEN, keys_w)
-            okf = jnp.where(
-                (cur < _EMPTY) & (slot < float(k_n)), 1.0, 0.0
-            )
-            # one-hot slot write; idx/sid start at -1, add (value + 1)
-            oh = jnp.where(slot_iota == slot, okf, 0.0)  # (TC, K)
+            m_sel = keys_w == cur
+            keys_w = jnp.where(m_sel, _TAKEN, keys_w)
+            ok = (cur < _EMPTY) & (slot < float(k_n))  # (TC, 1) bool
+            okf = jnp.where(ok, 1.0, 0.0)
+            # one-hot slot SELECT (not a 0/1 multiply): on an exhausted
+            # row cur == _EMPTY matches EVERY empty lane, so pick() may
+            # sum value-scratch lanes that were never written (NaN in
+            # interpret mode, arbitrary VMEM on hardware) — 0 * NaN from
+            # a mask multiply would poison the whole row's accumulators;
+            # the where() below never evaluates the arithmetic on them
+            ohb = (slot_iota == slot) & ok  # (TC, K) bool
             vx, vy, vz, vd, vs = vals_w
 
             def pick(vw):
-                return jnp.sum(m_f * vw, axis=1, keepdims=True)  # (TC, 1)
+                return jnp.sum(
+                    jnp.where(m_sel, vw, 0.0), axis=1, keepdims=True
+                )  # (TC, 1)
 
-            idx_acc = idx_acc + oh * (cur + 1.0)
-            rxa = rxa + oh * pick(vx)
-            rya = rya + oh * pick(vy)
-            rza = rza + oh * pick(vz)
-            da = da + oh * pick(vd)
-            sa = sa + oh * (pick(vs) + 1.0)
+            def put(acc, val):  # (TC, 1) val broadcast onto the slot
+                return acc + jnp.where(ohb, val, 0.0)
+
+            idx_acc = put(idx_acc, cur + 1.0)
+            rxa = put(rxa, pick(vx))
+            rya = put(rya, pick(vy))
+            rza = put(rza, pick(vz))
+            da = put(da, pick(vd))
+            sa = put(sa, pick(vs) + 1.0)
             slot = slot + okf
             return (idx_acc, rxa, rya, rza, da, sa, slot), keys_w
 
@@ -374,9 +399,11 @@ def _neighbor_extract_pallas(
         # keeps only (TC, 128) temporaries live — full-width (TC, N)
         # register arrays overflowed the 16 MB scoped-VMEM limit.
 
-        def chunk_work(c, carry):
-            c0 = pl.multiple_of(c * 128, 128)
+        def chunk_work(c, s, carry):
+            c0 = pl.multiple_of(c * 128, 128)  # j-load lanes (absolute)
+            s0 = pl.multiple_of(s * 128, 128)  # scratch lanes (slot)
             lanes = pl.ds(c0, 128)
+            slanes = pl.ds(s0, 128)
             xjc = px_ref[0, 0:1, lanes]  # (1, 128)
             yjc = py_ref[0, 0:1, lanes]
             zjc = pz_ref[0, 0:1, lanes]
@@ -399,15 +426,15 @@ def _neighbor_extract_pallas(
             )
             sidc = sjc + 0.0 * i_ids  # (TC, 128) broadcast copy
             chunk = jnp.where(validc, jc + 0.0 * i_ids, _EMPTY)
-            dxs_ref[:, lanes] = dxc
-            dys_ref[:, lanes] = dyc
-            dzs_ref[:, lanes] = dzc
-            ds_ref[:, lanes] = dc
-            sids_ref[:, lanes] = sidc
+            dxs_ref[:, slanes] = dxc
+            dys_ref[:, slanes] = dyc
+            dzs_ref[:, slanes] = dzc
+            ds_ref[:, slanes] = dc
+            sids_ref[:, slanes] = sidc
             vals = (dxc, dyc, dzc, dc, sidc)
             for _ in range(e_fixed):
                 carry, chunk = take_min(carry, chunk, vals)
-            keys_ref[:, lanes] = chunk
+            keys_ref[:, slanes] = chunk
             return carry
 
         init = (idx0, zk, zk, zk, zk, sid0, slot0)
@@ -416,21 +443,28 @@ def _neighbor_extract_pallas(
             # dynamic (start, count) circular window: addresses stay
             # consecutive (one wrap subtract off the loop counter), so
             # the sweep pipelines; out-of-window chunks cost nothing.
-            # Their key lanes stay at the _EMPTY fill below, so the
-            # cleanup sweep never selects them (their value scratch is
-            # stale, but empty keys pick no lane)
-            keys_ref[...] = jnp.full((tc, n_pad), _EMPTY, jnp.float32)
+            # Window chunks store at WINDOW-RELATIVE scratch lanes; the
+            # tail [cnt, sw) stays at the _EMPTY fill below, so the
+            # cleanup sweep never selects it (stale value scratch is
+            # harmless — empty keys pick no lane). Counts beyond the
+            # static bound are clamped; the CALLER must detect that
+            # overflow and retry un-windowed.
+            keys_ref[...] = jnp.full((tc, sw * 128), _EMPTY, jnp.float32)
             w_start = win_ref[0, 0, 0]
-            w_cnt = win_ref[0, 0, 1]
+            w_cnt = jnp.minimum(win_ref[0, 0, 1], sw)
 
             def chunk_body(t, carry):
                 cw = w_start + t
                 cw = jnp.where(cw >= n_chunks_k, cw - n_chunks_k, cw)
-                return chunk_work(cw, carry)
+                return chunk_work(cw, t, carry)
 
             carry = jax.lax.fori_loop(0, w_cnt, chunk_body, init)
         else:
-            carry = jax.lax.fori_loop(0, n_chunks_k, chunk_work, init)
+
+            def chunk_body_all(c, carry):
+                return chunk_work(c, c, carry)
+
+            carry = jax.lax.fori_loop(0, n_chunks_k, chunk_body_all, init)
 
         # Sweep 2 — exact cleanup: one scalar per BLOCK. Rows denser than
         # E per chunk keep their leftovers in keys_ref; the trip count is
@@ -514,7 +548,7 @@ def _neighbor_extract_pallas(
         out_specs=[k_spec] * 6 + [cnt_spec],
         out_shape=[k_shape] * 6
         + [jax.ShapeDtypeStruct((f * n_pad, 1), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((tc, n_pad), jnp.float32)] * 6,
+        scratch_shapes=[pltpu.VMEM((tc, sw * 128), jnp.float32)] * 6,
         interpret=interpret,
     )(*inputs)
     idx, rx, ry, rz, d_n, sid_n, cnt = outs
@@ -630,6 +664,34 @@ def _extract_tc(n_pad: int) -> int:
     return 32 if n_pad <= 16384 else (16 if n_pad <= 32768 else 8)
 
 
+def _extract_tc_windowed(n_pad: int, w_chunks: int) -> int:
+    """Center-block height for the window-relative-scratch extract.
+
+    The six (tc, w_chunks * 128) f32 scratches must fit a ~10 MB scoped
+    budget; the narrow window lets tc grow far beyond the full-width
+    limit (fewer blocks -> fewer per-block fixed costs)."""
+    budget = 10 * 1024 * 1024
+    tcw = 128
+    while tcw > 8 and 6 * tcw * w_chunks * 128 * 4 > budget:
+        tcw //= 2
+    return min(tcw, n_pad)
+
+
+def window_chunk_bound(n_atoms: int, box, cutoff) -> int:
+    """Static per-block window-size bound for the z-slab extract.
+
+    1.5x the uniform-density estimate (block + chunk z-extents + the
+    2*cutoff slab) plus slack chunks; blocks in z-sparse regions can
+    exceed it — the kernel clamps and the caller retries un-windowed.
+    Needs STATIC (host) box/cutoff values.
+    """
+    n_pad = _round_up(n_atoms, 128)
+    n_chunks = n_pad // 128
+    lz = float(np.asarray(box, np.float64).reshape(3)[2])
+    frac = min(1.0, 2.1 * float(cutoff) / max(lz, 1e-30))
+    return int(min(n_chunks, np.ceil(1.5 * frac * n_chunks) + 3))
+
+
 def extract_e_for(n_atoms: int, box, cutoff) -> int:
     """Static sweep-1 extraction depth for the z-window sorted extract.
 
@@ -650,7 +712,7 @@ def extract_e_for(n_atoms: int, box, cutoff) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k_n", "interpret", "e_fixed")
+    jax.jit, static_argnames=("k_n", "interpret", "e_fixed", "w_chunks")
 )
 def sorted_neighbor_extract(
     positions: jnp.ndarray,  # (F, N, 3)
@@ -660,15 +722,24 @@ def sorted_neighbor_extract(
     k_n: int = PALLAS_ADF_K,
     interpret: bool = False,
     e_fixed: int = 4,
+    w_chunks: int | None = None,
 ):
     """Spatially sorted extract: z-sort + per-block circular chunk window.
 
     A growing fraction of the O(N^2) distance sweep is skipped as N
     grows (the ~2*cutoff z-slab window shrinks relative to the box).
-    Returns ``(rx, ry, rz, d, sid, counts, sid_sorted)`` with the same
-    contracts as :func:`_neighbor_extract_pallas` — neighbor sets are
-    identical to the unsorted kernel's up to center order, and
-    ``sid_sorted (F, Npad)`` is the matching per-frame center species.
+    Returns ``(rx, ry, rz, d, sid, counts, sid_sorted, overflow)`` with
+    the same per-tensor contracts as :func:`_neighbor_extract_pallas` —
+    neighbor sets are identical to the unsorted kernel's up to center
+    order, and ``sid_sorted (F, Npad)`` is the matching per-frame center
+    species.
+
+    ``w_chunks`` (static, from :func:`window_chunk_bound`): enables the
+    window-relative scratch layout (much taller center blocks).
+    ``overflow`` (int32 scalar) is 1 when some block's window exceeded
+    the bound — that run UNDER-COUNTS (windows were clamped) and the
+    caller must retry without ``w_chunks`` or via the unsorted kernel;
+    with ``w_chunks=None`` overflow is always 0.
     """
     f, n, _ = positions.shape
     n_pad = _round_up(n, 128)
@@ -683,13 +754,21 @@ def sorted_neighbor_extract(
     pos_s, sid_s = _spatial_sort(
         positions.astype(jnp.float32), species_id, box
     )
-    tc = _extract_tc(n_pad)
+    if w_chunks is not None:
+        w_chunks = min(w_chunks, n_pad // 128)
+        tc = _extract_tc_windowed(n_pad, w_chunks)
+    else:
+        tc = _extract_tc(n_pad)
     win = _chunk_window(pos_s, sid_s, box, cutoff, tc)
+    if w_chunks is not None:
+        overflow = (jnp.max(win[:, 1]) > w_chunks).astype(jnp.int32)
+    else:
+        overflow = jnp.asarray(0, jnp.int32)
     _, rx, ry, rz, d_n, sid_n, cnt = _neighbor_extract_pallas(
         pos_s, sid_s, box, cutoff, k_n=k_n, interpret=interpret,
-        tc=tc, window=win, e_fixed=e_fixed,
+        tc=tc, window=win, e_fixed=e_fixed, w_chunks=w_chunks,
     )
-    return rx, ry, rz, d_n, sid_n, cnt, sid_s
+    return rx, ry, rz, d_n, sid_n, cnt, sid_s, overflow
 
 
 @functools.partial(jax.jit, static_argnames=("k_n", "interpret"))
@@ -1410,9 +1489,11 @@ def adf_histogram_pallas(
     per_frame_sid = False
     if use_components and box is not None and n >= 4096:
         # z-sorted extract: the circular chunk window skips j-chunks
-        # outside the ~2*cutoff slab (box/cutoff must be concrete here)
+        # outside the ~2*cutoff slab (box/cutoff must be concrete here).
+        # No w_chunks here: the one-shot entry has no overflow-retry
+        # loop, so it keeps the always-correct full-width scratch.
         e_fix = extract_e_for(n, np.asarray(box), float(cutoff))
-        rx, ry, rz, d_n, sid_n, cnt, sid_s = sorted_neighbor_extract(
+        rx, ry, rz, d_n, sid_n, cnt, sid_s, _ = sorted_neighbor_extract(
             positions, species_id, box, cutoff, k_n=k_n,
             interpret=interpret, e_fixed=e_fix,
         )

@@ -218,12 +218,19 @@ class _AdfPlan:
         # 128-atom j-chunks are spatially compact relative to the box
         # (~80% of chunks skipped at 10k atoms / first-shell cutoffs);
         # the sweep's extraction depth scales with the window density
-        from ..ops.pallas_adf import extract_e_for
+        from ..ops.pallas_adf import extract_e_for, window_chunk_bound
 
         self.use_sorted = bool(use_pallas) and n_avail >= 4096
         self.extract_e = (
             extract_e_for(n_avail, box_np, float(cutoff))
             if self.use_sorted else 4
+        )
+        # static scratch bound for the window-relative extract; a block
+        # in a z-sparse region can exceed it — the overflow reports via
+        # occ and escalate() falls back to the unsorted route
+        self.w_chunks = (
+            window_chunk_bound(n_avail, box_np, float(cutoff))
+            if self.use_sorted else None
         )
         self._normalise()
 
@@ -242,6 +249,13 @@ class _AdfPlan:
         """Adjust for observed saturation; False when the run was exact."""
         if self.use_cells and max_occ > self.capacity:
             self.capacity *= 2
+            self._normalise()
+            return True
+        if self.use_sorted and not self.use_cells and max_occ > 0:
+            # a block's chunk window exceeded the static scratch bound
+            # (clamped run under-counts): retry on the unsorted route
+            self.use_sorted = False
+            self.w_chunks = None
             self._normalise()
             return True
         fits_pack = self.pack == 1 or (
@@ -325,7 +339,8 @@ def _adf_pipeline(plan: _AdfPlan, n_species, cutoff, n_bins, norm_power):
 
     def pipeline(pos_shard, sid, ttab, box_, *, _k=plan.k_n,
                  _cap=plan.capacity, use_pallas=plan.use_pallas_run,
-                 _pack=plan.pack, _ee=getattr(plan, "extract_e", 4)):
+                 _pack=plan.pack, _ee=getattr(plan, "extract_e", 4),
+                 _wc=getattr(plan, "w_chunks", None)):
         cnts = None
         per_frame_sid = False
         if use_cells:
@@ -335,17 +350,23 @@ def _adf_pipeline(plan: _AdfPlan, n_species, cutoff, n_bins, norm_power):
             )
         elif use_pallas and n_avail <= _JCAP and use_sorted:
             # z-sorted extract: the circular chunk window skips the
-            # j-chunks outside the ~2*cutoff slab (~80% at 10k atoms)
-            rxn, ryn, rzn, d_nn, s_nn, cnts, sid_s = (
+            # j-chunks outside the ~2*cutoff slab (~80% at 10k atoms);
+            # the static w_chunks bound shrinks the scratches to window
+            # width (tall center blocks). A window overflowing the bound
+            # reports through occ — escalate() then disables the sorted
+            # route and the run repeats exactly (deferred, like every
+            # other saturation signal).
+            rxn, ryn, rzn, d_nn, s_nn, cnts, sid_s, ovf = (
                 _pk.sorted_neighbor_extract(
                     pos_shard, sid, box_, cutoff, k_n=_k, e_fixed=_ee,
+                    w_chunks=_wc,
                 )
             )
             r_nn = (rxn, ryn, rzn)
             sid_pad = sid_s  # (F, Npad): sorting permutes atoms per frame
             per_frame_sid = True
             mc = jnp.max(cnts).astype(jnp.int32)
-            occ = jnp.asarray(0, jnp.int32)
+            occ = ovf
         elif use_pallas and n_avail <= _JCAP:
             # Pallas fused extract kernel (distances + values emitted
             # in-kernel): replaces top_k + gathers, 137 -> 21 ms/frame

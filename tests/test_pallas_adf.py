@@ -376,8 +376,8 @@ def _triple_multiset(d, s, sid_c, decimals=5):
     return out
 
 
-@pytest.mark.parametrize("e_fixed", [4, 8])
-def test_sorted_extract_matches_unsorted(rng, e_fixed):
+@pytest.mark.parametrize("e_fixed,w_chunks", [(4, None), (8, None)])
+def test_sorted_extract_matches_unsorted(rng, e_fixed, w_chunks):
     """Morton-sorted extract + bbox chunk-skip == the unsorted kernel:
     identical per-frame multisets of (center species, neighbor species,
     distance) triples — no in-cutoff pair is lost to a skipped chunk —
@@ -394,10 +394,11 @@ def test_sorted_extract_matches_unsorted(rng, e_fixed):
     pos = rng.uniform(0, box_l, (f, n, 3)).astype(np.float32)
     sid = np.r_[np.zeros(140), np.ones(150), -np.ones(10)].astype(np.int32)
     box = jnp.asarray([box_l] * 3, jnp.float32)
-    rx, ry, rz, d_s, s_s, cnt_s, sid_s = sorted_neighbor_extract(
+    rx, ry, rz, d_s, s_s, cnt_s, sid_s, ovf = sorted_neighbor_extract(
         jnp.asarray(pos), jnp.asarray(sid), box, cutoff,
-        k_n=128, interpret=True, e_fixed=e_fixed,
+        k_n=128, interpret=True, e_fixed=e_fixed, w_chunks=w_chunks,
     )
+    assert int(ovf) == 0  # bound >= every block's window in this box
     _, _, _, _, d_u, s_u, cnt_u = _neighbor_extract_pallas(
         jnp.asarray(pos), jnp.asarray(sid), box, cutoff,
         k_n=128, interpret=True,
@@ -432,6 +433,51 @@ def test_sorted_extract_matches_unsorted(rng, e_fixed):
         fold=True, counts=cnt_s[..., None], interpret=True,
     ))
     np.testing.assert_allclose(h_sorted, h_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_windowed_scratch_matches_full_and_flags_overflow(rng):
+    """The window-relative scratch layout (w_chunks bound, taller center
+    blocks) must reproduce the full-width sorted extract exactly; a bound
+    below some block's window must raise the overflow flag (that run
+    under-counts and the caller retries)."""
+    from lammps_analysis_tpu.ops.pallas_adf import (
+        sorted_neighbor_extract,
+        window_chunk_bound,
+    )
+
+    f, n, cutoff = 2, 2048, 2.4
+    box_np = np.array([9.0, 9.0, 96.0], np.float32)  # tall z: narrow slab
+    pos = rng.uniform(0, 1, (f, n, 3)).astype(np.float32) * box_np
+    sid = np.repeat(np.arange(2), n // 2).astype(np.int32)
+    box = jnp.asarray(box_np)
+    wb = window_chunk_bound(n, box_np, cutoff)
+    assert wb < n // 128  # the bound actually narrows the scratch here
+    full = sorted_neighbor_extract(
+        jnp.asarray(pos), jnp.asarray(sid), box, cutoff,
+        k_n=128, interpret=True,
+    )
+    narrow = sorted_neighbor_extract(
+        jnp.asarray(pos), jnp.asarray(sid), box, cutoff,
+        k_n=128, interpret=True, w_chunks=wb,
+    )
+    assert int(full[7]) == 0 and int(narrow[7]) == 0
+    # narrow scratch uses taller center blocks (different tc -> different
+    # window starts -> different slot order): compare the neighbor SETS
+    d_f, s_f, sid_f = map(np.asarray, (full[3], full[4], full[6]))
+    d_n, s_n, sid_n = map(np.asarray, (narrow[3], narrow[4], narrow[6]))
+    assert _triple_multiset(d_f, s_f, sid_f) == _triple_multiset(
+        d_n, s_n, sid_n
+    )
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(full[5]), axis=1),
+        np.sort(np.asarray(narrow[5]), axis=1),
+    )
+
+    clamped = sorted_neighbor_extract(
+        jnp.asarray(pos), jnp.asarray(sid), box, cutoff,
+        k_n=128, interpret=True, w_chunks=1,
+    )
+    assert int(clamped[7]) == 1  # undersized bound must be flagged
 
 
 def test_chunk_skip_bitmap_and_window_are_conservative(rng):
