@@ -40,6 +40,7 @@ def main():
         _neighbor_extract_pallas,
         extract_e_for,
         sorted_neighbor_extract,
+        window_chunk_bound,
     )
     from lammps_analysis_tpu.parallel.sharded_ops import (
         _AdfPlan,
@@ -72,13 +73,16 @@ def main():
             lambda o: np.asarray(o[6]),
         )
         e_fix = extract_e_for(n_atoms, box_np, cutoff)
+        wb = window_chunk_bound(n_atoms, box_np, cutoff)
         t_s = _time(
             lambda: sorted_neighbor_extract(
-                pos, sid_j, box_j, cutoff, k_n=128, e_fixed=e_fix
+                pos, sid_j, box_j, cutoff, k_n=128, e_fixed=e_fix,
+                w_chunks=wb,
             ),
             lambda o: np.asarray(o[5]),
         )
         r["extract_e"] = e_fix
+        r["w_chunks"] = wb
         r["extract_unsorted_ms_per_frame"] = round(t_u / n_frames * 1e3, 2)
         r["extract_sorted_ms_per_frame"] = round(t_s / n_frames * 1e3, 2)
         r["extract_speedup"] = round(t_u / t_s, 2)
