@@ -181,6 +181,9 @@ def adf_neighbor_lists(
 #: lanes; extraction is order-free set compaction (the angle histogram is
 #: order-invariant), so no distance sorting is needed at all.
 _JCAP = 16384  #: max padded atom count routed to this kernel (VMEM keys row)
+#: cap for the WINDOW-relative-scratch variant: the scratches scale with
+#: the window bound (not N), so only the (1, N) j-rows grow with N
+_JCAP_WINDOWED = 65536
 _EMPTY = 3.0e7  # key for non-neighbor lanes
 _TAKEN = 6.0e7  # key for already-extracted lanes
 
@@ -255,8 +258,9 @@ def _neighbor_extract_pallas(
     """
     f, n, _ = positions.shape
     n_pad = _round_up(n, 128)
-    assert n_pad <= _JCAP, (
-        f"packed keys address at most {_JCAP} atoms, got {n_pad}; "
+    cap = _JCAP_WINDOWED if (window is not None and w_chunks) else _JCAP
+    assert n_pad <= cap, (
+        f"this route handles at most {cap} atoms, got {n_pad}; "
         "use cell lists / top_k above that"
     )
     per_frame_sid = species_id.ndim == 2

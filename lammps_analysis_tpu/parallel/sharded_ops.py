@@ -186,12 +186,16 @@ class _AdfPlan:
             k_n = max(128, -(-k_n // 128) * 128)
         self.k_n = k_n
 
+        from ..ops.pallas_adf import _JCAP_WINDOWED
+
         box_np = np.asarray(box)
         # Cell lists beat the O(N^2) scan asymptotically, but TPU gathers
-        # make them SLOWER at 10k atoms (measured 171-244 ms/frame vs 119
-        # for the masked top_k over all N); engage only at very large N
-        # where the quadratic term must lose.
-        self.use_cells = n_avail >= 32768 and cell_lists_applicable(
+        # make them SLOWER until very large N (171-244 vs 119 ms/frame at
+        # 10k for the masked top_k; the windowed sorted extract measured
+        # 32 vs 1470 ms/frame at 32k) — with the Pallas sorted route
+        # available they only engage above its 65k cap.
+        cells_floor = _JCAP_WINDOWED if use_pallas else 32768
+        self.use_cells = n_avail > cells_floor and cell_lists_applicable(
             box_np, float(cutoff)
         )
         self.n_dim = (
@@ -330,7 +334,12 @@ def _adf_pipeline(plan: _AdfPlan, n_species, cutoff, n_bins, norm_power):
     """
     from ..ops import pallas_adf as _pk
     from ..ops.cells import neighbor_lists_cells
-    from ..ops.pallas_adf import _JCAP, _pad_sid, adf_neighbor_lists
+    from ..ops.pallas_adf import (
+        _JCAP,
+        _JCAP_WINDOWED,
+        _pad_sid,
+        adf_neighbor_lists,
+    )
 
     use_cells = plan.use_cells
     n_dim = plan.n_dim
@@ -348,7 +357,10 @@ def _adf_pipeline(plan: _AdfPlan, n_species, cutoff, n_bins, norm_power):
                 pos_shard, sid, box_, cutoff,
                 k_n=_k, n_dim=n_dim, capacity=_cap,
             )
-        elif use_pallas and n_avail <= _JCAP and use_sorted:
+        elif (
+            use_pallas and use_sorted
+            and n_avail <= (_JCAP_WINDOWED if _wc else _JCAP)
+        ):
             # z-sorted extract: the circular chunk window skips the
             # j-chunks outside the ~2*cutoff slab (~80% at 10k atoms);
             # the static w_chunks bound shrinks the scratches to window

@@ -258,11 +258,15 @@ def test_adf_pipeline_topk_pallas_branch_traces():
         _adf_pipeline,
     )
 
-    n = 20480  # > _JCAP, so the extract kernel is unavailable
+    n = 20480  # > _JCAP, so the unsorted extract kernel is unavailable
     box = np.array([7.0, 7.0, 7.0], np.float32)  # < 3 cells per edge
     cutoff = 2.8
     plan = _AdfPlan(n, box, cutoff, use_pallas=True)
     assert not plan.use_cells
+    # this corner is reached when a window overflow disabled the sorted
+    # route at a size the unsorted extract cannot take
+    plan.use_sorted = False
+    plan.w_chunks = None
     if not plan.use_pallas_run:
         plan.k_n = 128
         plan._normalise()
