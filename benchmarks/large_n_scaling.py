@@ -82,8 +82,9 @@ def main():
         "HBM-tiled XLA kernel here at 0.09 Gpairs/s"
     )
 
-    # ADF: first-shell cutoff, cell-list stage 1 (>= 32k atoms) + Pallas
-    # angle stage
+    # ADF: first-shell cutoff through the production route — z-sorted
+    # window extract (65k sits under its cap; cells measured 1470
+    # ms/frame at 32k vs 32 for the windowed sweep) + folded angle stage
     f_adf = 2
     ttab, order = adf_ops.build_triple_table(2)
     pos_a = pos[:f_adf, :N_ATOMS]
@@ -94,9 +95,10 @@ def main():
         ),
         repeats=2,
     )
-    out["adf_cells_s_per_frame"] = round(dt / f_adf, 2)
+    out["adf_s_per_frame"] = round(dt / f_adf, 3)
     out["adf_note"] = (
-        "cell-list stage 1 + Pallas angle stage at cutoff 3.6 / 500 bins"
+        "z-sorted window extract + folded Pallas angle stage at cutoff "
+        "3.6 / 500 bins (production route)"
     )
     out["measured"] = time.strftime("%Y-%m-%d")
 
