@@ -203,6 +203,7 @@ def _neighbor_extract_pallas(
     window: jnp.ndarray | None = None,  # (F * n_blocks, 2) int32
     e_fixed: int = 4,
     w_chunks: int | None = None,
+    centers: tuple | None = None,  # (pos_c (F,Nc,3), sid_c, i_offset)
 ):
     """Per-center in-cutoff neighbor indices, no ``top_k``, no HBM gathers.
 
@@ -271,6 +272,25 @@ def _neighbor_extract_pallas(
             ((0, 0), (0, n_pad - n)) if per_frame_sid else (0, n_pad - n),
             constant_values=-1,
         )
+    # center stripe (tensor-parallel sharding): centers may be a
+    # contiguous slice of the (sorted) atom order; i_offset keeps the
+    # self-pair exclusion on GLOBAL ids. Default: all atoms are centers.
+    if centers is None:
+        pos_c, sid_c, i_offset = positions, species_id, 0
+        per_frame_csid = per_frame_sid
+    else:
+        pos_c, sid_c, i_offset = centers
+        per_frame_csid = sid_c.ndim == 2
+    nc = pos_c.shape[1]
+    nc_pad = _round_up(nc, 128)
+    if nc_pad != nc:
+        pos_c = jnp.pad(pos_c, ((0, 0), (0, nc_pad - nc), (0, 0)))
+        sid_c = jnp.pad(
+            sid_c,
+            ((0, 0), (0, nc_pad - nc)) if per_frame_csid
+            else (0, nc_pad - nc),
+            constant_values=-1,
+        )
     # centers per block: the chunk sweep's per-chunk overhead amortises
     # over the block's rows (measured 41.8 -> 15.8 ms/frame going 8 -> 32
     # at 10k atoms); the full-width mask build is insensitive (~10 ms).
@@ -279,25 +299,29 @@ def _neighbor_extract_pallas(
     # tc-independent (each center block is self-contained).
     if tc is None:
         tc = 32 if n_pad <= 16384 else (16 if n_pad <= 32768 else 8)
-    assert n_pad % tc == 0
-    n_blocks = n_pad // tc
+    tc = min(tc, nc_pad)
+    assert nc_pad % tc == 0
+    n_blocks = nc_pad // tc
 
     # row layout (j-side): (F, 1, N) so the (1, 1, N) block's trailing dims
     # equal the array dims (Mosaic block-shape divisibility rule)
     px = positions[..., 0].astype(jnp.float32)
-    pxc = px.reshape(f * n_pad, 1)  # column layout (center-side)
     py = positions[..., 1].astype(jnp.float32)
-    pyc = py.reshape(f * n_pad, 1)
     pz = positions[..., 2].astype(jnp.float32)
-    pzc = pz.reshape(f * n_pad, 1)
+    pxc = pos_c[..., 0].astype(jnp.float32).reshape(f * nc_pad, 1)
+    pyc = pos_c[..., 1].astype(jnp.float32).reshape(f * nc_pad, 1)
+    pzc = pos_c[..., 2].astype(jnp.float32).reshape(f * nc_pad, 1)
     px, py, pz = px[:, None, :], py[:, None, :], pz[:, None, :]
     sid_f = species_id.astype(jnp.float32)
     if per_frame_sid:
         sid_row = sid_f[:, None, :]  # (F, 1, N)
-        sid_col = sid_f.reshape(f * n_pad, 1)
     else:
         sid_row = sid_f[None, None, :]  # (1, 1, N)
-        sid_col = sid_f[:, None]
+    csid_f = sid_c.astype(jnp.float32)
+    if per_frame_csid:
+        sid_col = csid_f.reshape(f * nc_pad, 1)
+    else:
+        sid_col = csid_f[:, None]
 
     if box is None:
         box_arr = jnp.zeros(3, jnp.float32)
@@ -310,8 +334,9 @@ def _neighbor_extract_pallas(
     params = jnp.stack(
         [box_arr[0], box_arr[1], box_arr[2],
          inv_box[0], inv_box[1], inv_box[2],
-         cutoff_f, use_mic]
-    )[None, :]  # (1, 8) SMEM
+         cutoff_f, use_mic,
+         jnp.asarray(i_offset, jnp.float32).reshape(())]
+    )[None, :]  # (1, 9) SMEM
 
     has_window = window is not None
     # scratch width in chunks: window-relative when bounded
@@ -337,13 +362,14 @@ def _neighbor_extract_pallas(
         ibz = params_ref[0, 5]
         cutoff_v = params_ref[0, 6]
         mic = params_ref[0, 7]
+        i_off = params_ref[0, 8]
 
         xi = pxc_ref[...]  # (TC, 1)
         yi = pyc_ref[...]
         zi = pzc_ref[...]
         si = sid_col_ref[...]
 
-        i_ids = (ib * tc + jax.lax.broadcasted_iota(
+        i_ids = i_off + (ib * tc + jax.lax.broadcasted_iota(
             jnp.int32, (tc, 1), 0
         )).astype(jnp.float32)
 
@@ -508,11 +534,13 @@ def _neighbor_extract_pallas(
     )
     if per_frame_sid:
         sid_row_spec = row_spec
-        sid_col_spec = col_spec
     else:
         sid_row_spec = pl.BlockSpec(
             (1, 1, n_pad), lambda fi, ib: (0, 0, 0), memory_space=pltpu.VMEM
         )
+    if per_frame_csid:
+        sid_col_spec = col_spec
+    else:
         sid_col_spec = pl.BlockSpec(
             (tc, 1), lambda fi, ib: (ib, 0), memory_space=pltpu.VMEM
         )
@@ -526,7 +554,7 @@ def _neighbor_extract_pallas(
         lambda fi, ib: (fi * n_blocks + ib, 0),
         memory_space=pltpu.VMEM,
     )
-    k_shape = jax.ShapeDtypeStruct((f * n_pad, k_n), jnp.float32)
+    k_shape = jax.ShapeDtypeStruct((f * nc_pad, k_n), jnp.float32)
     in_specs = (
         [row_spec] * 3 + [col_spec] * 3
         + [sid_row_spec, sid_col_spec]
@@ -551,19 +579,19 @@ def _neighbor_extract_pallas(
         in_specs=in_specs,
         out_specs=[k_spec] * 6 + [cnt_spec],
         out_shape=[k_shape] * 6
-        + [jax.ShapeDtypeStruct((f * n_pad, 1), jnp.float32)],
+        + [jax.ShapeDtypeStruct((f * nc_pad, 1), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((tc, sw * 128), jnp.float32)] * 6,
         interpret=interpret,
     )(*inputs)
     idx, rx, ry, rz, d_n, sid_n, cnt = outs
     return (
-        idx.reshape(f, n_pad, k_n).astype(jnp.int32),
-        rx.reshape(f, n_pad, k_n),
-        ry.reshape(f, n_pad, k_n),
-        rz.reshape(f, n_pad, k_n),
-        d_n.reshape(f, n_pad, k_n),
-        sid_n.reshape(f, n_pad, k_n).astype(jnp.int32),
-        cnt.reshape(f, n_pad),
+        idx.reshape(f, nc_pad, k_n).astype(jnp.int32),
+        rx.reshape(f, nc_pad, k_n),
+        ry.reshape(f, nc_pad, k_n),
+        rz.reshape(f, nc_pad, k_n),
+        d_n.reshape(f, nc_pad, k_n),
+        sid_n.reshape(f, nc_pad, k_n).astype(jnp.int32),
+        cnt.reshape(f, nc_pad),
     )
 
 
@@ -596,7 +624,8 @@ def _spatial_sort(positions, species_id, box):
 
 
 @functools.partial(jax.jit, static_argnames=("tc",))
-def _chunk_skip_bitmap(pos_s, sid_s, box, cutoff, tc):
+def _chunk_skip_bitmap(pos_s, sid_s, box, cutoff, tc, pos_c=None,
+                       sid_c=None):
     """Per-(frame, center-block) chunk process flags from bbox distances.
 
     ``pos_s``/``sid_s`` must already be padded to a 128 multiple and
@@ -607,23 +636,30 @@ def _chunk_skip_bitmap(pos_s, sid_s, box, cutoff, tc):
     bboxes and simply skip nothing. Empty blocks/chunks skip everything
     (their inverted inf bboxes give huge gaps).
 
+    ``pos_c``/``sid_c`` (optional): center STRIPE arrays — a contiguous
+    slice of the sorted order (tensor-parallel center sharding). Blocks
+    then tile the stripe while chunks still tile the full atom set.
+
     Returns ``(F * n_blocks, n_chunks) int32`` (1 = process).
     """
     f, n_pad, _ = pos_s.shape
-    n_blocks = n_pad // tc
+    if pos_c is None:
+        pos_c, sid_c = pos_s, sid_s
+    nc_pad = pos_c.shape[1]
+    n_blocks = nc_pad // tc
     n_chunks = n_pad // 128
     big = jnp.asarray(3e9, pos_s.dtype)
-    valid = (sid_s >= 0)[..., None]
 
-    def bboxes(rows):
-        p = pos_s.reshape(f, n_pad // rows, rows, 3)
-        v = valid.reshape(f, n_pad // rows, rows, 1)
+    def bboxes(rows, p_arr, s_arr):
+        nn = p_arr.shape[1]
+        p = p_arr.reshape(f, nn // rows, rows, 3)
+        v = (s_arr >= 0)[..., None].reshape(f, nn // rows, rows, 1)
         lo = jnp.min(jnp.where(v, p, big), axis=2)
         hi = jnp.max(jnp.where(v, p, -big), axis=2)
         return (lo + hi) * 0.5, (hi - lo) * 0.5  # center, half-extent
 
-    cb, hb = bboxes(tc)  # (F, n_blocks, 3)
-    cc, hc = bboxes(128)  # (F, n_chunks, 3)
+    cb, hb = bboxes(tc, pos_c, sid_c)  # (F, n_blocks, 3)
+    cc, hc = bboxes(128, pos_s, sid_s)  # (F, n_chunks, 3)
     dd = cb[:, :, None, :] - cc[:, None, :, :]
     if box is not None:
         box_arr = jnp.asarray(box, pos_s.dtype).reshape(3)
@@ -637,7 +673,7 @@ def _chunk_skip_bitmap(pos_s, sid_s, box, cutoff, tc):
 
 
 @functools.partial(jax.jit, static_argnames=("tc",))
-def _chunk_window(pos_s, sid_s, box, cutoff, tc):
+def _chunk_window(pos_s, sid_s, box, cutoff, tc, pos_c=None, sid_c=None):
     """Per-(frame, block) circular chunk window covering all process flags.
 
     With z-sorted atoms the bbox process flags form (at most) one
@@ -650,7 +686,9 @@ def _chunk_window(pos_s, sid_s, box, cutoff, tc):
 
     Returns ``(F * n_blocks, 2) int32``: (start chunk, chunk count).
     """
-    flags = _chunk_skip_bitmap(pos_s, sid_s, box, cutoff, tc)
+    flags = _chunk_skip_bitmap(
+        pos_s, sid_s, box, cutoff, tc, pos_c=pos_c, sid_c=sid_c
+    )
     r, c = flags.shape
     prev = jnp.roll(flags, 1, axis=1)
     run_start = (flags == 1) & (prev == 0)
@@ -773,6 +811,74 @@ def sorted_neighbor_extract(
         tc=tc, window=win, e_fixed=e_fixed, w_chunks=w_chunks,
     )
     return rx, ry, rz, d_n, sid_n, cnt, sid_s, overflow
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_n", "interpret", "e_fixed", "w_chunks", "n_shards"),
+)
+def sorted_neighbor_extract_stripe(
+    positions: jnp.ndarray,  # (F, N, 3) — the FULL atom set
+    species_id: jnp.ndarray,  # (N,) or (F, N)
+    box,
+    cutoff,
+    rank,  # traced shard index in [0, n_shards)
+    n_shards: int,
+    k_n: int = PALLAS_ADF_K,
+    interpret: bool = False,
+    e_fixed: int = 4,
+    w_chunks: int | None = None,
+):
+    """Center-STRIPE sorted extract for tensor-parallel ADF.
+
+    Every shard sorts the full per-frame atom set (deterministic, so all
+    shards agree on the order; the sort is ~1.5 ms/frame at 10k atoms)
+    and extracts neighbors only for its contiguous stripe of the sorted
+    centers — stripe ``rank`` of ``n_shards`` — against ALL j-atoms. The
+    union of stripes covers every center exactly once, so per-shard
+    angle histograms just psum. Returns
+    ``(rx, ry, rz, d, sid, counts, sid_centers, overflow)`` shaped over
+    the ``N/n_shards`` local centers.
+    """
+    f, n, _ = positions.shape
+    n_pad = _round_up(n, 128)
+    assert n_pad % n_shards == 0 and (n_pad // n_shards) % 128 == 0, (
+        "stripe width must stay 128-aligned: pad the atom count to "
+        f"128 * n_shards (got {n_pad} over {n_shards})"
+    )
+    if n_pad != n:
+        positions = jnp.pad(positions, ((0, 0), (0, n_pad - n), (0, 0)))
+        species_id = jnp.pad(
+            species_id,
+            ((0, 0), (0, n_pad - n)) if species_id.ndim == 2
+            else (0, n_pad - n),
+            constant_values=-1,
+        )
+    pos_s, sid_s = _spatial_sort(
+        positions.astype(jnp.float32), species_id, box
+    )
+    n_local = n_pad // n_shards
+    lo = jnp.asarray(rank, jnp.int32) * n_local
+    pos_c = jax.lax.dynamic_slice_in_dim(pos_s, lo, n_local, axis=1)
+    sid_c = jax.lax.dynamic_slice_in_dim(sid_s, lo, n_local, axis=1)
+    if w_chunks is not None:
+        w_chunks = min(w_chunks, n_pad // 128)
+        tc = min(_extract_tc_windowed(n_pad, w_chunks), n_local)
+    else:
+        tc = min(_extract_tc(n_pad), n_local)
+    win = _chunk_window(
+        pos_s, sid_s, box, cutoff, tc, pos_c=pos_c, sid_c=sid_c
+    )
+    if w_chunks is not None:
+        overflow = (jnp.max(win[:, 1]) > w_chunks).astype(jnp.int32)
+    else:
+        overflow = jnp.asarray(0, jnp.int32)
+    _, rx, ry, rz, d_n, sid_n, cnt = _neighbor_extract_pallas(
+        pos_s, sid_s, box, cutoff, k_n=k_n, interpret=interpret,
+        tc=tc, window=win, e_fixed=e_fixed, w_chunks=w_chunks,
+        centers=(pos_c, sid_c, lo),
+    )
+    return rx, ry, rz, d_n, sid_n, cnt, sid_c, overflow
 
 
 @functools.partial(jax.jit, static_argnames=("k_n", "interpret"))

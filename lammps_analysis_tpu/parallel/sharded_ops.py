@@ -152,6 +152,7 @@ def sharded_rdf_histogram(
         mesh=mesh,
         in_specs=(P("data"), P(), P(), P()),
         out_specs=P(),
+        check_vma=False,  # pallas_call outputs carry no vma metadata
     )
     def sharded(pos_shard, sid, ptab, box_):
         h = kernel(pos_shard, sid, ptab, box_)
@@ -300,6 +301,7 @@ def _sharded_runner(mesh, n_dev, n_counts=0):
             mesh=mesh,
             in_specs=(P(frame_spec), P(), P(), P()),
             out_specs=out_spec,
+            check_vma=False,  # pallas_call outputs carry no vma metadata
         )
         def sharded(pos_shard, sid, ttab, box_):
             out = kernel(pos_shard, sid, ttab, box_)
@@ -439,6 +441,24 @@ def sharded_adf_histogram(
     if tiled is None:
         tiled = positions.shape[1] > 1536
 
+    if (
+        tiled
+        and "atoms" in getattr(mesh, "shape", {})
+        and mesh.shape["atoms"] > 1
+        and positions.shape[0] % mesh.shape["data"] == 0
+        and positions.shape[1] % (128 * mesh.shape["atoms"]) == 0
+    ):
+        plan = _AdfPlan(
+            int(positions.shape[1]), box, cutoff,
+            use_pallas=jax.default_backend() == "tpu",
+        )
+        if plan.use_sorted:
+            return sharded_adf_histogram_2d(
+                positions, species_id, triple_table, box,
+                cutoff=cutoff, n_bins=n_bins, n_triples=n_triples,
+                norm_power=norm_power, mesh=mesh, plan=plan,
+            )
+
     if not tiled:
         kernel = functools.partial(
             adf_ops.adf_histogram,
@@ -460,6 +480,17 @@ def sharded_adf_histogram(
         int(positions.shape[1]), box, cutoff,
         use_pallas=jax.default_backend() == "tpu",
     )
+    return _adf_tiled_framesharded(
+        positions, species_id, triple_table, box, cutoff, n_bins,
+        n_species, norm_power, plan, mesh, n_dev,
+    )
+
+
+def _adf_tiled_framesharded(
+    positions, species_id, triple_table, box, cutoff, n_bins,
+    n_species, norm_power, plan, mesh, n_dev,
+):
+    """Frame-sharded tiled-ADF retry loop (shared by the 2-D fallback)."""
     run = _sharded_runner(mesh, n_dev, n_counts=2)
     while True:
         pipeline = _adf_pipeline(plan, n_species, cutoff, n_bins, norm_power)
@@ -714,6 +745,100 @@ def sharded_rdf_histogram_2d(
 
     hist = sharded(positions, species_id, species_id, pair_table, box)
     return hist.reshape(n_pairs, n_bins)
+
+
+def sharded_adf_histogram_2d(
+    positions: jnp.ndarray,
+    species_id: jnp.ndarray,
+    triple_table: jnp.ndarray,
+    box: jnp.ndarray,
+    cutoff: float,
+    n_bins: int,
+    n_triples: int,
+    norm_power: int = 4,
+    mesh=None,
+    plan: "_AdfPlan | None" = None,
+) -> jnp.ndarray:
+    """ADF over a 2-D ``(data, atoms)`` mesh.
+
+    Frames shard over ``data``; sorted-center STRIPES shard over
+    ``atoms``: every device sorts the full per-frame atom set
+    (deterministic — all shards agree), extracts neighbors only for its
+    contiguous stripe of the sorted centers against ALL j-atoms
+    (:func:`ops.pallas_adf.sorted_neighbor_extract_stripe`), and runs
+    the angle stage on its stripe. A center's whole triplet fan lives on
+    exactly one device, so the (n_triples, n_bins) partials just
+    ``psum`` over both axes — exact. Saturation / window-overflow
+    diagnostics pmax and drive the plan's usual deferred retry.
+    """
+    from ..ops import pallas_adf as _pk
+
+    mesh = mesh or get_default_mesh()
+    n_data = mesh.shape["data"]
+    n_at = mesh.shape["atoms"]
+    f, n, _ = positions.shape
+    assert f % n_data == 0, "frame count must divide the data axis"
+    assert n % (128 * n_at) == 0, (
+        "atom count must pad to 128 * atoms-axis for 128-aligned stripes"
+    )
+    n_species = int(triple_table.shape[0])
+    if plan is None:
+        plan = _AdfPlan(
+            n, box, cutoff, use_pallas=jax.default_backend() == "tpu"
+        )
+    assert plan.use_sorted, "the 2-D ADF route needs the sorted extract"
+    axes = ("data", "atoms")
+
+    while True:
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P("data"), P(), P(), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,  # pallas_call outputs carry no vma metadata
+        )
+        def sharded(pos_shard, sid, ttab, box_, *, _k=plan.k_n,
+                    _pack=plan.pack, _ee=plan.extract_e,
+                    _wc=plan.w_chunks):
+            rank = jax.lax.axis_index("atoms")
+            rx, ry, rz, d_nn, s_nn, cnts, sid_c, ovf = (
+                _pk.sorted_neighbor_extract_stripe(
+                    pos_shard, sid, box_, cutoff, rank, n_at,
+                    k_n=_k, e_fixed=_ee, w_chunks=_wc,
+                )
+            )
+            h = _pk.adf_stage2_auto(
+                (rx, ry, rz), d_nn, s_nn, sid_c, n_bins, n_species,
+                norm_power=norm_power, pack=_pack, counts=cnts,
+                per_frame_sid=True, fold=True,
+            )
+            mc = jnp.max(cnts).astype(jnp.int32)
+            if _pack > 1:
+                # overflowed packed sub-lists are invisible to the angle
+                # stage — report as saturation for the retry
+                mc = jnp.where(mc > _k // _pack, _k, mc)
+            return (
+                jax.lax.psum(h, axes),
+                jax.lax.pmax(mc, axes),
+                jax.lax.pmax(ovf, axes),
+            )
+
+        hist, max_count, max_occ = sharded(
+            positions, species_id, triple_table, box
+        )
+        if not plan.escalate(int(max_count), int(max_occ)):
+            return hist
+        if not plan.use_sorted:
+            # overflow disabled the sorted route: the stripe pipeline is
+            # gone with it — continue on the frame-sharded path with the
+            # already-escalated plan (NOT the public entry, which would
+            # rebuild a sorted plan and recurse back here)
+            return _adf_tiled_framesharded(
+                positions, species_id, triple_table, box, cutoff,
+                n_bins, n_species, norm_power, plan, mesh,
+                _n_mesh_devices(mesh),
+            )
 
 
 def sharded_windowed_msd(

@@ -410,3 +410,50 @@ def test_adf_pipeline_sorted_extract_matches_unsorted(rng, monkeypatch,
         results[True], results[False], rtol=1e-5, atol=1e-6
     )
     assert results[True].sum() > 0
+
+
+def test_adf_routes_to_2d_mesh(rng, monkeypatch):
+    """sharded_adf_histogram under a (data, atoms) mesh must route to the
+    center-stripe tensor-parallel pipeline and match the 1-device result."""
+    import functools
+
+    from lammps_analysis_tpu.ops import pallas_adf as PK
+    from lammps_analysis_tpu.parallel import sharded_ops as SO
+    from lammps_analysis_tpu.parallel.mesh import make_2d_mesh
+
+    f, n, box_l, cutoff, n_bins = 4, 1024, 16.0, 2.4, 36
+    pos = rng.uniform(0, box_l, (f, n, 3)).astype(np.float32)
+    sid = np.repeat(np.arange(2), n // 2).astype(np.int32)
+    ttab, order = adf_ops.build_triple_table(2)
+    box = np.array([box_l] * 3, np.float32)
+    args = (jnp.asarray(pos), jnp.asarray(sid), jnp.asarray(ttab),
+            jnp.asarray(box))
+    kw = dict(cutoff=cutoff, n_bins=n_bins, n_triples=len(order))
+
+    # CPU executes the kernels in interpret mode; force the Pallas plan
+    for fn in ("sorted_neighbor_extract", "sorted_neighbor_extract_stripe",
+               "_neighbor_extract_pallas", "adf_stage2_auto"):
+        monkeypatch.setattr(
+            PK, fn, functools.partial(getattr(PK, fn), interpret=True)
+        )
+    real_plan = SO._AdfPlan
+
+    def pallas_plan(n_avail, box_, cutoff_, use_pallas):
+        p = real_plan(n_avail, box_, cutoff_, use_pallas=True)
+        # the sorted route gates on n >= 4096 (interpret mode would crawl
+        # there) — force it so the stripe path actually engages
+        p.use_sorted = True
+        p.w_chunks = -(-n_avail // 128)
+        return p
+
+    monkeypatch.setattr(SO, "_AdfPlan", pallas_plan)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    ref = np.asarray(sharded_adf_histogram(*args, **kw, tiled=True))
+
+    mesh = make_2d_mesh(data=2, atoms=4)
+    h2d = np.asarray(
+        sharded_adf_histogram(*args, **kw, tiled=True, mesh=mesh)
+    )
+    np.testing.assert_allclose(h2d, ref, rtol=1e-5, atol=1e-6)
+    assert h2d.sum() > 0
