@@ -72,7 +72,7 @@ PALLAS_ADF_K = 128
 _TC = 8  # centers per grid step
 _CR = 32  # j-rows per inner chunk (pack == 1 angle path)
 _RS = 8  # row-slice height of the dense-packed angle path
-_FRS = 32  # offset-rows per tile of the folded angle path
+_FRS = 64  # offset-rows per tile of the folded angle path
 
 
 def _round_up(x: int, m: int) -> int:
