@@ -140,11 +140,16 @@ def measure_msd_wfa_per_s(t=16384, n=1024, window=512, stride=256,
 
 def measure_adf_ms_per_frame(n_atoms=10240, n_frames=2, n_bins=500,
                              cutoff=3.6, repeats=3):
-    """Fused ADF pipeline (Pallas set-compaction + packed angle stage)."""
+    """Production ADF pipeline (z-sorted window extract + folded angle
+    stage) — exactly the route the calculator runs."""
     import jax
     import jax.numpy as jnp
 
-    from lammps_analysis_tpu.ops.pallas_adf import adf_histogram_pallas
+    from lammps_analysis_tpu.ops.adf import build_triple_table
+    from lammps_analysis_tpu.parallel.sharded_ops import (
+        _AdfPlan,
+        _adf_pipeline,
+    )
 
     rng = np.random.default_rng(2)
     box = 40.0
@@ -155,10 +160,15 @@ def measure_adf_ms_per_frame(n_atoms=10240, n_frames=2, n_bins=500,
     pos = jnp.asarray(
         rng.uniform(0, box, (n_frames, n_atoms, 3)).astype(np.float32)
     )
-    box_j = jnp.asarray([box] * 3, jnp.float32)
+    box_np = np.array([box] * 3, np.float32)
+    box_j = jnp.asarray(box_np)
+    ttab, _ = build_triple_table(2)
+    ttab_j = jnp.asarray(ttab)
+    plan = _AdfPlan(n_atoms, box_np, cutoff, use_pallas=True)
+    pipe = _adf_pipeline(plan, 2, cutoff, n_bins, 4)
 
     def run():
-        return adf_histogram_pallas(pos, sid, box_j, cutoff, n_bins, 2)[0]
+        return pipe(pos, sid, ttab_j, box_j)[0]
 
     np.asarray(run())  # compile + execute + fetch
     t0 = time.perf_counter()
