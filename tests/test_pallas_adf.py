@@ -550,3 +550,37 @@ def test_extract_kernel_tc_invariant(rng, tc):
     )
     for a, b in zip(ref, out):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_stripe_extract_union_matches_full(rng):
+    """Center-stripe extracts (tensor-parallel sharding) concatenated over
+    all ranks must equal the full sorted extract exactly — every sorted
+    center owned by exactly one stripe, global self-pair exclusion
+    intact, no overflow at the full-width bound."""
+    from lammps_analysis_tpu.ops.pallas_adf import (
+        sorted_neighbor_extract,
+        sorted_neighbor_extract_stripe,
+    )
+
+    f, n, box_l, cutoff, n_shards = 2, 512, 9.0, 2.4, 4
+    pos = rng.uniform(0, box_l, (f, n, 3)).astype(np.float32)
+    sid = np.repeat(np.arange(2), n // 2).astype(np.int32)
+    box = jnp.asarray([box_l] * 3, jnp.float32)
+    full = sorted_neighbor_extract(
+        jnp.asarray(pos), jnp.asarray(sid), box, cutoff,
+        k_n=128, interpret=True,
+    )
+    parts = [
+        sorted_neighbor_extract_stripe(
+            jnp.asarray(pos), jnp.asarray(sid), box, cutoff,
+            jnp.asarray(r), n_shards, k_n=128, interpret=True,
+        )
+        for r in range(n_shards)
+    ]
+    for st in parts:
+        assert int(st[7]) == 0
+    for i in range(7):  # rx, ry, rz, d, sid, counts, sid_centers
+        cat = np.concatenate([np.asarray(st[i]) for st in parts], axis=1)
+        np.testing.assert_array_equal(
+            cat, np.asarray(full[i]), err_msg=f"component {i}"
+        )
