@@ -74,3 +74,31 @@ def test_native_matches_pandas_reader(tmp_path, rng):
                 np.testing.assert_allclose(
                     cn.get_data(sp, prop), cp.get_data(sp, prop), atol=1e-12
                 )
+
+
+def test_fast_path_token_parity():
+    """The fixed-decimal fast path must be bit-identical to from_chars /
+    python float: boundary digit counts, exponents (fallback), signs,
+    inf/nan, bare integers, leading-dot and trailing-dot forms."""
+    from lammps_analysis_tpu.file_io.native_parser import (
+        available,
+        parse_table_block,
+    )
+
+    if not available():
+        pytest.skip("native parser unavailable")
+    tokens = [
+        "1.25", "-0.000001", "123456789012345.5", "999999999999999",
+        "1e3", "-2.5e-4", "3.14159265358979", "nan", "inf", "42",
+        "-7", "0.1", ".5", "1.", "-0.0", "1234567890.12345",
+    ]
+    line = " ".join(tokens) + "\n"
+    out = np.asarray(
+        parse_table_block(line.encode(), 1, 0, 1, len(tokens))
+    ).ravel()
+    for got, tok in zip(out, tokens):
+        want = float(tok)
+        if np.isnan(want):
+            assert np.isnan(got), tok
+        else:
+            assert got == want, (tok, got, want)
