@@ -457,3 +457,55 @@ def test_adf_routes_to_2d_mesh(rng, monkeypatch):
     )
     np.testing.assert_allclose(h2d, ref, rtol=1e-5, atol=1e-6)
     assert h2d.sum() > 0
+
+
+def test_adf_window_overflow_retries_unsorted(rng, monkeypatch):
+    """An undersized window bound must flow: overflow flag -> escalate
+    disables the sorted route -> the retry reproduces the unsorted
+    result — no silent under-counting."""
+    import functools
+
+    from lammps_analysis_tpu.ops import pallas_adf as PK
+    from lammps_analysis_tpu.parallel.sharded_ops import (
+        _AdfPlan,
+        _adf_tiled_framesharded,
+    )
+
+    f, n, box_l, cutoff, n_bins = 2, 256, 9.0, 2.0, 36
+    pos = rng.uniform(0, box_l, (f, n, 3)).astype(np.float32)
+    sid = np.repeat(np.arange(2), n // 2).astype(np.int32)
+    ttab, order = adf_ops.build_triple_table(2)
+    box = np.array([box_l] * 3, np.float32)
+    args = (jnp.asarray(pos), jnp.asarray(sid), jnp.asarray(ttab),
+            jnp.asarray(box))
+
+    for fn in ("sorted_neighbor_extract", "_neighbor_extract_pallas",
+               "adf_stage2_auto"):
+        monkeypatch.setattr(
+            PK, fn, functools.partial(getattr(PK, fn), interpret=True)
+        )
+
+    def make_plan(w_chunks):
+        plan = _AdfPlan(n, box, cutoff, use_pallas=True)
+        if not plan.use_pallas_run:
+            plan.k_n = 128
+            plan._normalise()
+        plan.use_sorted = True
+        plan.w_chunks = w_chunks
+        return plan
+
+    from lammps_analysis_tpu.parallel.mesh import make_data_mesh
+
+    mesh = make_data_mesh(1)
+    ref_plan = make_plan(None)
+    ref_plan.use_sorted = False
+    ref = np.asarray(_adf_tiled_framesharded(
+        *args, cutoff, n_bins, 2, 4, ref_plan, mesh, 1
+    ))
+    # bound of 1 chunk: every block's 2-chunk window overflows
+    plan = make_plan(1)
+    h = np.asarray(_adf_tiled_framesharded(
+        *args, cutoff, n_bins, 2, 4, plan, mesh, 1
+    ))
+    assert not plan.use_sorted  # escalate disabled the sorted route
+    np.testing.assert_allclose(h, ref, rtol=1e-5, atol=1e-6)
