@@ -584,3 +584,32 @@ def test_stripe_extract_union_matches_full(rng):
         np.testing.assert_array_equal(
             cat, np.asarray(full[i]), err_msg=f"component {i}"
         )
+
+
+def test_static_window_heuristics():
+    """Host-side plan heuristics: extraction depth covers the expected
+    per-chunk density with margin; the window bound is clamped, covers
+    the slab, and both saturate sanely at extreme cutoffs."""
+    from lammps_analysis_tpu.ops.pallas_adf import (
+        _extract_tc_windowed,
+        extract_e_for,
+        window_chunk_bound,
+    )
+
+    box = [40.0, 40.0, 40.0]
+    # denser windows need deeper sweeps, monotonic in cutoff
+    es = [extract_e_for(10240, box, c) for c in (2.0, 3.6, 5.5, 8.0)]
+    assert es == sorted(es) and es[0] >= 4 and es[-1] <= 16
+    # the bound grows with cutoff and never exceeds the chunk count
+    n_chunks = 10240 // 128
+    ws = [window_chunk_bound(10240, box, c) for c in (2.0, 3.6, 5.5, 50.0)]
+    assert ws == sorted(ws) and ws[-1] == n_chunks
+    # expected neighbors per processed chunk stays under the chosen depth
+    for c in (2.0, 3.6, 5.5):
+        rho = 10240 / 40.0**3
+        expected = rho * 4 / 3 * np.pi * c**3
+        per_chunk = expected / max(window_chunk_bound(10240, box, c), 1)
+        assert extract_e_for(10240, box, c) + 2 >= per_chunk
+    # windowed tc shrinks when the scratch budget tightens, stays >= 8
+    assert _extract_tc_windowed(10240, 16) == 128
+    assert 8 <= _extract_tc_windowed(65536, 200) < 128
