@@ -10,15 +10,21 @@ This kernel keeps the per-center K x K tile pipeline entirely in VMEM:
     gram -> cos -> acos -> bin -> (triple, bin) id -> one-hot -> MXU
 
 Stage 1 (``_neighbor_extract_pallas``): order-free set compaction — the
-histogram is order-invariant, so no top_k/sorting at all. Per 32-center
-block the chunk sweep computes minimum-image distances for 128-lane
-chunks in registers, masks in-cutoff lanes, and extracts up to 4 entries
-per chunk through one-hot slot writes that ALSO accumulate the selected
-lane's (r, d, sid) values (masked sums — the unique-j keys guarantee a
-single matching lane). Leftovers are swept by one dynamically-bounded
-full-width pass. The kernel emits the finished neighbor tensors; there
-is no XLA gather or post-processing (21 vs 117 ms/frame for lax.top_k
-at 10240 atoms, which also needed ~20 ms of gathers).
+histogram is order-invariant, so no top_k at all. Per center block
+(8-128 rows) the chunk sweep computes minimum-image distances for
+128-lane chunks in registers, masks in-cutoff lanes, and extracts up to
+``e_fixed`` entries per chunk through one-hot slot writes that ALSO
+accumulate the selected lane's (r, d, sid) values (where-selects — the
+unique-j keys guarantee a single matching lane). Leftovers are swept by
+one dynamically-bounded full-scratch pass. The production route z-sorts
+each frame first (``sorted_neighbor_extract``): a per-block circular
+chunk WINDOW then bounds the sweep to the ~2*cutoff slab, the scratches
+shrink to the window bound (which is what lifts the atom cap to 65536),
+and center STRIPES of the sorted order shard over a mesh axis
+(``sorted_neighbor_extract_stripe``). The kernel emits the finished
+neighbor tensors; there is no XLA gather or post-processing (sorted
+windowed extract ~9-11 ms/frame vs 117 for lax.top_k at 10240 atoms,
+which also needed ~20 ms of gathers).
 
 Stage 2 (``adf_pairs_histogram_pallas``): grid over blocks of centers;
 per center the K x K ordered-neighbor-pair tile is processed in 32-row
@@ -217,13 +223,14 @@ def _neighbor_extract_pallas(
     (same contract as ``adf_neighbor_lists``; saturation is detected by
     the caller counting valid slots).
 
-    Compaction sweeps 128-lane chunks of the masked key row (4 scalar-free
-    extractions per chunk; leftovers swept by one dynamically-bounded
-    full-width pass). The full-width displacement / distance / species
-    rows are kept in VMEM scratch and each extraction ALSO accumulates the
-    selected lane's values through the same one-hot — so the kernel emits
-    the finished neighbor tensors directly, with no XLA gather pass
-    (measured 20.6 ms/frame of gather + elementwise post at 10k atoms).
+    Compaction sweeps 128-lane chunks of the masked key row (``e_fixed``
+    scalar-free extractions per chunk; leftovers swept by one
+    dynamically-bounded full-scratch pass). The displacement / distance /
+    species rows are kept in VMEM scratch and each extraction ALSO
+    accumulates the selected lane's values through the same one-hot — so
+    the kernel emits the finished neighbor tensors directly, with no XLA
+    gather pass (measured 20.6 ms/frame of gather + elementwise post at
+    10k atoms).
 
     Returns ``(idx, rx, ry, rz, d, sid, counts)`` — the first six
     ``(F, Npad, k_n)`` (idx/sid int32, -1 for empty slots; r/d zeroed on
