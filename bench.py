@@ -152,7 +152,8 @@ def measure_adf_ms_per_frame(n_atoms=10240, n_frames=2, n_bins=500,
     )
 
     rng = np.random.default_rng(2)
-    box = 40.0
+    # constant density (the 10240-atom reference geometry scaled up)
+    box = 40.0 * (n_atoms / 10240.0) ** (1.0 / 3.0)
     half = n_atoms // 2
     sid = jnp.asarray(
         np.r_[np.zeros(half, np.int32), np.ones(n_atoms - half, np.int32)]
