@@ -108,3 +108,30 @@ def test_disjoint_species_append_rejected(tmp_path, rng):
         exp.add_data(ScriptInput(chunk_x, meta_x, "only_x"))
     # the failed append must not corrupt the frame count
     assert exp.number_of_configurations == 10
+
+
+def test_list_of_sources_ingests_in_order(tmp_path, rng):
+    """``simulation_data=[a, b]`` must ingest both sources sequentially
+    (reference: Experiment.add_data list handling) — configurations
+    concatenate in list order and the ledger records each source."""
+    box = 4.0
+    pos = np.cumsum(rng.normal(scale=0.2, size=(40, 6, 3)), axis=0) % box
+    sp = [SpeciesInfo("X", 6, [POSITIONS])]
+
+    def meta(n):
+        return TrajectoryMetadata(
+            n_configurations=n, species_list=sp, box_l=[box] * 3,
+            sample_rate=1,
+        )
+
+    project = latpu.Project(name="p", storage_path=tmp_path)
+    exp = project.add_experiment(
+        "e", timestep=0.1, units="si",
+        simulation_data=[
+            ScriptInput(_chunk(pos[:25], sp), meta(25), "partA"),
+            ScriptInput(_chunk(pos[25:], sp), meta(15), "partB"),
+        ],
+    )
+    assert exp.number_of_configurations == 40
+    stored = exp.store.load(["X/Positions"])["X/Positions"]
+    np.testing.assert_allclose(stored, pos, rtol=1e-6)
