@@ -8,6 +8,7 @@ from .mesh import (  # noqa: F401
 )
 from .sharded_ops import (  # noqa: F401
     sharded_adf_histogram,
+    sharded_adf_histogram_2d,
     sharded_rdf_histogram,
     sharded_rdf_histogram_2d,
     sharded_windowed_msd,
