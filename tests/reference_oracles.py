@@ -230,6 +230,42 @@ def gk_thermal_window_integrals_reference(
     return prefactor, np.asarray(sigmas)
 
 
+# ----------------------------------------------- generic flux-series GK
+def gk_flux_acf_reference(
+    series: np.ndarray,
+    data_range: int,
+    correlation_time: int,
+    dt: float,
+    sample_rate: int,
+    acf_scale: float = 1.0,
+):
+    """Window-averaged flux ACF + running integral + SEM.
+
+    The shared GK flow of the viscosity/thermal family
+    (``green_kubo_viscosity.py:182-233``, ``green_kubo_viscosity_flux.py``,
+    with the reference's ``data_range`` multiplier on the biased ACF passed
+    as ``acf_scale``) in the build's window-averaged formulation (the
+    reference's first-window reporting is pinned separately by
+    ``gk_thermal_window_integrals_reference``). The caller applies the
+    calculator-specific prefactor.
+
+    Returns ``(acf, integral, integral_sem)`` for a (T, 3) series.
+    """
+    starts = _window_starts(series.shape[0], data_range, correlation_time)
+    times = np.arange(data_range) * dt * sample_rate
+    acf_sum = np.zeros(data_range)
+    sigmas = []
+    for s in starts:
+        seg = series[s : s + data_range]
+        jacf = acf_scale * biased_acf(seg).sum(axis=-1)
+        acf_sum += jacf
+        sigmas.append(cumulative_trapezoid(jacf, x=times))
+    acf = acf_sum / len(starts)
+    integral = cumulative_trapezoid(acf, x=times)
+    sem = np.std(np.asarray(sigmas), axis=0) / np.sqrt(len(starts))
+    return acf, integral, sem
+
+
 # ------------------------------------------------------------------- ADF
 def adf_reference(
     pos_by_species: dict,

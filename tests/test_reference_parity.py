@@ -464,3 +464,124 @@ def test_gk_distinct_diffusion_parity(nacl):
         np.testing.assert_allclose(
             res[pair]["uncertainty"], sem_ref, rtol=1e-3, atol=1e-30
         )
+
+
+@pytest.fixture()
+def flux_observables(tmp_path, rng):
+    """Experiment whose Observables group carries every flux-family series
+    the EH-thermal / Kinaci / GK-viscosity calculators consume directly
+    (the transformations that normally produce them are parity-locked
+    elsewhere; feeding the series isolates the calculator math)."""
+    n_frames, dt = 400, 0.002
+    props = [
+        PropertyInfo("Integrated_Heat_Current", 3),
+        PropertyInfo("Kinaci_Heat_Current", 3),
+        PropertyInfo("Momentum_Flux", 3),
+        PropertyInfo("Stress_Visc", 3),
+    ]
+    sp = [SpeciesInfo("Observables", 1, props)]
+    meta = TrajectoryMetadata(
+        n_configurations=n_frames, species_list=sp, box_l=[11.0] * 3,
+        sample_rate=1, temperature=900.0,
+    )
+    chunk = TrajectoryChunkData(sp, n_frames)
+    data = {}
+    for prop in props:
+        if prop.name.endswith("Heat_Current"):
+            # integrated currents random-walk like the real transformation
+            series = np.cumsum(
+                rng.normal(scale=1.5, size=(n_frames, 1, 3)), axis=0
+            )
+        else:
+            series = rng.normal(scale=2.0, size=(n_frames, 1, 3))
+        chunk.add_data(series, 0, "Observables", prop.name)
+        data[prop.name] = series[:, 0, :]
+    project = latpu.Project(name="fluxfam", storage_path=tmp_path)
+    exp = project.add_experiment(
+        "e", timestep=dt, temperature=900.0, units="metal",
+        simulation_data=ScriptInput(chunk, meta, "fluxes"),
+    )
+    return exp, data, dict(dt=dt, n_frames=n_frames)
+
+
+def _eh_prefactor(exp) -> float:
+    """EH thermal / Kinaci prefactor — reference
+    ``einstein_helfand_thermal_conductivity.py:151-172`` and the identical
+    ``einstein_helfand_thermal_kinaci.py:164-177``."""
+    u = exp.units
+    units_change = u.energy / u.length / u.time / u.temperature
+    return units_change / (exp.volume * exp.temperature * u.boltzmann)
+
+
+@pytest.mark.parametrize(
+    "calculator,prop",
+    [
+        ("EinsteinHelfandThermalConductivity", "Integrated_Heat_Current"),
+        ("EinsteinHelfandThermalKinaci", "Kinaci_Heat_Current"),
+    ],
+)
+def test_eh_thermal_family_parity(flux_observables, calculator, prop):
+    """EH thermal / Kinaci MSD series == prefactor x window-averaged squared
+    displacement of the heat-current series (locks both prefactors)."""
+    exp, data, cfg = flux_observables
+    w, stride = 64, 32
+    res = getattr(exp.run, calculator)(
+        data_range=w, correlation_time=stride, plot=False
+    )
+    times_ref, msd_ref = oracle.eh_msd_reference(
+        data[prop], w, stride, cfg["dt"], 1, _eh_prefactor(exp)
+    )
+    np.testing.assert_allclose(res["System"]["time"], times_ref, rtol=1e-10)
+    np.testing.assert_allclose(
+        res["System"]["msd"], msd_ref, rtol=1e-5,
+        atol=1e-9 * abs(msd_ref[-1]),
+        err_msg=f"{calculator} MSD parity broken",
+    )
+    assert np.isfinite(res["System"]["thermal_conductivity"])
+
+
+@pytest.mark.parametrize(
+    "calculator,prop,volume_in_numerator",
+    [
+        ("GreenKuboViscosity", "Momentum_Flux", False),
+        ("GreenKuboViscosityFlux", "Stress_Visc", True),
+    ],
+)
+def test_gk_viscosity_family_parity(
+    flux_observables, calculator, prop, volume_in_numerator
+):
+    """GK viscosity (+flux-file variant) ACF/integral/value == the oracle
+    with the reference prefactors (``green_kubo_viscosity.py:147-172``;
+    the flux variant moves the volume to the numerator,
+    ``green_kubo_viscosity_flux.py:145-170``)."""
+    exp, data, cfg = flux_observables
+    w, stride = 64, 32
+    res = getattr(exp.run, calculator)(
+        data_range=w, correlation_time=stride, plot=False
+    )
+    acf_ref, integral_ref, sem_ref = oracle.gk_flux_acf_reference(
+        data[prop], w, stride, cfg["dt"], 1, acf_scale=float(w)
+    )
+    u = exp.units
+    prefactor_units = u.pressure**2 * u.volume * u.time / u.energy
+    if volume_in_numerator:
+        prefactor = (
+            exp.volume * prefactor_units
+            / (3 * (w - 1) * exp.temperature * u.boltzmann)
+        )
+    else:
+        prefactor = prefactor_units / (
+            3 * (w - 1) * exp.temperature * u.boltzmann * exp.volume
+        )
+    # default integration_range == data_range -> last cumtrapz point
+    np.testing.assert_allclose(res["System"]["acf"], acf_ref, rtol=1e-6)
+    np.testing.assert_allclose(
+        res["System"]["integral"], integral_ref, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        res["System"]["viscosity"][0], prefactor * integral_ref[-1],
+        rtol=1e-6, err_msg=f"{calculator} prefactor drifted",
+    )
+    np.testing.assert_allclose(
+        res["System"]["uncertainty"][0], prefactor * sem_ref[-1], rtol=1e-6
+    )
