@@ -58,6 +58,14 @@ def main():
         bench.measure_adf_ms_per_frame(n_atoms=65536, n_frames=1), 1
     )
 
+    # frames-per-call A/B: the sort+window stage carries ~2.5 ms/frame of
+    # per-call cost at n_frames=2 — taller batches should amortise it.
+    # Same-session ratios are the only trustworthy comparison on this chip.
+    for f in (8, 16):
+        out[f"adf_ms_per_frame_f{f}"] = round(
+            bench.measure_adf_ms_per_frame(n_frames=f), 1
+        )
+
     path = pathlib.Path(__file__).parent / "rebaseline.json"
     path.write_text(json.dumps(out, indent=2))
     print(json.dumps(out))
