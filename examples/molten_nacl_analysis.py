@@ -62,9 +62,10 @@ def main():
     exp.set_charge("Na", 1.0)
     exp.set_charge("Cl", -1.0)
 
+    # project-level runs return {experiment_name: Computation}
     rdf = project.run.RadialDistributionFunction(
         number_of_configurations=150, plot=True
-    )
+    )["nacl_1400K"]
     print("RDF pairs:", list(rdf.keys()))
 
     cn = exp.run.CoordinationNumbers(rdf_data=rdf, plot=True)

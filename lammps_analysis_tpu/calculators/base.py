@@ -46,6 +46,11 @@ class Calculator(abc.ABC):
         # plotting defaults ON for reference API parity (calculator.py:94)
         self.experiment = experiment
         self.experiments = experiments or ([experiment] if experiment else [])
+        # project-bound call (experiment=None): ALWAYS return a dict keyed
+        # by experiment name, even for one active experiment — reference
+        # ``calculator.py:110-146`` (``return_dict = self.experiment is
+        # None``); experiment-bound calls return the bare Computation
+        self._return_dict = experiment is None
         self.plot = plot
         self.args: Dict[str, Any] = {}
 
@@ -84,9 +89,9 @@ class Calculator(abc.ABC):
                 except Exception as err:  # plotting must never kill analysis
                     log.warning("%s: plotting failed: %s", self.name, err)
             results[exp.name] = comp
-        if len(results) == 1:
-            return next(iter(results.values()))
-        return results
+        if self._return_dict or len(results) > 1:
+            return results
+        return next(iter(results.values()))
 
     # ---------------------------------------------------------------- plugin
     @abc.abstractmethod

@@ -35,8 +35,14 @@ class RunComputation:
         calcs = _calculator_registry()
         if name in calcs:
             cls = calcs[name]
+            # a project-bound hub has experiment=None: the calculator then
+            # returns {experiment_name: Computation} even for a single
+            # active experiment (reference ``calculator.py:110-146``,
+            # "dictionary of shape {name: data} when called from the
+            # project class"); an experiment-bound hub returns the bare
+            # Computation
             return cls(
-                experiment=self.experiments[0] if self.experiments else None,
+                experiment=self.experiment,
                 experiments=self.experiments,
             )
         trafos = _transformation_registry()

@@ -145,7 +145,9 @@ def test_rdf_ideal_gas_through_project(tmp_path, rng):
     res = project.run.RadialDistributionFunction(
         number_of_configurations=n_frames, plot=False
     )
-    comp = res if not isinstance(res, dict) or "Na_Cl" in getattr(res, "data_dict", {}) else res["ig"]
+    # project-level runs return {experiment: Computation} even for a
+    # single experiment (reference calculator.py:110-146)
+    comp = res["ig"]
     for key in ("Na_Na", "Na_Cl", "Cl_Cl"):
         g = np.asarray(comp[key]["y"])
         assert abs(np.mean(g[len(g) // 2 :]) - 1.0) < 0.1, key
@@ -209,14 +211,21 @@ def test_project_multi_experiment_dispatch(tmp_path, rng):
     d_fast = res["fast"]["X"]["diffusion_coefficient"]
     assert d_fast > 10 * d_slow
 
-    # deactivating an experiment drops it from project-level runs
+    # deactivating an experiment drops it from project-level runs; the
+    # project hub still returns a dict for a single active experiment
+    # (reference calculator.py:110-146), unlike exp.run
     project.disable_experiments(["slow"])
     res2 = project.run.EinsteinDiffusionCoefficients(
         data_range=20, correlation_time=10, plot=False
     )
+    assert set(res2.keys()) == {"fast"}
     from lammps_analysis_tpu.database.results_db import Computation
 
-    assert isinstance(res2, Computation)  # single active experiment
+    assert isinstance(res2["fast"], Computation)
+    exp_res = project.experiments["fast"].run.EinsteinDiffusionCoefficients(
+        data_range=20, correlation_time=10, plot=False
+    )
+    assert isinstance(exp_res, Computation)  # experiment-bound: bare
 
 
 def test_run_hub_exposes_full_reference_surface(tmp_path):
