@@ -121,6 +121,11 @@ class Computation:
     def computation_parameter(self) -> dict:
         return self.args
 
+    @property
+    def data_range(self):
+        """Window length of the computation (reference ``scheme.py:329``)."""
+        return self.args.get("data_range")
+
     def __repr__(self):  # pragma: no cover - cosmetic
         return f"Computation({self.name}, subjects={list(self.data_dict)})"
 

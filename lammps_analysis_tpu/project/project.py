@@ -37,7 +37,17 @@ class Project:
         if description is not None:
             self.db.set_project_attribute("description", description)
 
-        # per-project debug log file (reference: ``project.py:132-145``)
+        self.attach_file_logger()
+
+        self._experiments: Dict[str, Experiment] = {}
+
+    def attach_file_logger(self) -> None:
+        """Attach the per-project DEBUG log file (idempotent).
+
+        Runs automatically at construction; exposed as a method for API
+        parity with the reference (``project.py:132-145``), where users
+        call it explicitly.
+        """
         handler_path = self.path / "mdsuite_tpu.log"
         root = logging.getLogger("lammps_analysis_tpu")
         if not any(
@@ -48,8 +58,6 @@ class Project:
             fh = logging.FileHandler(handler_path)
             fh.setLevel(logging.DEBUG)
             root.addHandler(fh)
-
-        self._experiments: Dict[str, Experiment] = {}
 
     @property
     def description(self) -> Optional[str]:
