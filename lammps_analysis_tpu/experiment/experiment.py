@@ -390,19 +390,36 @@ class Experiment:
     # ------------------------------------------------------------------ reads
     def load_matrix(
         self,
-        property_name: str,
+        property_name: str = None,
         species: Optional[List[str]] = None,
         frames=None,
         atoms=None,
+        select_slice=None,
+        path: Optional[List[str]] = None,
     ) -> Dict[str, np.ndarray]:
         """Load ``(frames, atoms, dims)`` arrays for each requested species.
 
-        Reference analog: ``Experiment.load_matrix`` (``experiment.py:554-597``).
+        Reference analog: ``Experiment.load_matrix`` (``experiment.py:554-597``)
+        including its ``select_slice``/``path`` kwargs: ``path`` loads the
+        given store paths verbatim, and ``select_slice`` indexes each
+        loaded array — in THIS store's (time, atoms, dims) layout (the
+        reference's is (atoms, time, dims); see
+        ``docs/migration_from_mdsuite.md``).
         """
+        if path is not None:
+            data = self.store.load(list(path))
+            if select_slice is not None:
+                data = {k: v[select_slice] for k, v in data.items()}
+            return data
+        if property_name is None:
+            raise ValueError("load_matrix needs property_name or path")
         species = species or list(self.species)
         paths = [join_path(sp, property_name) for sp in species]
         data = self.store.load(paths, frames=frames, atoms=atoms)
-        return {sp: data[join_path(sp, property_name)] for sp in species}
+        out = {sp: data[join_path(sp, property_name)] for sp in species}
+        if select_slice is not None:
+            out = {k: v[select_slice] for k, v in out.items()}
+        return out
 
     # ---------------------------------------------------------------- dispatch
     @property
@@ -446,12 +463,23 @@ class Experiment:
         transformation.run_transformation(self, species=species)
 
     def run_visualization(
-        self, species: Optional[List[str]] = None, molecules: bool = False
+        self,
+        species: Optional[List[str]] = None,
+        molecules: bool = False,
+        unwrapped: bool = False,
     ):
-        """Particle-trajectory visualization (matplotlib backend)."""
+        """Particle-trajectory visualization (matplotlib + HTML backends).
+
+        Signature parity with the reference (``experiment.py:336-380``,
+        znvis backend there): ``unwrapped=True`` renders
+        ``Unwrapped_Positions`` instead of the wrapped coordinates.
+        """
         from ..visualizer.trajectory_visualizer import TrajectoryVisualizer
 
-        viz = TrajectoryVisualizer(self, species=species, molecules=molecules)
+        viz = TrajectoryVisualizer(
+            self, species=species, molecules=molecules,
+            property_name="Unwrapped_Positions" if unwrapped else "Positions",
+        )
         return viz.run()
 
     def __repr__(self):  # pragma: no cover - cosmetic

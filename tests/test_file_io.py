@@ -254,6 +254,13 @@ def test_chemfiles_reader_with_stub(tmp_path, rng, monkeypatch):
     loaded = exp.load_matrix("Positions", ["O", "H"])
     np.testing.assert_allclose(loaded["O"], pos_all[:, [0]])
     np.testing.assert_allclose(loaded["H"], pos_all[:, [1, 2]])
+    # reference load_matrix kwargs (experiment.py:554-597): select_slice
+    # indexes the loaded arrays (time-leading layout here); path loads
+    # explicit store paths verbatim
+    sliced = exp.load_matrix("Positions", ["O"], select_slice=np.s_[2:5])
+    np.testing.assert_allclose(sliced["O"], pos_all[2:5][:, [0]])
+    by_path = exp.load_matrix(path=["H/Positions"])
+    np.testing.assert_allclose(by_path["H/Positions"], pos_all[:, [1, 2]])
 
 
 def _write_gro(path, n_mol=4, n_frames=3, box_nm=2.5, vel=True, rng=None):

@@ -149,6 +149,11 @@ def test_3d_html_viewers(tmp_path, rng):
     assert "VIZ_DATA" in text and "pointerdown" in text and "Na" in text
     assert "src=" not in text  # self-contained
 
+    # reference signature parity: unwrapped=True renders the unwrapped
+    # coordinates (auto-derivable here via the transformation)
+    exp.run.CoordinateUnwrapper()
+    exp.run_visualization(unwrapped=True)
+
     exp.run.SpatialDistributionFunction(
         species=["Na", "Cl"], start=0, stop=11, number_of_configurations=6,
         r_min=1.0, r_max=4.0, n_bins=24, plot=True,
