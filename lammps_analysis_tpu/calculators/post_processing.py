@@ -312,13 +312,20 @@ class NernstEinsteinIonicConductivity(Calculator):
 
     def prepare_args(
         self, diffusion_data=None, distinct_diffusion_data=None,
-        corrected: bool = False, **kwargs
+        corrected: bool = False, species: list = None,
+        data_range: int = None, **kwargs
     ) -> Dict[str, Any]:
+        # reference arg contract (nernst_einstein_...py:69-104):
+        # ``data_range`` parameterises the underlying diffusion run,
+        # ``species`` restricts which species' D_i enter the sum
+        auto_kwargs = {"plot": False}
+        if data_range is not None:
+            auto_kwargs["data_range"] = int(data_range)
         if isinstance(diffusion_data, Computation):
             self.diffusion_data = diffusion_data
         else:
             self.diffusion_data = self.experiment.run.EinsteinDiffusionCoefficients(
-                plot=False
+                **auto_kwargs
             )
         self.distinct_diffusion_data = (
             distinct_diffusion_data
@@ -330,13 +337,15 @@ class NernstEinsteinIonicConductivity(Calculator):
         if corrected and self.distinct_diffusion_data is None:
             self.distinct_diffusion_data = (
                 self.experiment.run.EinsteinDistinctDiffusionCoefficients(
-                    plot=False
+                    **auto_kwargs
                 )
             )
         args = {
             "diffusion_source": self.diffusion_data.name,
             "diffusion_args": self.diffusion_data.args,
         }
+        if species is not None:
+            args["species"] = list(species)
         if self.distinct_diffusion_data is not None:
             args["distinct_source"] = self.distinct_diffusion_data.name
             args["distinct_args"] = self.distinct_diffusion_data.args
@@ -350,10 +359,13 @@ class NernstEinsteinIonicConductivity(Calculator):
             for name, sp in exp.species.items()
             if name != "Observables"
         )
+        selected = self.args.get("species")
         sigma = 0.0
         var = 0.0
         for sp_name, vals in self.diffusion_data.data_dict.items():
             if sp_name not in exp.species:
+                continue
+            if selected is not None and sp_name not in selected:
                 continue
             sp = exp.species[sp_name]
             d = np.atleast_1d(vals["diffusion_coefficient"])[0]
@@ -381,6 +393,10 @@ class NernstEinsteinIonicConductivity(Calculator):
             for pair, vals in self.distinct_diffusion_data.data_dict.items():
                 names = pair.split("_")
                 if len(names) != 2 or not all(n in exp.species for n in names):
+                    continue
+                if selected is not None and not all(
+                    n in selected for n in names
+                ):
                     continue
                 sp_a, sp_b = (exp.species[n] for n in names)
                 x_a = sp_a.n_particles / n_total

@@ -177,6 +177,37 @@ def test_nernst_einstein_from_diffusion(tmp_path, rng):
     expected = _sigma_expected(32, 1.0, 0.05, 300.0, 1000.0)
     assert abs(sigma_ne - expected) / expected < 0.2
 
+    # reference species arg (nernst_einstein_...py:101-104): restricts
+    # which species' D_i enter the sum — and keys the cache separately
+    res_na = exp.run.NernstEinsteinIonicConductivity(
+        diffusion_data=diff, species=["Na"], plot=False
+    )
+    sigma_na = res_na["System"]["nernst_einstein_ionic_conductivity"]
+    assert 0 < sigma_na < sigma_ne
+    res_cl = exp.run.NernstEinsteinIonicConductivity(
+        diffusion_data=diff, species=["Cl"], plot=False
+    )
+    sigma_cl = res_cl["System"]["nernst_einstein_ionic_conductivity"]
+    np.testing.assert_allclose(sigma_na + sigma_cl, sigma_ne, rtol=1e-10)
+
+
+def test_nernst_einstein_data_range_parameterises_autorun(tmp_path, rng):
+    """Without diffusion_data, data_range flows into the auto-run Einstein
+    diffusion (reference signature, nernst_einstein_...py:73) — and
+    different data_range values produce distinct cached computations."""
+    exp, _ = _ionic_experiment(tmp_path, rng, n_frames=800)
+    res_a = exp.run.NernstEinsteinIonicConductivity(
+        data_range=48, plot=False
+    )
+    res_b = exp.run.NernstEinsteinIonicConductivity(
+        data_range=96, plot=False
+    )
+    assert res_a.args["diffusion_args"]["data_range"] == 48
+    assert res_b.args["diffusion_args"]["data_range"] == 96
+    assert np.isfinite(
+        res_a["System"]["nernst_einstein_ionic_conductivity"]
+    )
+
 
 def test_distinct_diffusion_runs(tmp_path, rng):
     exp, _ = _ionic_experiment(tmp_path, rng, n_frames=600)
