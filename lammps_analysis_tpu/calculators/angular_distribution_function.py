@@ -77,6 +77,9 @@ class AngularDistributionFunction(TrajectoryCalculator):
         exp = self.experiment
         species = a["species"]
         n_bins = a["number_of_bins"]
+        # auto-derive Positions (e.g. wrap unwrapped-only stores) — the
+        # reference ADF does this too (angular_distribution_function.py:228)
+        self._run_dependency_check(species)
 
         sample_configs = np.unique(
             np.linspace(a["start"], a["stop"], a["number_of_configurations"],

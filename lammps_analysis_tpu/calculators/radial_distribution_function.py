@@ -80,6 +80,10 @@ class RadialDistributionFunction(TrajectoryCalculator):
         exp = self.experiment
         species = a["species"]
         n_bins, cutoff = a["number_of_bins"], a["cutoff"]
+        # auto-derive Positions when only unwrapped/scaled are stored
+        # (beyond the reference, whose RDF requires Positions to exist;
+        # its ADF dependency-checks, :228 — this is the same cascade)
+        self._run_dependency_check(species)
 
         sample_configs = np.linspace(
             a["start"], a["stop"], a["number_of_configurations"], dtype=int

@@ -72,6 +72,8 @@ class SpatialDistributionFunction(TrajectoryCalculator):
         sp_a = species[0]
         sp_b = species[1] if len(species) > 1 else species[0]
         n_bins = a["n_bins"]
+        # auto-derive Positions when only unwrapped/scaled are stored
+        self._run_dependency_check(species)
 
         idx = np.unique(
             np.linspace(a["start"], a["stop"], a["number_of_configurations"],

@@ -124,21 +124,32 @@ def cluster_graph(
 
 
 def is_isomorphic_to_reference(graph, reference_graph) -> bool:
-    """Element-labelled graph isomorphism (networkx VF2).
+    """Element-labelled bond-graph validation (networkx VF2 monomorphism).
 
     The capability the reference intends via pysmiles + networkx
-    (``molecular_graph.py:287-300``, unimplemented upstream): the candidate
-    cluster's bond graph must match the SMILES-derived reference graph with
-    elements as node labels.
+    (``molecular_graph.py:287-300``, unimplemented upstream): under an
+    element-preserving bijection of the atoms, every bond of the
+    SMILES-derived reference graph must exist in the candidate cluster's
+    distance-cutoff graph. MONOmorphism, not full isomorphism, because the
+    cutoff graph legitimately contains extra proximity edges the chemical
+    graph lacks — real water's H-H separation (~1.51 A) is inside the
+    1.7 A O-H cutoff, so every genuine water cluster is a triangle and
+    strict edge-set equality would reject all of them. Extra edges are
+    allowed; missing bonds (isomers, accidental same-composition clusters)
+    still reject.
     """
-    import networkx as nx
     from networkx.algorithms import isomorphism
 
-    return nx.is_isomorphic(
+    if graph.number_of_nodes() != reference_graph.number_of_nodes():
+        return False
+    matcher = isomorphism.GraphMatcher(
         graph,
         reference_graph,
         node_match=isomorphism.categorical_node_match("element", None),
     )
+    # equal node counts + element node_match make the mapping a bijection,
+    # so "subgraph" monomorphism degenerates to: all reference bonds exist
+    return matcher.subgraph_is_monomorphic()
 
 
 def composition_of(group: Dict[str, List[int]]) -> Tuple[Tuple[str, int], ...]:

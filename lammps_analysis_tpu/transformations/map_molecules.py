@@ -122,10 +122,16 @@ class MolecularMap:
         ref_idx = molecule.reference_configuration_idx
         parts, species_of_atom = [], []
         for sp in species_names:
+            # wrapped positions when stored; otherwise the unwrapped ones
+            # (guaranteed present by _map_one) — the adjacency scan applies
+            # minimum image either way, and bonded separations are far
+            # below half a box, so both give the same bond graph
+            path = join_path(sp, mp.positions.name)
+            if not experiment.store.check_existence(path):
+                path = join_path(sp, mp.unwrapped_positions.name)
             data = experiment.store.load(
-                [join_path(sp, mp.positions.name)],
-                frames=slice(ref_idx, ref_idx + 1),
-            )[join_path(sp, mp.positions.name)]
+                [path], frames=slice(ref_idx, ref_idx + 1)
+            )[path]
             parts.append(data[0])
             species_of_atom.extend([sp] * data.shape[1])
         positions = np.concatenate(parts, axis=0)

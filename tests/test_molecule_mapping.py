@@ -212,6 +212,45 @@ def test_isomorphism_distinguishes_same_composition():
     assert verdicts[3] is False   # H-H-O chain rejected
 
 
+def test_isomorphism_accepts_real_water_triangle():
+    """Proximity edges beyond the chemical bonds must not reject a cluster.
+
+    Real water: O-H ~0.96 A and H-H ~1.51 A — BOTH inside the 1.7 A
+    detection cutoff, so the distance graph of every genuine water
+    molecule is a triangle while the SMILES graph is the H-O-H path. The
+    validation is bond-monomorphism (all SMILES bonds present), not strict
+    edge equality.
+    """
+    import numpy as np
+
+    from lammps_analysis_tpu.graph.molecular_graph import (
+        build_adjacency,
+        cluster_graph,
+        find_molecules,
+        is_isomorphic_to_reference,
+    )
+    from lammps_analysis_tpu.graph.smiles import smiles_graph
+
+    pos = np.array([
+        [0.0, 0.0, 0.0],      # O
+        [0.96, 0.0, 0.0],     # H
+        [-0.24, 0.93, 0.0],   # H  (H-H distance ~1.52 A)
+    ])
+    species = ["O", "H", "H"]
+    adj = build_adjacency(pos, None, cutoff=1.7)
+    mols, ids = find_molecules(adj, species, return_atom_ids=True)
+    assert len(mols) == 1
+    g = cluster_graph(adj, ids[0], species)
+    assert g.number_of_edges() == 3  # the triangle, incl. the H-H edge
+    assert is_isomorphic_to_reference(g, smiles_graph("[H]O[H]")) is True
+    # but a missing required bond still rejects: drop one O-H edge
+    g2 = g.copy()
+    o_node = [n for n in g2.nodes if g2.nodes[n]["element"] == "O"][0]
+    h_node = [n for n in g2.nodes if g2.nodes[n]["element"] == "H"][0]
+    g2.remove_edge(o_node, h_node)
+    assert is_isomorphic_to_reference(g2, smiles_graph("[H]O[H]")) is False
+
+
 def test_mapping_rejects_misbonded_cluster(tmp_path, rng):
     """End-to-end: MolecularMap drops a same-composition mis-bonded cluster."""
     box, n_frames = 20.0, 4
@@ -242,3 +281,53 @@ def test_mapping_rejects_misbonded_cluster(tmp_path, rng):
     ])
     water = exp.molecules["water"]
     assert water["n_particles"] == 1  # the chain cluster was rejected
+
+
+def test_mapping_unwrapped_only_store_and_bonded_cutoff(tmp_path, rng):
+    """Regression: (a) a store holding ONLY Unwrapped_Positions maps fine
+    (group detection falls back to unwrapped coords under minimum image);
+    (b) a cutoff that also captures the intramolecular H-H pair (1.7 A on
+    real water geometry) still accepts every molecule (bond monomorphism,
+    not strict edge equality)."""
+    UNW = PropertyInfo("Unwrapped_Positions", 3)
+    n_mol, n_frames, box = 6, 20, 12.0
+    bond, angle = 0.96, np.deg2rad(104.5)
+    # well-separated grid centers: detection merges clusters within the
+    # cutoff (correct behavior), which random placement can trigger
+    grid = np.array(
+        [[2.5 + 4.0 * (i % 3), 3.0 + 5.0 * (i // 3), 3.0] for i in range(n_mol)]
+    )
+    centers = grid[None] + np.cumsum(
+        rng.normal(scale=0.03, size=(n_frames, n_mol, 3)), axis=0
+    )
+    v1 = np.array([np.sin(angle / 2), np.cos(angle / 2), 0.0]) * bond
+    v2 = np.array([-np.sin(angle / 2), np.cos(angle / 2), 0.0]) * bond
+    sp = [
+        SpeciesInfo("O", n_mol, [UNW]),
+        SpeciesInfo("H", 2 * n_mol, [UNW]),
+    ]
+    meta = TrajectoryMetadata(
+        n_configurations=n_frames, species_list=sp, box_l=[box] * 3,
+        sample_rate=1, temperature=300.0,
+    )
+    chunk = TrajectoryChunkData(sp, n_frames)
+    chunk.add_data(centers, 0, "O", "Unwrapped_Positions")
+    chunk.add_data(
+        np.concatenate([centers + v1, centers + v2], axis=1), 0,
+        "H", "Unwrapped_Positions",
+    )
+    project = latpu.Project(name="unw", storage_path=tmp_path)
+    exp = project.add_experiment(
+        "w", timestep=0.1, temperature=300.0, units="real",
+        simulation_data=ScriptInput(chunk, meta, "w0"),
+    )
+    # H-H distance ~1.52 A < 1.7: every cluster graph is a triangle
+    exp.run.MolecularMap(
+        molecules=[
+            latpu.Molecule(name="water", smiles="[H]O[H]", amount=n_mol,
+                           cutoff=1.7)
+        ]
+    )
+    assert exp.molecules["water"]["n_particles"] == n_mol
+    com = exp.load_matrix("Unwrapped_Positions", ["water"])["water"]
+    assert com.shape == (n_frames, n_mol, 3)
