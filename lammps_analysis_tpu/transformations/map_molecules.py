@@ -203,10 +203,13 @@ class MolecularMap:
         @jax.jit
         def com_batch(pos):  # (T, n_atoms, 3) UNWRAPPED positions
             # unwrapped atom trajectories are continuous, so the molecule
-            # COM is a plain mass-weighted matmul over the atom axis
+            # COM is a plain mass-weighted matmul over the atom axis.
+            # HIGHEST precision: the TPU default silently runs f32 einsums
+            # as bf16 passes; dtype follows the inputs (f64 under x64,
+            # f32 otherwise — no forced-f64 warning in f32 processes)
             return jnp.einsum(
                 "ma,tad->tmd", weights_j, pos,
-                preferred_element_type=jnp.float64,
+                precision=jax.lax.Precision.HIGHEST,
             )
 
         # both the unwrapped COM trajectory (dynamics) and its wrapped image
