@@ -224,7 +224,65 @@ def tf_baseline_value():
     return None
 
 
+def _chip_health(timeout_s: float = 420.0):
+    """Bounded TPU health probe in a THROWAWAY subprocess.
+
+    The remote-TPU tunnel on this machine can wedge for hours; a wedged
+    tunnel stalls ANY jax backend init indefinitely (observed 18 min for
+    one 2 MB round trip, probes > 240 s). Probing in a subprocess keeps
+    this process's jax uninitialised, so on failure it can still fall
+    back to CPU. Returns ``{backend, init_first_s, probe_s}`` or None.
+    """
+    import subprocess
+    import sys
+
+    code = (
+        "import time,numpy as np;t0=time.perf_counter();"
+        "import jax,jax.numpy as jnp;a=jnp.ones((512,512));np.asarray(a@a);"
+        "t1=time.perf_counter();t2=time.perf_counter();"
+        "np.asarray((a+1.0)@a);t3=time.perf_counter();"
+        "print('HEALTH',jax.default_backend(),round(t1-t0,1),round(t3-t2,2))"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    if proc.returncode != 0:
+        return None
+    for line in proc.stdout.splitlines():
+        if line.startswith("HEALTH "):
+            _, backend, init_s, probe_s = line.split()
+            return {
+                "backend": backend,
+                "init_first_s": float(init_s),
+                "probe_s": float(probe_s),
+            }
+    return None
+
+
 def main():
+    import os
+    import sys
+
+    forced_cpu = os.environ.get("BENCH_FORCED_CPU") == "1"
+    health = None
+    if not forced_cpu:
+        health = _chip_health()
+        if health is None:
+            # wedged tunnel: a TPU measurement would hang forever. Re-exec
+            # on CPU so the driver still gets its one JSON line — an honest
+            # (slower) number with the failure annotated beats a hang.
+            env = dict(
+                os.environ,
+                PALLAS_AXON_POOL_IPS="",
+                JAX_PLATFORMS="cpu",
+                BENCH_FORCED_CPU="1",
+            )
+            os.execve(sys.executable, [sys.executable, __file__], env)
+
     value = measure_rdf_pairs_per_s(**WORKLOAD)
     baseline = tf_baseline_value()
     vs = value / baseline if baseline else None
@@ -269,6 +327,16 @@ def main():
     except Exception as err:  # pragma: no cover
         extras["rdf_65k_error"] = str(err)[:120]
     extras.update(_CONSISTENCY)
+    if health is not None:
+        # chip-state context: this shared chip drifts +-35%; probe_s far
+        # above ~0.1 s steady-state flags a degraded session
+        extras["chip_probe_s"] = health["probe_s"]
+        extras["chip_init_first_s"] = health["init_first_s"]
+    if forced_cpu:
+        extras["backend_note"] = (
+            "remote TPU tunnel unhealthy (512x512 probe timed out); "
+            "CPU fallback measurement"
+        )
     print(
         json.dumps(
             {

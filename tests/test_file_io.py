@@ -179,6 +179,10 @@ def test_chemfiles_reader_with_stub(tmp_path, rng, monkeypatch):
     import numpy as np
 
     from lammps_analysis_tpu.file_io import chemfiles_io
+    # the migration doc promises file_io.ChemfilesRead (reference package
+    # surface) — lock the export, importable without the optional dep
+    from lammps_analysis_tpu.file_io import ChemfilesRead
+    assert ChemfilesRead is chemfiles_io.ChemfilesRead
 
     n_frames, names = 7, ["O", "H", "H"]
     pos_all = rng.uniform(0, 5.0, size=(n_frames, 3, 3))
