@@ -73,10 +73,13 @@ class Project:
         cluster_mode: bool = False,
         active: bool = True,
         simulation_data=None,
+        update_with_pubchempy: bool = True,
     ) -> Experiment:
         """Create (or load) an experiment; optionally ingest data directly.
 
-        Reference analog: ``Project.add_experiment`` (``project.py:157-249``).
+        Reference analog: ``Project.add_experiment`` (``project.py:157-249``;
+        its ``update_with_pubchempy`` controls the element-mass lookup —
+        here a bundled 118-element table instead of the pubchempy query).
         """
         exp = Experiment(
             project=self,
@@ -88,7 +91,9 @@ class Project:
         self.db.set_active(name, active)
         self._experiments[name] = exp
         if simulation_data is not None:
-            exp.add_data(simulation_data)
+            exp.add_data(
+                simulation_data, update_with_pubchempy=update_with_pubchempy
+            )
         return exp
 
     @property
