@@ -66,6 +66,22 @@ def main():
             bench.measure_adf_ms_per_frame(n_frames=f), 1
         )
 
+    # serpentine brick sort A/B (interpret-validated; windows shrink
+    # ~1.5x at 10k / ~3.6x at 65k in chunk counts — route production to
+    # it if these ratios confirm on hardware)
+    import os
+
+    os.environ["LATPU_ADF_SORT"] = "brick"
+    try:
+        out["adf_firstshell_ms_per_frame_brick"] = round(
+            bench.measure_adf_ms_per_frame(), 1
+        )
+        out["adf_65536_ms_per_frame_brick"] = round(
+            bench.measure_adf_ms_per_frame(n_atoms=65536, n_frames=1), 1
+        )
+    finally:
+        os.environ.pop("LATPU_ADF_SORT", None)
+
     path = pathlib.Path(__file__).parent / "rebaseline.json"
     path.write_text(json.dumps(out, indent=2))
     print(json.dumps(out))

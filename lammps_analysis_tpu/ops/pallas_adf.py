@@ -346,6 +346,9 @@ def _neighbor_extract_pallas(
     )[None, :]  # (1, 9) SMEM
 
     has_window = window is not None
+    # arcs per block: 1 for the classic z-sort window; the brick sort
+    # covers its flags with a few (start, count) arcs per block
+    n_arcs = (window.shape[-1] // 2) if has_window else 0
     # scratch width in chunks: window-relative when bounded
     n_chunks_all = n_pad // 128
     sw = w_chunks if (has_window and w_chunks) else n_chunks_all
@@ -477,25 +480,30 @@ def _neighbor_extract_pallas(
         init = (idx0, zk, zk, zk, zk, sid0, slot0)
         n_chunks_k = n_pad // 128
         if has_window:
-            # dynamic (start, count) circular window: addresses stay
-            # consecutive (one wrap subtract off the loop counter), so
-            # the sweep pipelines; out-of-window chunks cost nothing.
-            # Window chunks store at WINDOW-RELATIVE scratch lanes; the
-            # tail [cnt, sw) stays at the _EMPTY fill below, so the
-            # cleanup sweep never selects it (stale value scratch is
-            # harmless — empty keys pick no lane). Counts beyond the
+            # dynamic (start, count) circular window(s): addresses stay
+            # consecutive per arc (one wrap subtract off the loop
+            # counter), so the sweep pipelines; out-of-window chunks cost
+            # nothing. Window chunks store at WINDOW-RELATIVE scratch
+            # lanes — arc a's chunks land after the previous arcs'
+            # cumulative count; the tail stays at the _EMPTY fill below,
+            # so the cleanup sweep never selects it (stale value scratch
+            # is harmless — empty keys pick no lane). Counts beyond the
             # static bound are clamped; the CALLER must detect that
             # overflow and retry un-windowed.
             keys_ref[...] = jnp.full((tc, sw * 128), _EMPTY, jnp.float32)
-            w_start = win_ref[0, 0, 0]
-            w_cnt = jnp.minimum(win_ref[0, 0, 1], sw)
+            carry = init
+            w_off = jnp.asarray(0, jnp.int32)
+            for a in range(n_arcs):  # static unroll (n_arcs is tiny)
+                a_start = win_ref[0, 0, 2 * a]
+                a_cnt = jnp.clip(win_ref[0, 0, 2 * a + 1], 0, sw - w_off)
 
-            def chunk_body(t, carry):
-                cw = w_start + t
-                cw = jnp.where(cw >= n_chunks_k, cw - n_chunks_k, cw)
-                return chunk_work(cw, t, carry)
+                def chunk_body(t, carry, a_start=a_start, w_off=w_off):
+                    cw = a_start + t
+                    cw = jnp.where(cw >= n_chunks_k, cw - n_chunks_k, cw)
+                    return chunk_work(cw, w_off + t, carry)
 
-            carry = jax.lax.fori_loop(0, w_cnt, chunk_body, init)
+                carry = jax.lax.fori_loop(0, a_cnt, chunk_body, carry)
+                w_off = w_off + a_cnt
         else:
 
             def chunk_body_all(c, carry):
@@ -571,14 +579,14 @@ def _neighbor_extract_pallas(
     if has_window:
         # 3-D with a singleton middle axis: Mosaic requires the block's
         # last two dims to divide (8, 128) or equal the array dims — the
-        # (1, 1, 2) block matches the trailing (1, 2)
+        # (1, 1, 2 * n_arcs) block matches the trailing (1, 2 * n_arcs)
         in_specs.append(pl.BlockSpec(
-            (1, 1, 2),
+            (1, 1, 2 * n_arcs),
             lambda fi, ib: (fi * n_blocks + ib, 0, 0),
             memory_space=pltpu.SMEM,
         ))
         inputs.append(
-            window.astype(jnp.int32).reshape(f * n_blocks, 1, 2)
+            window.astype(jnp.int32).reshape(f * n_blocks, 1, 2 * n_arcs)
         )
     outs = pl.pallas_call(
         kernel,
@@ -630,10 +638,137 @@ def _spatial_sort(positions, species_id, box):
     return pos_s, sid_s
 
 
-@functools.partial(jax.jit, static_argnames=("tc",))
+@jax.jit
+def _brick_sort(positions, species_id, box, cutoff):
+    """Per-frame (z-slab, y) sort — the multi-arc window's ordering.
+
+    Atoms sort by ``(floor(z / slab_width), y)`` with ``slab_width =
+    box_z / floor(box_z / cutoff) >= cutoff``: a center's in-cutoff atoms
+    then lie in <= 3 consecutive slabs, INSIDE each of which they occupy a
+    contiguous y-window — so the bbox process flags form <= 3 tight arcs
+    instead of one long z-arc that sweeps the slab's full x-y extent.
+    Simulated on uniform 65536 atoms / cutoff 3.6: 50.7 chunks per block
+    (single z-arc) -> 25.6 (<= 4 covering arcs), 13.9 ideal
+    (``benchmarks/brick_window_sim.py``). At 10240 atoms the 128-atom
+    chunk granularity floors the window (15.5 -> 11.3) — the z sort stays
+    the default there. Invalid atoms sort last.
+
+    Returns ``(pos_sorted (F, N, 3), sid_sorted (F, N))``.
+    """
+    f, n, _ = positions.shape
+    box_arr = jnp.asarray(box, positions.dtype).reshape(3)
+    n_slabs = jnp.maximum(
+        jnp.floor(box_arr[2] / jnp.asarray(cutoff, positions.dtype)), 1.0
+    )
+    slab_w = box_arr[2] / n_slabs
+    z = jnp.clip(positions[..., 2], 0.0, box_arr[2] * (1 - 1e-7))
+    slab = jnp.minimum(jnp.floor(z / slab_w), n_slabs - 1.0)
+    # serpentine y inside slabs (odd slabs descend): a center block that
+    # straddles a slab seam then holds y-NEIGHBORING atoms from both
+    # slabs instead of the two y-extremes — without this, seam blocks get
+    # full-y bboxes and ~4-slab chunk windows (measured max covered
+    # 106 vs ~30 of 512 at 65536 atoms)
+    y = positions[..., 1]
+    odd = jnp.mod(slab, 2.0) >= 1.0
+    y_eff = jnp.where(odd, box_arr[1] - y, y)
+    # slab-major key; y spans [0, box_y) so 2*box_y separates slabs
+    key = slab * (2.0 * box_arr[1]) + y_eff
+    if species_id.ndim == 1:
+        sid2 = jnp.broadcast_to(species_id, (f, n))
+    else:
+        sid2 = species_id
+    key = jnp.where(sid2 >= 0, key, jnp.asarray(jnp.inf, key.dtype))
+    order = jnp.argsort(key, axis=1)
+    pos_s = jnp.take_along_axis(positions, order[..., None], axis=1)
+    sid_s = jnp.take_along_axis(sid2, order, axis=1)
+    return pos_s, sid_s
+
+
+@functools.partial(jax.jit, static_argnames=("tc", "n_arcs", "split"))
+def _chunk_arcs(pos_s, sid_s, box, cutoff, tc, n_arcs, pos_c=None,
+                sid_c=None, split: int = 2):
+    """Per-(frame, block) cover of the process flags by <= n_arcs arcs.
+
+    The chunks NOT worth processing are the maximal circular zero-runs of
+    the bbox flag row; keeping only the ``n_arcs`` LONGEST gaps open and
+    sweeping everything else yields the minimal <= n_arcs-arc cover —
+    always a superset of the flagged chunks, never lossy, degrading
+    smoothly to the full range when the row is gap-poor.
+
+    Returns ``(arcs (rows, 2 * n_arcs) int32, total (rows,) int32)``:
+    per-row [(start, count), ...] with unused arcs as (0, 0), and the
+    total covered chunk count (the caller's scratch-overflow check).
+    """
+    flags = _chunk_skip_bitmap(
+        pos_s, sid_s, box, cutoff, tc, pos_c=pos_c, sid_c=sid_c,
+        split=split,
+    )
+    r, c = flags.shape
+    on = flags == 1
+    any_on = jnp.any(on, axis=1)
+    all_on = jnp.all(on, axis=1)
+
+    # circular distance from each position to the NEXT set flag: doubled
+    # row + reverse cumulative-min of "index of next 1"
+    cat = jnp.concatenate([on, on], axis=1)  # (r, 2c)
+    iota2 = jnp.arange(2 * c, dtype=jnp.int32)[None, :]
+    next_one = jnp.where(cat, iota2, 2 * c)
+    next_one = jnp.flip(
+        jax.lax.cummin(jnp.flip(next_one, axis=1), axis=1), axis=1
+    )[:, :c]  # (r, c) position (in doubled coords) of next set flag >= p
+
+    # maximal zero-run starts (circular) and their lengths
+    prev_on = jnp.roll(on, 1, axis=1)
+    gap_start = (~on) & prev_on
+    gap_len = jnp.where(
+        gap_start, next_one - jnp.arange(c, dtype=jnp.int32)[None, :], 0
+    )
+    # all-zero rows have no gap_start; all-one rows have no gaps — both
+    # handled by the selects below
+    top_len, top_pos = jax.lax.top_k(gap_len, n_arcs)  # (r, n_arcs)
+    kept = top_len > 0  # a zero-length entry is not a gap
+
+    # arcs = complement of the kept gaps, in circular position order:
+    # arc i runs from gap i's END to the NEXT kept gap's start
+    big = jnp.asarray(2 * c, jnp.int32)
+    pos_sorted = jnp.sort(jnp.where(kept, top_pos, big), axis=1)
+    len_by_pos = jnp.take_along_axis(
+        gap_len, jnp.minimum(pos_sorted, c - 1), axis=1
+    )
+    k_gaps = jnp.sum(kept, axis=1)  # (r,)
+    idx = jnp.arange(n_arcs, dtype=jnp.int32)[None, :]
+    valid = idx < k_gaps[:, None]
+    nxt = jnp.where(
+        idx + 1 < k_gaps[:, None], idx + 1, jnp.zeros_like(idx)
+    )
+    start = jnp.where(
+        valid, (pos_sorted + len_by_pos) % c, 0
+    ).astype(jnp.int32)
+    next_gap_start = jnp.take_along_axis(pos_sorted, nxt, axis=1)
+    count = jnp.where(
+        valid, (next_gap_start - start) % c, 0
+    ).astype(jnp.int32)
+    # k_gaps == 0: either nothing to process (count 0) or everything
+    first = idx == 0
+    count = jnp.where(
+        (k_gaps[:, None] == 0) & first & all_on[:, None], c, count
+    )
+    count = jnp.where(~any_on[:, None], 0, count)
+    arcs = jnp.stack([start, count], axis=2).reshape(r, 2 * n_arcs)
+    return arcs, jnp.sum(count, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("tc", "split"))
 def _chunk_skip_bitmap(pos_s, sid_s, box, cutoff, tc, pos_c=None,
-                       sid_c=None):
+                       sid_c=None, split: int = 1):
     """Per-(frame, center-block) chunk process flags from bbox distances.
+
+    ``split`` refines each block into that many consecutive sub-blocks
+    and ORs their flags: under the brick (z-slab, y) sort a block that
+    straddles a slab seam has a full-y bbox spanning ~4 slabs of chunks;
+    its two halves are each y-contiguous inside one slab, so the union
+    is ~4x tighter (measured max covered 105 -> ~30 of 512 chunks at
+    65536 atoms).
 
     ``pos_s``/``sid_s`` must already be padded to a 128 multiple and
     spatially sorted (:func:`_spatial_sort`). Conservative: a chunk is
@@ -665,7 +800,8 @@ def _chunk_skip_bitmap(pos_s, sid_s, box, cutoff, tc, pos_c=None,
         hi = jnp.max(jnp.where(v, p, -big), axis=2)
         return (lo + hi) * 0.5, (hi - lo) * 0.5  # center, half-extent
 
-    cb, hb = bboxes(tc, pos_c, sid_c)  # (F, n_blocks, 3)
+    rows_c = tc // split if tc % split == 0 and tc // split >= 1 else tc
+    cb, hb = bboxes(rows_c, pos_c, sid_c)  # (F, n_blocks * split, 3)
     cc, hc = bboxes(128, pos_s, sid_s)  # (F, n_chunks, 3)
     dd = cb[:, :, None, :] - cc[:, None, :, :]
     if box is not None:
@@ -676,6 +812,10 @@ def _chunk_skip_bitmap(pos_s, sid_s, box, cutoff, tc, pos_c=None,
     )
     process = jnp.sum(gap * gap, axis=-1) <= jnp.asarray(
         cutoff, pos_s.dtype) ** 2 * (1.0 + 1e-5)
+    if rows_c != tc:
+        process = jnp.any(
+            process.reshape(f, n_blocks, tc // rows_c, n_chunks), axis=2
+        )
     return process.astype(jnp.int32).reshape(f * n_blocks, n_chunks)
 
 
@@ -741,13 +881,38 @@ def window_chunk_bound(n_atoms: int, box, cutoff) -> int:
     return int(min(n_chunks, np.ceil(1.5 * frac * n_chunks) + 3))
 
 
-def extract_e_for(n_atoms: int, box, cutoff) -> int:
-    """Static sweep-1 extraction depth for the z-window sorted extract.
+def brick_window_bound(n_atoms: int, box, cutoff, n_arcs: int = 6) -> int:
+    """Static per-block total-window bound for the serpentine brick sort.
+
+    A center's in-cutoff atoms span <= 3 consecutive z-slabs; inside each
+    the y-window is ~2.1 * cutoff / box_y of the slab's chunks, plus the
+    block's own extent (up to a chunk) and one boundary chunk. 1.8x that
+    estimate plus per-arc slack, calibrated on uniform boxes (measured
+    per-block maxima: 21 of 512 chunks at 65536 atoms / cutoff 3.6, 34 at
+    5.5, 18 of 80 at 10240 — all within this bound). Sparse geometries
+    can exceed it — the kernel clamps and the caller retries un-windowed.
+    Needs STATIC (host) box/cutoff values.
+    """
+    n_pad = _round_up(n_atoms, 128)
+    n_chunks = n_pad // 128
+    box_np = np.asarray(box, np.float64).reshape(3)
+    n_slabs = max(1, int(box_np[2] // float(cutoff)))
+    slab_chunks = n_chunks / n_slabs
+    y_frac = min(1.0, 2.1 * float(cutoff) / max(box_np[1], 1e-30))
+    per_slab = y_frac * slab_chunks + 2.0
+    return int(min(n_chunks, np.ceil(1.8 * 3.0 * per_slab) + n_arcs + 2))
+
+
+def extract_e_for(n_atoms: int, box, cutoff,
+                  window_chunks: float | None = None) -> int:
+    """Static sweep-1 extraction depth for the windowed sorted extract.
 
     Expected in-cutoff lanes per PROCESSED chunk = expected neighbor
     count / window chunk count; depth must cover it or leftovers spill
     into the expensive full-width cleanup sweep. Needs STATIC (host)
     box/cutoff values — callers with traced values keep the default.
+    ``window_chunks``: expected processed chunks per block (brick callers
+    pass their much smaller estimate; default = the z-slab window).
     """
     box_np = np.asarray(box, np.float64).reshape(3)
     volume = float(np.prod(box_np))
@@ -755,13 +920,17 @@ def extract_e_for(n_atoms: int, box, cutoff) -> int:
         4.0 / 3.0 * np.pi * float(cutoff) ** 3
     )
     n_chunks = max(n_atoms // 128, 1)
-    window_frac = min(1.0, 2.1 * float(cutoff) / float(box_np[2]))
-    per_chunk = expected / max(window_frac * n_chunks, 1.0)
+    if window_chunks is None:
+        window_frac = min(1.0, 2.1 * float(cutoff) / float(box_np[2]))
+        window_chunks = window_frac * n_chunks
+    per_chunk = expected / max(float(window_chunks), 1.0)
     return int(np.clip(2 * np.ceil((per_chunk + 2.0) / 2.0), 4, 16))
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k_n", "interpret", "e_fixed", "w_chunks")
+    jax.jit,
+    static_argnames=("k_n", "interpret", "e_fixed", "w_chunks", "sort",
+                     "n_arcs"),
 )
 def sorted_neighbor_extract(
     positions: jnp.ndarray,  # (F, N, 3)
@@ -772,6 +941,8 @@ def sorted_neighbor_extract(
     interpret: bool = False,
     e_fixed: int = 4,
     w_chunks: int | None = None,
+    sort: str = "z",
+    n_arcs: int = 1,
 ):
     """Spatially sorted extract: z-sort + per-block circular chunk window.
 
@@ -783,12 +954,18 @@ def sorted_neighbor_extract(
     order, and ``sid_sorted (F, Npad)`` is the matching per-frame center
     species.
 
-    ``w_chunks`` (static, from :func:`window_chunk_bound`): enables the
-    window-relative scratch layout (much taller center blocks).
-    ``overflow`` (int32 scalar) is 1 when some block's window exceeded
-    the bound — that run UNDER-COUNTS (windows were clamped) and the
-    caller must retry without ``w_chunks`` or via the unsorted kernel;
-    with ``w_chunks=None`` overflow is always 0.
+    ``w_chunks`` (static, from :func:`window_chunk_bound` /
+    :func:`brick_window_bound`): enables the window-relative scratch
+    layout (much taller center blocks). ``overflow`` (int32 scalar) is 1
+    when some block's window exceeded the bound — that run UNDER-COUNTS
+    (windows were clamped) and the caller must retry without
+    ``w_chunks`` or via the unsorted kernel; with ``w_chunks=None``
+    overflow is always 0.
+
+    ``sort="brick"`` orders atoms by (z-slab, y) and covers each block's
+    flags with up to ``n_arcs`` (start, count) arcs — the per-block
+    sweep shrinks ~2x at 65k atoms vs the single z-arc
+    (``benchmarks/brick_window_sim.py``); identical neighbor sets.
     """
     f, n, _ = positions.shape
     n_pad = _round_up(n, 128)
@@ -800,17 +977,30 @@ def sorted_neighbor_extract(
             else (0, n_pad - n),
             constant_values=-1,
         )
-    pos_s, sid_s = _spatial_sort(
-        positions.astype(jnp.float32), species_id, box
-    )
+    brick = sort == "brick"
+    if brick:
+        pos_s, sid_s = _brick_sort(
+            positions.astype(jnp.float32), species_id, box, cutoff
+        )
+    else:
+        pos_s, sid_s = _spatial_sort(
+            positions.astype(jnp.float32), species_id, box
+        )
     if w_chunks is not None:
         w_chunks = min(w_chunks, n_pad // 128)
         tc = _extract_tc_windowed(n_pad, w_chunks)
     else:
         tc = _extract_tc(n_pad)
-    win = _chunk_window(pos_s, sid_s, box, cutoff, tc)
+    if brick:
+        win, total = _chunk_arcs(
+            pos_s, sid_s, box, cutoff, tc, max(n_arcs, 1)
+        )
+        covered = jnp.max(total)
+    else:
+        win = _chunk_window(pos_s, sid_s, box, cutoff, tc)
+        covered = jnp.max(win[:, 1])
     if w_chunks is not None:
-        overflow = (jnp.max(win[:, 1]) > w_chunks).astype(jnp.int32)
+        overflow = (covered > w_chunks).astype(jnp.int32)
     else:
         overflow = jnp.asarray(0, jnp.int32)
     _, rx, ry, rz, d_n, sid_n, cnt = _neighbor_extract_pallas(

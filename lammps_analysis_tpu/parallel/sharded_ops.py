@@ -10,6 +10,7 @@ identical numerics, device-parallel execution.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import numpy as np
@@ -223,20 +224,44 @@ class _AdfPlan:
         # 128-atom j-chunks are spatially compact relative to the box
         # (~80% of chunks skipped at 10k atoms / first-shell cutoffs);
         # the sweep's extraction depth scales with the window density
-        from ..ops.pallas_adf import extract_e_for, window_chunk_bound
+        from ..ops.pallas_adf import (
+            brick_window_bound,
+            extract_e_for,
+            window_chunk_bound,
+        )
 
         self.use_sorted = bool(use_pallas) and n_avail >= 4096
-        self.extract_e = (
-            extract_e_for(n_avail, box_np, float(cutoff))
-            if self.use_sorted else 4
+        # serpentine brick ((z-slab, snake-y)) sort: per-block windows
+        # shrink a further ~3.5x at 65k atoms (interpret-validated; see
+        # sorted_neighbor_extract(sort="brick")). Opt-in via
+        # LATPU_ADF_SORT=brick until a healthy-chip A/B lands — the
+        # rebaseline script measures both routes back to back.
+        self.sort = (
+            os.environ.get("LATPU_ADF_SORT", "z")
+            if self.use_sorted else "z"
         )
-        # static scratch bound for the window-relative extract; a block
-        # in a z-sparse region can exceed it — the overflow reports via
-        # occ and escalate() falls back to the unsorted route
-        self.w_chunks = (
-            window_chunk_bound(n_avail, box_np, float(cutoff))
-            if self.use_sorted else None
-        )
+        self.n_arcs = 6
+        if self.use_sorted and self.sort == "brick":
+            self.w_chunks = brick_window_bound(
+                n_avail, box_np, float(cutoff), n_arcs=self.n_arcs
+            )
+            self.extract_e = extract_e_for(
+                n_avail, box_np, float(cutoff),
+                window_chunks=self.w_chunks / 1.8,
+            )
+        else:
+            self.extract_e = (
+                extract_e_for(n_avail, box_np, float(cutoff))
+                if self.use_sorted else 4
+            )
+            # static scratch bound for the window-relative extract; a
+            # block in a z-sparse region can exceed it — the overflow
+            # reports via occ and escalate() falls back to the unsorted
+            # route
+            self.w_chunks = (
+                window_chunk_bound(n_avail, box_np, float(cutoff))
+                if self.use_sorted else None
+            )
         self._normalise()
 
     def _normalise(self):
@@ -351,7 +376,9 @@ def _adf_pipeline(plan: _AdfPlan, n_species, cutoff, n_bins, norm_power):
     def pipeline(pos_shard, sid, ttab, box_, *, _k=plan.k_n,
                  _cap=plan.capacity, use_pallas=plan.use_pallas_run,
                  _pack=plan.pack, _ee=getattr(plan, "extract_e", 4),
-                 _wc=getattr(plan, "w_chunks", None)):
+                 _wc=getattr(plan, "w_chunks", None),
+                 _sort=getattr(plan, "sort", "z"),
+                 _arcs=getattr(plan, "n_arcs", 1)):
         cnts = None
         per_frame_sid = False
         if use_cells:
@@ -373,7 +400,8 @@ def _adf_pipeline(plan: _AdfPlan, n_species, cutoff, n_bins, norm_power):
             rxn, ryn, rzn, d_nn, s_nn, cnts, sid_s, ovf = (
                 _pk.sorted_neighbor_extract(
                     pos_shard, sid, box_, cutoff, k_n=_k, e_fixed=_ee,
-                    w_chunks=_wc,
+                    w_chunks=_wc, sort=_sort,
+                    n_arcs=_arcs if _sort == "brick" else 1,
                 )
             )
             r_nn = (rxn, ryn, rzn)

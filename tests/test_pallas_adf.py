@@ -613,3 +613,111 @@ def test_static_window_heuristics():
     # windowed tc shrinks when the scratch budget tightens, stays >= 8
     assert _extract_tc_windowed(10240, 16) == 128
     assert 8 <= _extract_tc_windowed(65536, 200) < 128
+
+
+def test_chunk_arcs_covers_flags(rng):
+    """_chunk_arcs: <= n_arcs circular (start, count) arcs whose union
+    covers every flagged chunk, for adversarial flag patterns."""
+    from lammps_analysis_tpu.ops.pallas_adf import _chunk_arcs
+
+    # build synthetic flag rows by monkeypatching is overkill: drive the
+    # real geometry path instead — brick-sorted uniform atoms give rows
+    # with several runs — and check coverage from the returned arcs
+    # against the real bitmap.
+    from lammps_analysis_tpu.ops.pallas_adf import (
+        _brick_sort,
+        _chunk_skip_bitmap,
+    )
+
+    f, n, box_l, cutoff, tc, n_arcs = 2, 4096, 16.0, 2.2, 16, 4
+    pos = rng.uniform(0, box_l, (f, n, 3)).astype(np.float32)
+    sid = np.r_[np.zeros(n - 100), -np.ones(100)].astype(np.int32)
+    box = jnp.asarray([box_l] * 3, jnp.float32)
+    pos_s, sid_s = _brick_sort(
+        jnp.asarray(pos), jnp.asarray(sid), box, cutoff
+    )
+    # split=2 is what _chunk_arcs covers (sub-block bboxes are equally
+    # conservative per atom: every center sits in one sub-bbox)
+    flags = np.asarray(
+        _chunk_skip_bitmap(pos_s, sid_s, box, cutoff, tc, split=2)
+    )
+    arcs, total = _chunk_arcs(pos_s, sid_s, box, cutoff, tc, n_arcs)
+    arcs, total = np.asarray(arcs), np.asarray(total)
+    c = flags.shape[1]
+    for r in range(flags.shape[0]):
+        covered = np.zeros(c, bool)
+        row_total = 0
+        for a in range(n_arcs):
+            s0, cnt = arcs[r, 2 * a], arcs[r, 2 * a + 1]
+            assert 0 <= cnt <= c
+            covered[(s0 + np.arange(cnt)) % c] = True
+            row_total += cnt
+        assert row_total == total[r]
+        missed = flags[r].astype(bool) & ~covered
+        assert not missed.any(), (r, np.where(missed)[0])
+        # non-trivial: the cover must not always be the full range
+    assert total.mean() < 0.9 * c
+
+
+def test_brick_extract_matches_unsorted(rng):
+    """Brick-sorted multi-arc extract == the unsorted kernel: identical
+    per-frame (center species, neighbor species, distance) multisets,
+    identical folded histogram; a too-small w_chunks bound raises the
+    overflow flag."""
+    from lammps_analysis_tpu.ops.pallas_adf import (
+        _neighbor_extract_pallas,
+        adf_pairs_histogram_pallas,
+        brick_window_bound,
+        sorted_neighbor_extract,
+    )
+
+    f, n, box_l, cutoff, n_bins = 2, 4096, 16.0, 2.2, 73
+    pos = rng.uniform(0, box_l, (f, n, 3)).astype(np.float32)
+    sid = np.r_[np.zeros(2000), np.ones(n - 2100), -np.ones(100)].astype(
+        np.int32
+    )
+    box = jnp.asarray([box_l] * 3, jnp.float32)
+    box_np = np.array([box_l] * 3, np.float32)
+    wb = brick_window_bound(n, box_np, cutoff)
+    assert wb < n // 128  # the bound narrows the scratch here
+    rx, ry, rz, d_b, s_b, cnt_b, sid_b, ovf = sorted_neighbor_extract(
+        jnp.asarray(pos), jnp.asarray(sid), box, cutoff,
+        k_n=128, interpret=True, e_fixed=6, w_chunks=wb,
+        sort="brick", n_arcs=6,
+    )
+    assert int(ovf) == 0
+    _, rxu, ryu, rzu, d_u, s_u, cnt_u = _neighbor_extract_pallas(
+        jnp.asarray(pos), jnp.asarray(sid), box, cutoff,
+        k_n=128, interpret=True,
+    )
+    d_b, s_b, sid_b = map(np.asarray, (d_b, s_b, sid_b))
+    d_u, s_u = np.asarray(d_u), np.asarray(s_u)
+    sid_pad = np.r_[sid, -np.ones(d_u.shape[1] - n, np.int32)]
+    sid_u = np.broadcast_to(sid_pad, d_u.shape[:2])
+    assert _triple_multiset(d_b, s_b, sid_b) == _triple_multiset(
+        d_u, s_u, sid_u
+    )
+    # the displacement components are consistent with the distances
+    dd = np.sqrt(np.asarray(rx) ** 2 + np.asarray(ry) ** 2
+                 + np.asarray(rz) ** 2)
+    np.testing.assert_allclose(dd, d_b, atol=1e-5)
+
+    # folded angle stage on the brick tensors == on the unsorted tensors
+    h_ref = np.asarray(adf_pairs_histogram_pallas(
+        (rxu, ryu, rzu), d_u, s_u, jnp.asarray(sid_pad), n_bins, 2,
+        fold=True, interpret=True,
+    ))
+    h_brick = np.asarray(adf_pairs_histogram_pallas(
+        (rx, ry, rz), d_b, s_b,
+        jnp.asarray(sid_b, dtype=jnp.float32)[..., None], n_bins, 2,
+        fold=True, counts=cnt_b[..., None], interpret=True,
+    ))
+    np.testing.assert_allclose(h_brick, h_ref, rtol=1e-5, atol=1e-6)
+
+    # a bound below some block's total window must flag overflow
+    *_, ovf_small = sorted_neighbor_extract(
+        jnp.asarray(pos), jnp.asarray(sid), box, cutoff,
+        k_n=128, interpret=True, e_fixed=6, w_chunks=2,
+        sort="brick", n_arcs=6,
+    )
+    assert int(ovf_small) == 1
