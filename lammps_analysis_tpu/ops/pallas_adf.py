@@ -704,6 +704,13 @@ def _chunk_arcs(pos_s, sid_s, box, cutoff, tc, n_arcs, pos_c=None,
         split=split,
     )
     r, c = flags.shape
+    if n_arcs > c:  # tiny systems: fewer chunks than requested arcs
+        arcs, total = _chunk_arcs(
+            pos_s, sid_s, box, cutoff, tc, c, pos_c=pos_c, sid_c=sid_c,
+            split=split,
+        )
+        pad = jnp.zeros((r, 2 * (n_arcs - c)), arcs.dtype)
+        return jnp.concatenate([arcs, pad], axis=1), total
     on = flags == 1
     any_on = jnp.any(on, axis=1)
     all_on = jnp.all(on, axis=1)
@@ -1012,7 +1019,8 @@ def sorted_neighbor_extract(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k_n", "interpret", "e_fixed", "w_chunks", "n_shards"),
+    static_argnames=("k_n", "interpret", "e_fixed", "w_chunks", "n_shards",
+                     "sort", "n_arcs"),
 )
 def sorted_neighbor_extract_stripe(
     positions: jnp.ndarray,  # (F, N, 3) — the FULL atom set
@@ -1025,6 +1033,8 @@ def sorted_neighbor_extract_stripe(
     interpret: bool = False,
     e_fixed: int = 4,
     w_chunks: int | None = None,
+    sort: str = "z",
+    n_arcs: int = 1,
 ):
     """Center-STRIPE sorted extract for tensor-parallel ADF.
 
@@ -1051,9 +1061,15 @@ def sorted_neighbor_extract_stripe(
             else (0, n_pad - n),
             constant_values=-1,
         )
-    pos_s, sid_s = _spatial_sort(
-        positions.astype(jnp.float32), species_id, box
-    )
+    brick = sort == "brick"
+    if brick:
+        pos_s, sid_s = _brick_sort(
+            positions.astype(jnp.float32), species_id, box, cutoff
+        )
+    else:
+        pos_s, sid_s = _spatial_sort(
+            positions.astype(jnp.float32), species_id, box
+        )
     n_local = n_pad // n_shards
     lo = jnp.asarray(rank, jnp.int32) * n_local
     pos_c = jax.lax.dynamic_slice_in_dim(pos_s, lo, n_local, axis=1)
@@ -1063,11 +1079,19 @@ def sorted_neighbor_extract_stripe(
         tc = min(_extract_tc_windowed(n_pad, w_chunks), n_local)
     else:
         tc = min(_extract_tc(n_pad), n_local)
-    win = _chunk_window(
-        pos_s, sid_s, box, cutoff, tc, pos_c=pos_c, sid_c=sid_c
-    )
+    if brick:
+        win, total = _chunk_arcs(
+            pos_s, sid_s, box, cutoff, tc, max(n_arcs, 1),
+            pos_c=pos_c, sid_c=sid_c,
+        )
+        covered = jnp.max(total)
+    else:
+        win = _chunk_window(
+            pos_s, sid_s, box, cutoff, tc, pos_c=pos_c, sid_c=sid_c
+        )
+        covered = jnp.max(win[:, 1])
     if w_chunks is not None:
-        overflow = (jnp.max(win[:, 1]) > w_chunks).astype(jnp.int32)
+        overflow = (covered > w_chunks).astype(jnp.int32)
     else:
         overflow = jnp.asarray(0, jnp.int32)
     _, rx, ry, rz, d_n, sid_n, cnt = _neighbor_extract_pallas(

@@ -828,12 +828,14 @@ def sharded_adf_histogram_2d(
         )
         def sharded(pos_shard, sid, ttab, box_, *, _k=plan.k_n,
                     _pack=plan.pack, _ee=plan.extract_e,
-                    _wc=plan.w_chunks):
+                    _wc=plan.w_chunks, _sort=getattr(plan, "sort", "z"),
+                    _arcs=getattr(plan, "n_arcs", 1)):
             rank = jax.lax.axis_index("atoms")
             rx, ry, rz, d_nn, s_nn, cnts, sid_c, ovf = (
                 _pk.sorted_neighbor_extract_stripe(
                     pos_shard, sid, box_, cutoff, rank, n_at,
-                    k_n=_k, e_fixed=_ee, w_chunks=_wc,
+                    k_n=_k, e_fixed=_ee, w_chunks=_wc, sort=_sort,
+                    n_arcs=_arcs if _sort == "brick" else 1,
                 )
             )
             h = _pk.adf_stage2_auto(

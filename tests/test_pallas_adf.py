@@ -552,11 +552,12 @@ def test_extract_kernel_tc_invariant(rng, tc):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_stripe_extract_union_matches_full(rng):
+@pytest.mark.parametrize("sort,n_arcs", [("z", 1), ("brick", 6)])
+def test_stripe_extract_union_matches_full(rng, sort, n_arcs):
     """Center-stripe extracts (tensor-parallel sharding) concatenated over
     all ranks must equal the full sorted extract exactly — every sorted
     center owned by exactly one stripe, global self-pair exclusion
-    intact, no overflow at the full-width bound."""
+    intact, no overflow at the full-width bound. Both sort orders."""
     from lammps_analysis_tpu.ops.pallas_adf import (
         sorted_neighbor_extract,
         sorted_neighbor_extract_stripe,
@@ -568,12 +569,13 @@ def test_stripe_extract_union_matches_full(rng):
     box = jnp.asarray([box_l] * 3, jnp.float32)
     full = sorted_neighbor_extract(
         jnp.asarray(pos), jnp.asarray(sid), box, cutoff,
-        k_n=128, interpret=True,
+        k_n=128, interpret=True, sort=sort, n_arcs=n_arcs,
     )
     parts = [
         sorted_neighbor_extract_stripe(
             jnp.asarray(pos), jnp.asarray(sid), box, cutoff,
             jnp.asarray(r), n_shards, k_n=128, interpret=True,
+            sort=sort, n_arcs=n_arcs,
         )
         for r in range(n_shards)
     ]
