@@ -723,3 +723,39 @@ def test_brick_extract_matches_unsorted(rng):
         sort="brick", n_arcs=6,
     )
     assert int(ovf_small) == 1
+
+
+@pytest.mark.parametrize("sort,n_arcs", [("z", 1), ("brick", 6)])
+def test_sorted_packed_folded_stage2(rng, sort, n_arcs):
+    """The production 10k route's exact stage-2 combination — per-frame
+    center species (sorted extract) + center packing + folded pairs +
+    counts skip — must equal the unpacked folded stage on the same
+    neighbor tensors."""
+    from lammps_analysis_tpu.ops.pallas_adf import (
+        adf_stage2_auto,
+        sorted_neighbor_extract,
+    )
+
+    f, n, box_l, cutoff, n_bins, pack = 2, 1024, 14.0, 2.0, 73, 4
+    pos = rng.uniform(0, box_l, (f, n, 3)).astype(np.float32)
+    sid = np.repeat(np.arange(2), n // 2).astype(np.int32)
+    box = jnp.asarray([box_l] * 3, jnp.float32)
+    rx, ry, rz, d_s, s_s, cnt, sid_s, ovf = sorted_neighbor_extract(
+        jnp.asarray(pos), jnp.asarray(sid), box, cutoff,
+        k_n=128, interpret=True, e_fixed=6, sort=sort, n_arcs=n_arcs,
+    )
+    assert int(ovf) == 0
+    # low density: every center's count fits a 128/4-slot sub-list
+    assert int(jnp.max(cnt)) <= 128 // pack
+    h_packed = np.asarray(adf_stage2_auto(
+        (rx, ry, rz), d_s, s_s, sid_s, n_bins, 2,
+        pack=pack, counts=cnt, per_frame_sid=True, fold=True,
+        interpret=True,
+    ))
+    h_plain = np.asarray(adf_stage2_auto(
+        (rx, ry, rz), d_s, s_s, sid_s, n_bins, 2,
+        pack=1, counts=cnt, per_frame_sid=True, fold=True,
+        interpret=True,
+    ))
+    np.testing.assert_allclose(h_packed, h_plain, rtol=1e-5, atol=1e-6)
+    assert h_plain.sum() > 0  # non-trivial workload
