@@ -703,12 +703,15 @@ def _chunk_arcs(pos_s, sid_s, box, cutoff, tc, n_arcs, pos_c=None,
         pos_s, sid_s, box, cutoff, tc, pos_c=pos_c, sid_c=sid_c,
         split=split,
     )
+    return _arcs_from_flags(flags, n_arcs)
+
+
+@functools.partial(jax.jit, static_argnames=("n_arcs",))
+def _arcs_from_flags(flags, n_arcs: int):
+    """Cover each flag row by <= n_arcs circular arcs (see _chunk_arcs)."""
     r, c = flags.shape
     if n_arcs > c:  # tiny systems: fewer chunks than requested arcs
-        arcs, total = _chunk_arcs(
-            pos_s, sid_s, box, cutoff, tc, c, pos_c=pos_c, sid_c=sid_c,
-            split=split,
-        )
+        arcs, total = _arcs_from_flags(flags, c)
         pad = jnp.zeros((r, 2 * (n_arcs - c)), arcs.dtype)
         return jnp.concatenate([arcs, pad], axis=1), total
     on = flags == 1

@@ -759,3 +759,43 @@ def test_sorted_packed_folded_stage2(rng, sort, n_arcs):
     ))
     np.testing.assert_allclose(h_packed, h_plain, rtol=1e-5, atol=1e-6)
     assert h_plain.sum() > 0  # non-trivial workload
+
+
+def test_arcs_from_flags_properties(rng):
+    """Property test of the arc-cover core on adversarial bitmaps:
+    every flagged chunk covered, <= n_arcs arcs, totals consistent,
+    and the cover is tight when the row has <= n_arcs runs."""
+    from lammps_analysis_tpu.ops.pallas_adf import _arcs_from_flags
+
+    c, n_arcs = 24, 4
+    rows = [
+        np.zeros(c, np.int32),                      # nothing to process
+        np.ones(c, np.int32),                       # everything
+        np.eye(1, c, 5, dtype=np.int32)[0],         # single chunk
+        1 - np.eye(1, c, 5, dtype=np.int32)[0],     # single hole
+        np.tile([1, 0], c // 2).astype(np.int32),   # alternating (12 runs)
+        np.r_[np.ones(3), np.zeros(c - 6), np.ones(3)].astype(np.int32),
+        np.r_[np.zeros(4), np.ones(2), np.zeros(c - 6)].astype(np.int32),
+    ] + [rng.integers(0, 2, c).astype(np.int32) for _ in range(40)]
+    flags = np.stack(rows)
+    arcs, total = _arcs_from_flags(jnp.asarray(flags), n_arcs)
+    arcs, total = np.asarray(arcs), np.asarray(total)
+    for r in range(flags.shape[0]):
+        covered = np.zeros(c, bool)
+        used = 0
+        for a in range(n_arcs):
+            s0, cnt = arcs[r, 2 * a], arcs[r, 2 * a + 1]
+            assert 0 <= cnt <= c and 0 <= s0 < max(c, 1)
+            if cnt:
+                used += 1
+            covered[(s0 + np.arange(cnt)) % c] = True
+        assert used <= n_arcs
+        assert covered.sum() == total[r]
+        missed = flags[r].astype(bool) & ~covered
+        assert not missed.any(), (r, flags[r], arcs[r])
+        # rows with <= n_arcs runs must be covered EXACTLY (no waste)
+        runs = int(np.sum((flags[r] == 1) & (np.roll(flags[r], 1) == 0)))
+        if flags[r].all():
+            runs = 1
+        if 0 < runs <= n_arcs:
+            assert covered.sum() == flags[r].sum(), (r, flags[r], arcs[r])
