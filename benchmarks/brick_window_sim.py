@@ -1,97 +1,68 @@
-"""Estimate processed-chunk counts: z-sort single arc vs (z-slab, y) brick
-sort with <=3 arcs, using the exact bbox chunk-skip predicate."""
+"""Chunk-window cost: z-sort single arc vs serpentine brick multi-arc.
+
+Drives the PRODUCTION functions (`_spatial_sort` / `_brick_sort`,
+`_chunk_window` / `_chunk_arcs`) on uniform boxes and prints per-block
+processed-chunk counts — the stage-1 sweep cost model that motivated the
+brick extract. Run on CPU:
+
+    PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python benchmarks/brick_window_sim.py
+
+Design history (each step measured with the exact bbox predicate):
+plain (z-slab, y) lexsort left slab-SEAM blocks with full-y bboxes
+spanning ~4 slabs (max covered 105/512 chunks at 65k); serpentine y
+(odd slabs descend) makes seam neighbors adjacent, and split sub-block
+bboxes + 6 covering arcs bring 65k/3.6 to mean ~11, max ~21 vs the
+z-sort's 50.7 — the measured basis of `brick_window_bound`.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+
 import numpy as np
 
-def bbox_flags(pos_s, tc, box, cutoff):
-    """(n_blocks, n_chunks) conservative process flags (same math as
-    _chunk_skip_bitmap, valid atoms only)."""
-    n = pos_s.shape[0]
-    nb, nc = n // tc, n // 128
-    pb = pos_s[: nb * tc].reshape(nb, tc, 3)
-    cb = (pb.min(1) + pb.max(1)) / 2
-    hb = (pb.max(1) - pb.min(1)) / 2
-    pc = pos_s[: nc * 128].reshape(nc, 128, 3)
-    cc = (pc.min(1) + pc.max(1)) / 2
-    hc = (pc.max(1) - pc.min(1)) / 2
-    dd = cb[:, None, :] - cc[None, :, :]
-    dd -= box * np.round(dd / box)
-    gap = np.maximum(np.abs(dd) - hb[:, None, :] - hc[None, :, :], 0.0)
-    return (gap**2).sum(-1) <= cutoff**2 * (1 + 1e-5)
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
-def arcs_needed(flags_row):
-    """number of circular runs of 1s."""
-    f = flags_row.astype(int)
-    if f.all() or not f.any():
-        return 1 if f.any() else 0
-    transitions = np.sum((f == 1) & (np.roll(f, 1) == 0))
-    return transitions
 
-def window_cost(flags, max_arcs):
-    """processed chunks per block if we cover flags with <= max_arcs circular
-    runs (fallback: full width)."""
-    nb, nc = flags.shape
-    total = 0
-    fallback = 0
-    for b in range(nb):
-        k = arcs_needed(flags[b])
-        if k == 0:
-            continue
-        if k <= max_arcs:
-            total += flags[b].sum()
-        else:
-            # merge runs greedily: cover with max_arcs arcs = sum of runs +
-            # smallest gaps merged. Approximate with exact minimal cover:
-            f = flags[b].astype(int)
-            idx = np.where(f)[0]
-            # circular: compute gaps between consecutive 1-runs
-            runs = []
-            start = None
-            for i in range(nc):
-                if f[i] and (start is None):
-                    start = i
-                if not f[i] and start is not None:
-                    runs.append((start, i - 1)); start = None
-            if start is not None:
-                if runs and runs[0][0] == 0 and f[-1]:
-                    runs[0] = (start, runs[0][1] + nc)  # wrap merge
-                else:
-                    runs.append((start, nc - 1))
-            if len(runs) <= max_arcs:
-                total += f.sum(); continue
-            # gaps between consecutive runs (circular)
-            gaps = []
-            for i in range(len(runs)):
-                nxt = runs[(i + 1) % len(runs)]
-                g = (nxt[0] - runs[i][1] - 1) % nc
-                gaps.append(g)
-            # keep the max_arcs largest gaps open; merge the rest
-            gaps_sorted = sorted(gaps, reverse=True)
-            merged_cost = f.sum() + sum(gaps) - sum(gaps_sorted[:max_arcs])
-            total += min(merged_cost, nc)
-    return total / nb
+def main():
+    import jax.numpy as jnp
 
-rng = np.random.default_rng(0)
-for n_atoms, box, cutoff in [(10240, 40.0, 3.6), (10240, 40.0, 5.5), (65536, 74.3, 3.6)]:
-    pos = rng.uniform(0, box, (n_atoms, 3))
-    nc = n_atoms // 128
-    # --- plain z sort
-    pz = pos[np.argsort(pos[:, 2])]
-    # --- brick: z-slab (width >= cutoff, integral number of slabs) then y
-    n_slabs = max(1, int(box // cutoff))
-    sw = box / n_slabs
-    slab = np.minimum((pos[:, 2] // sw).astype(int), n_slabs - 1)
-    order = np.lexsort((pos[:, 1], slab))
-    pb = pos[order]
-    for tc in (8, 16, 32):
-        fz = bbox_flags(pz, tc, box, cutoff)
-        fb = bbox_flags(pb, tc, box, cutoff)
-        z1 = window_cost(fz, 1)
-        b3 = window_cost(fb, 3)
-        b4 = window_cost(fb, 4)
-        arcs = [arcs_needed(fb[b]) for b in range(fb.shape[0])]
-        print(
-            f"N={n_atoms} cutoff={cutoff} tc={tc}: z-sort 1-arc {z1:.1f} ch/blk"
-            f" | brick <=3 arcs {b3:.1f} | <=4 {b4:.1f}"
-            f" | ideal {fb.sum(1).mean():.1f} | arc-count p95 {np.percentile(arcs,95):.0f}"
-            f" | total chunks {nc}"
-        )
+    from lammps_analysis_tpu.ops.pallas_adf import (
+        _brick_sort,
+        _chunk_arcs,
+        _chunk_window,
+        _round_up,
+        _spatial_sort,
+        brick_window_bound,
+    )
+
+    rng = np.random.default_rng(0)
+    print(f"{'n':>6} {'cutoff':>6} {'tc':>4} | {'z mean':>7} {'z max':>6} "
+          f"| {'brick mean':>10} {'brick max':>9} {'bound':>6} | chunks")
+    for n, box_l, cutoff in [
+        (4096, 16.0, 2.2),
+        (10240, 40.0, 3.6),
+        (10240, 40.0, 5.5),
+        (65536, 74.3, 3.6),
+        (65536, 74.3, 5.5),
+    ]:
+        pos = rng.uniform(0, box_l, (2, n, 3)).astype(np.float32)
+        sid = np.zeros(n, np.int32)
+        box = jnp.asarray([box_l] * 3, jnp.float32)
+        n_chunks = _round_up(n, 128) // 128
+        zs, zsid = _spatial_sort(jnp.asarray(pos), jnp.asarray(sid), box)
+        bs, bsid = _brick_sort(jnp.asarray(pos), jnp.asarray(sid), box,
+                               cutoff)
+        bound = brick_window_bound(n, [box_l] * 3, cutoff)
+        for tc in (32, 128):
+            wz = np.asarray(_chunk_window(zs, zsid, box, cutoff, tc))[:, 1]
+            _, tb = _chunk_arcs(bs, bsid, box, cutoff, tc, 6)
+            tb = np.asarray(tb)
+            print(f"{n:>6} {cutoff:>6} {tc:>4} | {wz.mean():>7.1f} "
+                  f"{wz.max():>6} | {tb.mean():>10.1f} {tb.max():>9} "
+                  f"{bound:>6} | {n_chunks}")
+
+
+if __name__ == "__main__":
+    main()
