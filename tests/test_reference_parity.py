@@ -585,3 +585,67 @@ def test_gk_viscosity_family_parity(
     np.testing.assert_allclose(
         res["System"]["uncertainty"][0], prefactor * sem_ref[-1], rtol=1e-6
     )
+
+
+def test_ternary_rdf_adf_parity(tmp_path, rng):
+    """3-species system through the calculator layer: 6 RDF pairs and 10
+    ADF triples keyed and normalised exactly as the reference (the kernel
+    tests cover S=3 tensors; this locks the calculator-level species
+    concatenation, pair/triple tables, and prefactors against the
+    oracles)."""
+    n_each, n_frames, box = 16, 30, 10.0
+    species = ["Li", "Na", "Cl"]
+    sp = [SpeciesInfo(s, n_each, [POS]) for s in species]
+    meta = TrajectoryMetadata(
+        n_configurations=n_frames, species_list=sp, box_l=[box] * 3,
+        sample_rate=1, temperature=900.0,
+    )
+    chunk = TrajectoryChunkData(sp, n_frames)
+    data = {}
+    for s in species:
+        pos = rng.uniform(0, box, (n_frames, n_each, 3))
+        chunk.add_data(pos, 0, s, "Positions")
+        data[s] = pos
+    exp = latpu.Project(name="ternary", storage_path=tmp_path).add_experiment(
+        "t", timestep=0.002, temperature=900.0, units="metal",
+        simulation_data=ScriptInput(chunk, meta, "t0"),
+    )
+
+    n_bins, cutoff, n_conf = 60, 4.0, 6
+    res = exp.run.RadialDistributionFunction(
+        number_of_configurations=n_conf, cutoff=cutoff,
+        number_of_bins=n_bins, plot=False,
+    )
+    sample_idx = np.unique(
+        np.linspace(0, n_frames - 1, n_conf, dtype=int)
+    )
+    ref = oracle.rdf_reference(
+        data, sample_idx, np.array([box] * 3), box**3, cutoff, n_bins,
+        exp.units.length,
+    )
+    assert sorted(res.data_dict.keys()) == sorted(ref.keys())  # 6 pairs
+    assert len(ref) == 6
+    for pair, (x_ref, g_ref) in ref.items():
+        np.testing.assert_allclose(
+            res[pair]["y"], g_ref, rtol=1e-6, atol=1e-9,
+            err_msg=f"ternary RDF parity broken for {pair}",
+        )
+
+    adf_bins = 45
+    res_adf = exp.run.AngularDistributionFunction(
+        number_of_configurations=3, cutoff=3.0, number_of_bins=adf_bins,
+        start=0, stop=n_frames - 1, plot=False,
+    )
+    adf_idx = np.unique(np.linspace(0, n_frames - 1, 3, dtype=int))
+    ref_adf = oracle.adf_reference(
+        data, adf_idx, np.array([box] * 3), 3.0, adf_bins, norm_power=4
+    )
+    assert sorted(res_adf.data_dict.keys()) == sorted(ref_adf.keys())
+    assert len(ref_adf) == 10  # triples with non-decreasing species index
+    for key, (ang, h_ref) in ref_adf.items():
+        h = np.asarray(res_adf[key]["adf"])
+        scale = max(np.abs(h_ref).max(), 1e-12)
+        np.testing.assert_allclose(
+            h, h_ref, rtol=5e-4, atol=1e-5 * scale,
+            err_msg=f"ternary ADF parity broken for {key}",
+        )
