@@ -102,3 +102,60 @@ def test_fast_path_token_parity():
             assert np.isnan(got), tok
         else:
             assert got == want, (tok, got, want)
+
+
+def test_fuzz_no_crash_on_malformed_input(rng):
+    """Memory safety of the C++ parser on adversarial bytes: random
+    substitutions/insertions/deletions/newline injections plus empty,
+    truncated, duplicated and pure-binary inputs must either parse (bad
+    tokens become NaN) or raise ValueError — never crash or read past
+    the buffer."""
+    import numpy as np
+
+    from lammps_analysis_tpu.file_io import native_parser as npx
+
+    if not npx.available():
+        import pytest
+
+        pytest.skip("native parser unavailable (no toolchain)")
+
+    lines = []
+    for c in range(2):
+        lines += [f"HEADER {c}", "cols: id type x y z"]
+        for i in range(8):
+            lines.append(
+                f"{i+1} 2 {rng.uniform():.6f} {rng.uniform():.6f} "
+                f"{rng.uniform():.6f}"
+            )
+    good = ("\n".join(lines) + "\n").encode()
+
+    parsed = errors = 0
+    for _ in range(500):
+        b = bytearray(good)
+        for _ in range(int(rng.integers(1, 8))):
+            op = int(rng.integers(0, 4))
+            pos = int(rng.integers(0, len(b)))
+            if op == 0:
+                b[pos] = int(rng.integers(32, 127))
+            elif op == 1:
+                del b[pos]
+            elif op == 2:
+                b.insert(pos, int(rng.integers(32, 127)))
+            else:
+                b[pos] = 10
+        try:
+            out = npx.parse_table_block(bytes(b), 2, 2, 8, 5, id_col=0)
+            assert out.shape == (2, 8, 5)
+            parsed += 1
+        except ValueError:
+            errors += 1
+    extremes = [
+        b"", b"\n" * 100, good[:37], good * 3,
+        bytes(rng.integers(0, 256, 4096, dtype=np.uint8)),
+    ]
+    for extreme in extremes:
+        try:
+            npx.parse_table_block(extreme, 2, 2, 8, 5, id_col=0)
+        except ValueError:
+            pass
+    assert parsed + errors == 500
