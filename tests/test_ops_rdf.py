@@ -229,3 +229,61 @@ def test_adf_neighbor_saturation_retry(rng):
         )
     )
     np.testing.assert_allclose(h_nb, h_full, rtol=2e-4, atol=1e-4)
+
+
+def test_ideal_correction_beyond_half_box_monte_carlo(rng):
+    """The piecewise sphere-box intersection corrections (reference
+    radial_distribution_function.py:719-826) against direct Monte Carlo:
+    the shell term at radius r is 4 pi r^2 times the fraction of
+    directions that stay inside the min-image cube."""
+    from lammps_analysis_tpu.ops.rdf import ideal_gas_correction
+
+    L = 10.0
+    rs = np.array([3.0, 4.9, 5.1, 5.5, 6.0, 6.5, 7.0])
+    vals = ideal_gas_correction(rs, L)
+    u = rng.normal(size=(400_000, 3))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    for r, v in zip(rs, vals):
+        inside = np.all(np.abs(r * u) <= L / 2, axis=1).mean()
+        mc = 4 * np.pi * r**2 * inside
+        # MC noise at 400k samples is ~0.5% where the surviving solid
+        # angle is small; 2% still cleanly rejects the uncorrected
+        # 4 pi r^2 term (70% too high at r=6.5)
+        np.testing.assert_allclose(v, mc, rtol=2e-2,
+                                   err_msg=f"correction wrong at r={r}")
+
+
+def test_rdf_beyond_half_box_cutoff(tmp_path, rng):
+    """An RDF with cutoff in (L/2, sqrt(2) L/2) runs end-to-end and stays
+    normalised: an ideal gas must give g ~ 1 through the corrected range
+    (the uncorrected 4 pi r^2 term would bias it low past L/2)."""
+    import lammps_analysis_tpu as latpu
+    from lammps_analysis_tpu.database import (
+        PropertyInfo, SpeciesInfo, TrajectoryChunkData, TrajectoryMetadata,
+    )
+    from lammps_analysis_tpu.file_io import ScriptInput
+
+    POS = PropertyInfo("Positions", 3)
+    n, t, box = 600, 40, 10.0
+    sp = [SpeciesInfo("X", n, [POS])]
+    meta = TrajectoryMetadata(
+        n_configurations=t, species_list=sp, box_l=[box] * 3, sample_rate=1,
+    )
+    chunk = TrajectoryChunkData(sp, t)
+    chunk.add_data(rng.uniform(0, box, (t, n, 3)), 0, "X", "Positions")
+    exp = latpu.Project(name="hb", storage_path=tmp_path).add_experiment(
+        "e", timestep=0.1, units="real",
+        simulation_data=ScriptInput(chunk, meta, "d"),
+    )
+    cutoff = 6.5  # > L/2 = 5, < sqrt(2) L/2 = 7.07
+    res = exp.run.RadialDistributionFunction(
+        number_of_configurations=t, cutoff=cutoff, number_of_bins=65,
+        plot=False,
+    )
+    g = np.asarray(res["X_X"]["y"])
+    x = np.asarray(res["X_X"]["x"])  # nm
+    sel = (x > 0.15) & (x < 0.63)  # away from r=0 noise and the last bin
+    assert np.abs(np.mean(g[sel]) - 1.0) < 0.05
+    # specifically the corrected region past L/2
+    past = (x > 0.52) & (x < 0.63)
+    assert np.abs(np.mean(g[past]) - 1.0) < 0.08
