@@ -695,6 +695,8 @@ def _chunk_arcs(pos_s, sid_s, box, cutoff, tc, n_arcs, pos_c=None,
     always a superset of the flagged chunks, never lossy, degrading
     smoothly to the full range when the row is gap-poor.
 
+    ``split`` refines the block bboxes (see :func:`_chunk_skip_bitmap`).
+
     Returns ``(arcs (rows, 2 * n_arcs) int32, total (rows,) int32)``:
     per-row [(start, count), ...] with unused arcs as (0, 0), and the
     total covered chunk count (the caller's scratch-overflow check).
