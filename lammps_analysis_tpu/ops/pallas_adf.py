@@ -19,7 +19,7 @@ unique-j keys guarantee a single matching lane). Leftovers are swept by
 one dynamically-bounded full-scratch pass. The production route z-sorts
 each frame first (``sorted_neighbor_extract``): a per-block circular
 chunk WINDOW then bounds the sweep to the ~2*cutoff slab, the scratches
-shrink to the window bound (which is what lifts the atom cap to 65536),
+shrink to the window bound (which is what lifts the atom cap to 262144),
 and center STRIPES of the sorted order shard over a mesh axis
 (``sorted_neighbor_extract_stripe``). The kernel emits the finished
 neighbor tensors; there is no XLA gather or post-processing (sorted
@@ -188,8 +188,11 @@ def adf_neighbor_lists(
 #: order-invariant), so no distance sorting is needed at all.
 _JCAP = 16384  #: max padded atom count routed to this kernel (VMEM keys row)
 #: cap for the WINDOW-relative-scratch variant: the scratches scale with
-#: the window bound (not N), so only the (1, N) j-rows grow with N
-_JCAP_WINDOWED = 65536
+#: the window bound (not N), so only the (1, N) j-rows grow with N.
+#: Measured on v5e at the serpentine-brick sort (2026-08-18 session):
+#: 131072 atoms 194.6 ms/frame vs 1032.6 via cells (5.3x), 262144 atoms
+#: 343 ms/frame at this cap's edge — cells only win beyond it.
+_JCAP_WINDOWED = 262144
 _EMPTY = 3.0e7  # key for non-neighbor lanes
 _TAKEN = 6.0e7  # key for already-extracted lanes
 

@@ -194,8 +194,9 @@ class _AdfPlan:
         # Cell lists beat the O(N^2) scan asymptotically, but TPU gathers
         # make them SLOWER until very large N (171-244 vs 119 ms/frame at
         # 10k for the masked top_k; the windowed sorted extract measured
-        # 32 vs 1470 ms/frame at 32k) — with the Pallas sorted route
-        # available they only engage above its 65k cap.
+        # 32 vs 1470 ms/frame at 32k; brick extract 194.6 vs 1032.6 at
+        # 131k) — with the Pallas sorted route available they only engage
+        # above its 262144-atom cap.
         cells_floor = _JCAP_WINDOWED if use_pallas else 32768
         self.use_cells = n_avail > cells_floor and cell_lists_applicable(
             box_np, float(cutoff)
@@ -232,12 +233,14 @@ class _AdfPlan:
 
         self.use_sorted = bool(use_pallas) and n_avail >= 4096
         # serpentine brick ((z-slab, snake-y)) sort: per-block windows
-        # shrink a further ~3.5x at 65k atoms (interpret-validated; see
-        # sorted_neighbor_extract(sort="brick")). Opt-in via
-        # LATPU_ADF_SORT=brick until a healthy-chip A/B lands — the
-        # rebaseline script measures both routes back to back.
+        # shrink a further ~3.5x at 65k atoms. Hardware A/B (v5e,
+        # 2026-08-18, ms/frame z vs brick): 10240: 21.7 vs 33.5 (z wins —
+        # chunk granularity floors the small case), 16384: 61.7 vs 58.1,
+        # 32768: 85.1 vs 64.9, 65536: 120.4 vs 93.6, 131072: 462.5 vs
+        # 194.6 — brick from 16k up, z below. LATPU_ADF_SORT overrides.
+        default_sort = "brick" if n_avail >= 16384 else "z"
         self.sort = (
-            os.environ.get("LATPU_ADF_SORT", "z")
+            os.environ.get("LATPU_ADF_SORT", default_sort)
             if self.use_sorted else "z"
         )
         self.n_arcs = 6
