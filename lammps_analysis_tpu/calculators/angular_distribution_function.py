@@ -94,6 +94,20 @@ class AngularDistributionFunction(TrajectoryCalculator):
             [join_path(sp, self.loaded_property.name) for sp in species]
         )
         frames_per_batch = max(1, min(plan.frame_batch, len(sample_configs)))
+        # On the TPU tiled route the quadratic plan collapses to ~1
+        # frame/batch while the pipeline's per-call fixed cost wants
+        # taller calls (2.4x at f=16, see adf_frames_per_call)
+        from ..parallel.sharded_ops import adf_frames_per_call
+
+        fpc = adf_frames_per_call(
+            n_pad,
+            np.asarray(exp.box_array, dtype=np.float32),
+            a["cutoff"],
+            self.experiment.planner.budget_bytes,
+        )
+        frames_per_batch = max(
+            frames_per_batch, min(fpc, len(sample_configs))
+        )
         dtype = np.float32
 
         box = jnp.asarray(np.asarray(exp.box_array, dtype=dtype))

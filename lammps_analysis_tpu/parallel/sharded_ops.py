@@ -532,6 +532,31 @@ def _adf_tiled_framesharded(
             return hist
 
 
+def adf_frames_per_call(n_atoms, box, cutoff, budget_bytes, cap=16):
+    """Route-aware ADF frames-per-feed for the TPU tiled pipeline.
+
+    The generic quadratic batch plan models the O(N^2) gram tiles — which
+    ``c_block`` already bounds — and collapses to ~1 frame per batch at
+    10k atoms, leaving the Pallas pipeline dispatch-bound on its per-call
+    sort+window fixed cost. On the sorted/cells routes the device working
+    set is LINEAR in frames (positions + ~5 K-wide f32 neighbor tensors +
+    the angle stage's row copies), and taller calls amortise hard:
+    measured 21.7 (f=2) -> 10.4 (f=8) -> 9.1 ms/frame (f=16) at 10240
+    atoms first-shell (benchmarks/rebaseline.json). ``cap`` stays at the
+    measured sweet spot — gains flatten past 8-16 and novel taller shapes
+    cost cold Mosaic compiles. Returns 1 off-TPU or below the tiled
+    threshold (callers keep the planner's batch there).
+    """
+    if jax.default_backend() != "tpu" or n_atoms <= 1536:
+        return 1
+    plan = _AdfPlan(
+        int(n_atoms), np.asarray(box), float(cutoff), use_pallas=True
+    )
+    per_frame = n_atoms * 4 * (3 + 10 * plan.k_n)
+    budget = max(int(0.25 * budget_bytes), 1)
+    return int(np.clip(budget // max(per_frame, 1), 1, cap))
+
+
 class AdfBatchRunner:
     """Streamed ADF batches with ONE saturation sync for the whole run.
 

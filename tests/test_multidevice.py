@@ -509,3 +509,24 @@ def test_adf_window_overflow_retries_unsorted(rng, monkeypatch):
     ))
     assert not plan.use_sorted  # escalate disabled the sorted route
     np.testing.assert_allclose(h, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_adf_frames_per_call_route_aware(monkeypatch):
+    """The TPU tiled route sizes frames-per-feed from its LINEAR footprint
+    (the quadratic plan collapses to 1 frame and leaves the pipeline
+    dispatch-bound); off-TPU and below the tiled threshold it defers to
+    the planner."""
+    from lammps_analysis_tpu.parallel import sharded_ops as so
+
+    box = np.array([40.0] * 3, np.float32)
+    # off-TPU: keep the planner's batch
+    assert so.adf_frames_per_call(10240, box, 3.6, 8 << 30) == 1
+    monkeypatch.setattr(so.jax, "default_backend", lambda: "tpu")
+    # budget-rich: the measured f=16 sweet spot caps the call height
+    assert so.adf_frames_per_call(10240, box, 3.6, 8 << 30) == 16
+    # memory-bound at very large N: the linear model shrinks the call
+    box_big = box * (262144 / 10240) ** (1 / 3)
+    f_big = so.adf_frames_per_call(262144, box_big, 3.6, 8 << 30)
+    assert 1 <= f_big < 16
+    # tiny systems keep the gram route untouched
+    assert so.adf_frames_per_call(1024, np.array([20.0] * 3), 3.6, 8 << 30) == 1
