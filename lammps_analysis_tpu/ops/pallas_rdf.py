@@ -62,7 +62,7 @@ def padded_atom_count(n: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_bins", "n_species", "interpret"),
+    static_argnames=("n_bins", "n_species", "interpret", "k_lo"),
 )
 def rdf_histogram_pallas(
     positions: jnp.ndarray,  # (F, N, 3) float32, species-concatenated
@@ -73,12 +73,19 @@ def rdf_histogram_pallas(
     box,
     n_valid_frames=None,
     interpret: bool = False,
+    k_lo: int | None = None,
 ) -> jnp.ndarray:
     """Per-species-pair distance histograms; returns (n_pairs, n_bins) f32.
 
     ``n_valid_frames`` (traced) lets callers pad the frame axis to a fixed
     block size — only frames ``< n_valid_frames`` are processed, so one
     compiled program serves every batch size of a given system.
+
+    ``k_lo`` overrides the lo-axis width of the (hi, lo) one-hot split
+    (sweep knob): VPU compare-row cost per pair is ``hi_pad + k_lo`` —
+    minimised near ``k_lo = sqrt(total)`` — but the MXU contraction cost
+    scales with ``hi_pad`` alone if the systolic array pads the lo axis
+    to 128 lanes, so the best trade is measured, not derived.
     """
     f, n, _ = positions.shape
     if n_valid_frames is None:
@@ -88,7 +95,11 @@ def rdf_histogram_pallas(
 
     # near-square split minimises the dominant VPU one-hot build cost
     # (HI + LO compare rows per pair); both axes pad to hardware tiles
-    k = min(128, _round_up(int(np.ceil(np.sqrt(n_total_bins))), 32))
+    k = (
+        min(128, _round_up(int(np.ceil(np.sqrt(n_total_bins))), 32))
+        if k_lo is None
+        else min(128, _round_up(k_lo, 8))
+    )
     n_hi = -(-n_total_bins // k)
     hi_pad = _round_up(n_hi, 8)
     k_pad = _round_up(k, 128)
