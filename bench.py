@@ -139,9 +139,11 @@ def measure_msd_wfa_per_s(t=16384, n=1024, window=512, stride=256,
 
 
 def measure_adf_ms_per_frame(n_atoms=10240, n_frames=2, n_bins=500,
-                             cutoff=3.6, repeats=3):
+                             cutoff=3.6, repeats=3, n_species=2):
     """Production ADF pipeline (z-sorted window extract + folded angle
-    stage) — exactly the route the calculator runs."""
+    stage) — exactly the route the calculator runs. ``n_species`` splits
+    the atoms into that many equal species (the stage-2 one-hot space
+    grows with the triple count: 4 triples at 2 species, 10 at 3)."""
     import jax
     import jax.numpy as jnp
 
@@ -154,19 +156,19 @@ def measure_adf_ms_per_frame(n_atoms=10240, n_frames=2, n_bins=500,
     rng = np.random.default_rng(2)
     # constant density (the 10240-atom reference geometry scaled up)
     box = 40.0 * (n_atoms / 10240.0) ** (1.0 / 3.0)
-    half = n_atoms // 2
     sid = jnp.asarray(
-        np.r_[np.zeros(half, np.int32), np.ones(n_atoms - half, np.int32)]
+        np.repeat(np.arange(n_species), -(-n_atoms // n_species))[:n_atoms]
+        .astype(np.int32)
     )
     pos = jnp.asarray(
         rng.uniform(0, box, (n_frames, n_atoms, 3)).astype(np.float32)
     )
     box_np = np.array([box] * 3, np.float32)
     box_j = jnp.asarray(box_np)
-    ttab, _ = build_triple_table(2)
+    ttab, _ = build_triple_table(n_species)
     ttab_j = jnp.asarray(ttab)
     plan = _AdfPlan(n_atoms, box_np, cutoff, use_pallas=True)
-    pipe = _adf_pipeline(plan, 2, cutoff, n_bins, 4)
+    pipe = _adf_pipeline(plan, n_species, cutoff, n_bins, 4)
 
     def run():
         return pipe(pos, sid, ttab_j, box_j)[0]
