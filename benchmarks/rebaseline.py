@@ -82,6 +82,19 @@ def main():
     finally:
         os.environ.pop("LATPU_ADF_SORT", None)
 
+    # production call heights (what the calculator actually runs since
+    # adf_frames_per_call): 10240 at f=16, 65536 at the helper's choice
+    from lammps_analysis_tpu.parallel.sharded_ops import adf_frames_per_call
+
+    f65 = adf_frames_per_call(
+        65536, np.array([40.0 * (65536 / 10240) ** (1 / 3)] * 3, np.float32),
+        3.6, 8 << 30,
+    )
+    out["adf_65536_production_f"] = int(f65)
+    out["adf_65536_ms_per_frame_production"] = round(
+        bench.measure_adf_ms_per_frame(n_atoms=65536, n_frames=int(f65)), 1
+    )
+
     path = pathlib.Path(__file__).parent / "rebaseline.json"
     path.write_text(json.dumps(out, indent=2))
     print(json.dumps(out))
