@@ -1481,10 +1481,10 @@ def adf_pairs_histogram_pallas(
             # (d < cnt) or a wrapped-pair offset (d > sub - cnt)
             @pl.when((d0 < mx) | (d0 + frs - 1 > sub - mx))
             def _process():
-                _fold_work(c, sl)
+                _fold_work(c, sl, mx)
             return 0
 
-        def _fold_work(c, sl):
+        def _fold_work(c, sl, mx):
             row = pl.ds(c, 1)
             xk = xr_ref[row, :]  # (1, K)
             yk = yr_ref[row, :]
@@ -1516,11 +1516,41 @@ def adf_pairs_histogram_pallas(
                 )
                 return jnp.where(wrap, b, a)
 
-            _tile(
-                sa, xk, yk, zk, dk, sk,
-                rot(xk), rot(yk), rot(zk), rot(dk), rot(sk),
-                None, fold_dedup=(d_row, l_loc),
-            )
+            if pack == 1 and k > 128:
+                # triangle lane-chunking: valid slots are a contiguous
+                # prefix of the row, so every 128-lane chunk starting at
+                # or past the count holds only masked pairs (each valid
+                # pair's i-lane l is < count; rolled j-operands may point
+                # past it but those elements are species-masked anyway).
+                # At mid-occupancy rows (reference-default cutoffs put
+                # ~c = K/2.6 valid slots in the 2x-margin row) this skips
+                # the majority of the dense stage-2 element work exactly.
+                # Rolls stay full-width (they cross chunk boundaries and
+                # cost ~13% of the per-element tile work).
+                xj = rot(xk)
+                yj = rot(yk)
+                zj = rot(zk)
+                dj = rot(dk)
+                sj = rot(sk)
+                for ch in range(k // 128):
+                    lo_l = ch * 128
+
+                    @pl.when(lo_l < mx)
+                    def _chunk(lo_l=lo_l):
+                        s = slice(lo_l, lo_l + 128)
+                        _tile(
+                            sa[:, s], xk[:, s], yk[:, s], zk[:, s],
+                            dk[:, s], sk[:, s],
+                            xj[:, s], yj[:, s], zj[:, s], dj[:, s],
+                            sj[:, s], None,
+                            fold_dedup=(d_row, l_loc[:, s]),
+                        )
+            else:
+                _tile(
+                    sa, xk, yk, zk, dk, sk,
+                    rot(xk), rot(yk), rot(zk), rot(dk), rot(sk),
+                    None, fold_dedup=(d_row, l_loc),
+                )
 
         def _tile(
             sa, xk, yk, zk, dk, sk, xj, yj, zj, dj, sj, j_slot,
@@ -1606,20 +1636,24 @@ def adf_pairs_histogram_pallas(
 
             # flatten through VMEM scratch with TWO stores per row (was
             # four): hi/lo split and the bf16 weight halves are derived
-            # in the flat layout, where they cost k/(rows*k) as much
+            # in the flat layout, where they cost k/(rows*k) as much.
+            # Chunked fold tiles are 128 lanes wide — the flatten packs
+            # them into a 128-aligned PREFIX of the buffer and the
+            # one-hot/MXU stages read only that slice.
+            lw = xk.shape[-1]
             for r in range(buf_rows):
-                lanes = pl.ds(r * k, k)
+                lanes = pl.ds(r * lw, lw)
                 comb_buf[0:1, lanes] = comb_m[r : r + 1, :]
                 w_buf[0:1, lanes] = w[r : r + 1, :]
 
-            comb_flat = comb_buf[...]  # (1, rows*K)
+            comb_flat = comb_buf[0:1, 0 : buf_rows * lw]  # (1, rows*lw)
             hi_flat = jnp.floor(comb_flat * (1.0 / k_lo))
             lo_flat = comb_flat - hi_flat * k_lo
             # weight halves, both exactly bf16-representable but kept in
             # f32: Mosaic cannot relayout an f32-compare mask onto bf16
             # select operands, so the selects run in f32 and the results
             # convert (losslessly) to bf16 for the MXU.
-            w_flat = w_buf[...]
+            w_flat = w_buf[0:1, 0 : buf_rows * lw]
             wh = w_flat.astype(jnp.bfloat16).astype(jnp.float32)
             wl = w_flat - wh
 

@@ -332,6 +332,43 @@ def test_folded_stage2_matches_unfolded(rng):
             np.testing.assert_array_equal(skipped, folded)
 
 
+def test_folded_lane_chunking_wide_rows(rng):
+    """At K > 128 (pack == 1) the folded angle stage processes 128-lane
+    chunks and skips those at/past the row's valid prefix — exact, since
+    every valid pair's i-lane is below the count. Locks the chunked path
+    (full-width rolls + prefix flatten) against the unfolded enumeration
+    at K = 256 with rows ~28% occupied, with and without counts."""
+    import jax.numpy as jnp2
+    from lammps_analysis_tpu.ops.pallas_adf import (
+        adf_neighbor_lists,
+        adf_pairs_histogram_pallas,
+    )
+
+    f, n, n_bins = 2, 320, 60
+    box = jnp.asarray([9.0] * 3, jnp.float32)
+    pos = rng.uniform(0, 9.0, (f, n, 3)).astype(np.float32)
+    sid = np.r_[
+        np.zeros(n // 2, np.int32), np.ones(n - n // 2, np.int32)
+    ]
+    r_n, d_n, sid_n, sid_pad, mc = adf_neighbor_lists(
+        jnp.asarray(pos), jnp.asarray(sid), box, 3.0, k_n=256
+    )
+    assert int(mc) < 128, "geometry must leave whole chunks skippable"
+    base = np.asarray(adf_pairs_histogram_pallas(
+        r_n, d_n, sid_n, sid_pad, n_bins, 2, interpret=True
+    ))
+    fold = np.asarray(adf_pairs_histogram_pallas(
+        r_n, d_n, sid_n, sid_pad, n_bins, 2, fold=True, interpret=True
+    ))
+    np.testing.assert_allclose(fold, base, rtol=1e-5, atol=1e-6)
+    counts = jnp2.sum(sid_n >= 0, axis=2).astype(jnp2.int32)[..., None]
+    skipped = np.asarray(adf_pairs_histogram_pallas(
+        r_n, d_n, sid_n, sid_pad, n_bins, 2, fold=True, counts=counts,
+        interpret=True,
+    ))
+    np.testing.assert_array_equal(skipped, fold)
+
+
 def test_counts_chunk_skip_is_invisible(rng):
     """The SMEM-counts j-chunk skip must not change the histogram: skipped
     chunks lie entirely beyond each sub-list's contiguous valid prefix and
