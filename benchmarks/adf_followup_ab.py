@@ -63,6 +63,28 @@ def main():
         2,
     )
 
+    # triangle lane-chunking A/B at wide cutoffs (K > 128, pack == 1):
+    # same-session, env-gated; the chunked kernel skips lane chunks past
+    # the ~K/2.6-occupied valid prefix
+    import os
+
+    for cutoff, tag in ((6.0, "ref_default"), (5.5, "wide")):
+        for flag, arm in (("0", "full"), ("1", "chunked")):
+            os.environ["LATPU_ADF_FOLD_CHUNK"] = flag
+            try:
+                ms = bench.measure_adf_ms_per_frame(
+                    n_atoms=10240, n_frames=8, cutoff=cutoff
+                )
+            finally:
+                os.environ.pop("LATPU_ADF_FOLD_CHUNK", None)
+            out[f"adf_10240_f8_c{cutoff}_{arm}_ms_per_frame"] = round(ms, 2)
+            print(f"cutoff={cutoff} {arm}: {ms:.2f} ms/frame", flush=True)
+        out[f"fold_chunk_speedup_{tag}"] = round(
+            out[f"adf_10240_f8_c{cutoff}_full_ms_per_frame"]
+            / out[f"adf_10240_f8_c{cutoff}_chunked_ms_per_frame"],
+            2,
+        )
+
     path = REPO / "benchmarks" / "adf_followup_ab.json"
     path.write_text(json.dumps(out, indent=2))
     print(json.dumps(out, indent=2))

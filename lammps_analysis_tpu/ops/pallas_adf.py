@@ -1339,6 +1339,11 @@ def adf_pairs_histogram_pallas(
         assert n_off % frs == 0
     n_fslices = n_off // frs
     buf_rows = frs if fold else (_RS if dense else _CR)
+    # A/B kill-switch for the K > 128 triangle lane-chunking (read at
+    # trace time — fresh pipelines pick up changes, cached jits do not)
+    import os
+
+    _fold_chunking = os.environ.get("LATPU_ADF_FOLD_CHUNK", "1") != "0"
 
     def kernel(
         xr_ref, yr_ref, zr_ref, dr_ref, sr_ref,
@@ -1516,7 +1521,7 @@ def adf_pairs_histogram_pallas(
                 )
                 return jnp.where(wrap, b, a)
 
-            if pack == 1 and k > 128:
+            if pack == 1 and k > 128 and _fold_chunking:
                 # triangle lane-chunking: valid slots are a contiguous
                 # prefix of the row, so every 128-lane chunk starting at
                 # or past the count holds only masked pairs (each valid
