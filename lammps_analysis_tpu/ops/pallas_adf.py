@@ -1343,12 +1343,17 @@ def adf_pairs_histogram_pallas(
     # trace time — fresh pipelines pick up changes, cached jits do not)
     import os
 
-    _fold_chunking = os.environ.get("LATPU_ADF_FOLD_CHUNK", "1") != "0"
+    fold_chunked = (
+        fold
+        and pack == 1
+        and k > 128
+        and os.environ.get("LATPU_ADF_FOLD_CHUNK", "1") != "0"
+    )
 
     def kernel(
         xr_ref, yr_ref, zr_ref, dr_ref, sr_ref,
         sidc_ref, cnts_ref, out_ref, acc_ref,
-        comb_buf, w_buf,
+        comb_buf, w_buf, *roll_scr,
     ):
         i = pl.program_id(0)
 
@@ -1521,7 +1526,7 @@ def adf_pairs_histogram_pallas(
                 )
                 return jnp.where(wrap, b, a)
 
-            if pack == 1 and k > 128 and _fold_chunking:
+            if fold_chunked:
                 # triangle lane-chunking: valid slots are a contiguous
                 # prefix of the row, so every 128-lane chunk starting at
                 # or past the count holds only masked pairs (each valid
@@ -1530,25 +1535,53 @@ def adf_pairs_histogram_pallas(
                 # At mid-occupancy rows (reference-default cutoffs put
                 # ~c = K/2.6 valid slots in the 2x-margin row) this skips
                 # the majority of the dense stage-2 element work exactly.
-                # Rolls stay full-width (they cross chunk boundaries and
-                # cost ~13% of the per-element tile work).
-                xj = rot(xk)
-                yj = rot(yk)
-                zj = rot(zk)
-                dj = rot(dk)
-                sj = rot(sk)
+                # Rolls stay full-width (they cross chunk boundaries);
+                # the rolled values round-trip through a VMEM scratch so
+                # each chunk's operands are ALIGNED LOADS — value-level
+                # lane slices carry an offset layout Mosaic cannot
+                # broadcast ("Invalid input layout" on (1, 128) slices).
+                roll_buf = roll_scr[0]
+                roll_buf[0:frs, :] = rot(xk)
+                roll_buf[frs : 2 * frs, :] = rot(yk)
+                roll_buf[2 * frs : 3 * frs, :] = rot(zk)
+                roll_buf[3 * frs : 4 * frs, :] = rot(dk)
+                roll_buf[4 * frs : 5 * frs, :] = rot(sk)
+                # the (1, K) row values also stage through the scratch:
+                # their ref rows are DYNAMIC (the center id), and Mosaic
+                # rejects dynamic-sublane loads with partial lane slices
+                # ("dynamic load with unaligned indices") — a static
+                # scratch row makes every chunk load fully static
+                base = 5 * frs
+                roll_buf[base : base + 1, :] = xk
+                roll_buf[base + 1 : base + 2, :] = yk
+                roll_buf[base + 2 : base + 3, :] = zk
+                roll_buf[base + 3 : base + 4, :] = dk
+                roll_buf[base + 4 : base + 5, :] = sk
+                roll_buf[base + 5 : base + 6, :] = sa
                 for ch in range(k // 128):
                     lo_l = ch * 128
 
                     @pl.when(lo_l < mx)
                     def _chunk(lo_l=lo_l):
-                        s = slice(lo_l, lo_l + 128)
+                        ds_ = pl.ds(lo_l, 128)
+                        lane_c = lo_l + jax.lax.broadcasted_iota(
+                            jnp.int32, (1, 128), 1
+                        )
+                        l_loc_c = lane_c - (lane_c // sub) * sub
                         _tile(
-                            sa[:, s], xk[:, s], yk[:, s], zk[:, s],
-                            dk[:, s], sk[:, s],
-                            xj[:, s], yj[:, s], zj[:, s], dj[:, s],
-                            sj[:, s], None,
-                            fold_dedup=(d_row, l_loc[:, s]),
+                            roll_buf[base + 5 : base + 6, ds_],
+                            roll_buf[base : base + 1, ds_],
+                            roll_buf[base + 1 : base + 2, ds_],
+                            roll_buf[base + 2 : base + 3, ds_],
+                            roll_buf[base + 3 : base + 4, ds_],
+                            roll_buf[base + 4 : base + 5, ds_],
+                            roll_buf[0:frs, ds_],
+                            roll_buf[frs : 2 * frs, ds_],
+                            roll_buf[2 * frs : 3 * frs, ds_],
+                            roll_buf[3 * frs : 4 * frs, ds_],
+                            roll_buf[4 * frs : 5 * frs, ds_],
+                            None,
+                            fold_dedup=(d_row, l_loc_c),
                         )
             else:
                 _tile(
@@ -1708,7 +1741,14 @@ def adf_pairs_histogram_pallas(
             pltpu.VMEM((hi_pad, k_pad), jnp.float32),
             pltpu.VMEM((1, buf_rows * k), jnp.float32),
             pltpu.VMEM((1, buf_rows * k), jnp.float32),
-        ],
+        ]
+        + (
+            # rolled j-operand + row-value relayout staging for the
+            # lane-chunked fold (5*frs rolled rows + 6 (1, K) row values)
+            [pltpu.VMEM((5 * frs + 8, k), jnp.float32)]
+            if fold_chunked
+            else []
+        ),
         interpret=interpret,
     )(xr, yr, zr, dr, sr, sid_center, cnts)
 
