@@ -94,9 +94,14 @@ def rdf_histogram_pallas(
     n_total_bins = n_pairs * n_bins
 
     # near-square split minimises the dominant VPU one-hot build cost
-    # (HI + LO compare rows per pair); both axes pad to hardware tiles
+    # (HI + LO compare rows per pair); both axes pad to hardware tiles.
+    # 16-multiple rounding: the v5e sweep (benchmarks/rdf_split_sweep.json,
+    # 2 species x 500 bins) measured k=48 fastest (9.99 Gpairs/s) vs the
+    # old 32-multiple rounding's k=64 (9.9) — and sharp falloffs BOTH
+    # ways (k=32: 8.1, k=96: 8.4), so the near-sqrt point is right but
+    # the quantisation matters; histograms are bit-identical across k.
     k = (
-        min(128, _round_up(int(np.ceil(np.sqrt(n_total_bins))), 32))
+        min(128, _round_up(int(np.ceil(np.sqrt(n_total_bins))), 16))
         if k_lo is None
         else min(128, _round_up(k_lo, 8))
     )
