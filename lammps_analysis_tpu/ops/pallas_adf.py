@@ -1192,7 +1192,8 @@ def pallas_neighbor_components(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_bins", "n_species", "norm_power", "pack", "fold", "interpret"
+        "n_bins", "n_species", "norm_power", "pack", "fold", "fold_chunk",
+        "interpret",
     ),
 )
 def adf_pairs_histogram_pallas(
@@ -1206,6 +1207,7 @@ def adf_pairs_histogram_pallas(
     pack: int = 1,
     counts: jnp.ndarray | None = None,
     fold: bool = False,
+    fold_chunk: bool | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused ordered-pair angle histogram from neighbor lists.
@@ -1339,16 +1341,20 @@ def adf_pairs_histogram_pallas(
         assert n_off % frs == 0
     n_fslices = n_off // frs
     buf_rows = frs if fold else (_RS if dense else _CR)
-    # A/B kill-switch for the K > 128 triangle lane-chunking (read at
-    # trace time — fresh pipelines pick up changes, cached jits do not)
+    # Lane-chunking gate: callers with a density model (the plan) pass
+    # fold_chunk — it only pays when the TYPICAL row leaves whole chunks
+    # past its count (see _AdfPlan._normalise). Default on at K > 128
+    # for hint-less callers; LATPU_ADF_FOLD_CHUNK is the A/B kill-switch
+    # (read at trace time — fresh pipelines pick up changes, cached jits
+    # do not; A/B kernel variants one process per arm).
     import os
 
-    fold_chunked = (
-        fold
-        and pack == 1
-        and k > 128
-        and os.environ.get("LATPU_ADF_FOLD_CHUNK", "1") != "0"
-    )
+    env_fc = os.environ.get("LATPU_ADF_FOLD_CHUNK")
+    if env_fc is not None:
+        fold_chunk = env_fc != "0"
+    elif fold_chunk is None:
+        fold_chunk = True
+    fold_chunked = fold and pack == 1 and k > 128 and fold_chunk
 
     def kernel(
         xr_ref, yr_ref, zr_ref, dr_ref, sr_ref,
@@ -1822,6 +1828,7 @@ def adf_stage2_auto(
     counts: jnp.ndarray | None = None,
     per_frame_sid: bool = False,
     fold: bool = True,
+    fold_chunk: bool | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Angle stage with the center-packing plumbing shared by callers.
@@ -1870,7 +1877,7 @@ def adf_stage2_auto(
     return adf_pairs_histogram_pallas(
         r_n, d_n, sid_n, sid_arg, n_bins, n_species,
         norm_power=norm_power, pack=eff_pack, counts=counts, fold=fold,
-        interpret=interpret,
+        fold_chunk=fold_chunk, interpret=interpret,
     )
 
 

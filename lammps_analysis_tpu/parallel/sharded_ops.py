@@ -193,6 +193,7 @@ class _AdfPlan:
         k_tight = expected + 6.0 * np.sqrt(max(expected, 1.0)) + 16.0
         k_n = int(np.clip(-(-int(np.ceil(k_tight)) // 8) * 8, 24, 512))
         k_n = min(k_n, n_avail)
+        self.expected = float(expected)
         if use_pallas:
             k_n = max(128, -(-k_n // 128) * 128)
         self.k_n = k_n
@@ -286,6 +287,14 @@ class _AdfPlan:
         # when the clamp breaks that (tiny systems near the tiled gate)
         k_eff = min(self.k_n, -(-self.n_avail // 64) * 64)
         self.use_pallas_run = self.use_pallas and k_eff % 128 == 0
+        # fold lane-chunking pays only when the TYPICAL row leaves whole
+        # 128-lane chunks past its count (per-center skip predicate):
+        # measured 1.29x at K=256/mean 111, but a 13% LOSS at K=256/mean
+        # 145 where no chunk skips and the scratch staging is pure cost
+        self.fold_chunk = (
+            self.k_n > 128
+            and getattr(self, "expected", 0.0) < self.k_n - 128
+        )
 
     def escalate(self, max_count: int, max_occ: int) -> bool:
         """Adjust for observed saturation; False when the run was exact."""
@@ -390,7 +399,8 @@ def _adf_pipeline(plan: _AdfPlan, n_species, cutoff, n_bins, norm_power):
                  _pack=plan.pack, _ee=getattr(plan, "extract_e", 4),
                  _wc=getattr(plan, "w_chunks", None),
                  _sort=getattr(plan, "sort", "z"),
-                 _arcs=getattr(plan, "n_arcs", 1)):
+                 _arcs=getattr(plan, "n_arcs", 1),
+                 _fc=getattr(plan, "fold_chunk", None)):
         cnts = None
         per_frame_sid = False
         if use_cells:
@@ -446,7 +456,7 @@ def _adf_pipeline(plan: _AdfPlan, n_species, cutoff, n_bins, norm_power):
             h = _pk.adf_stage2_auto(
                 r_nn, d_nn, s_nn, sid_pad, n_bins, n_species,
                 norm_power=norm_power, pack=_pack, counts=cnts,
-                per_frame_sid=per_frame_sid, fold=True,
+                per_frame_sid=per_frame_sid, fold=True, fold_chunk=_fc,
             )
         else:
             h = adf_ops.adf_pairs_histogram_xla(
