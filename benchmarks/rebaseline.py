@@ -47,6 +47,11 @@ def main():
     out["adf_wide_ms_per_frame"] = round(
         bench.measure_adf_ms_per_frame(cutoff=5.5), 1
     )
+    # reference-default ADF cutoff (6.0): statistical K bound + the
+    # adaptive fold-chunk gate land here (104.6 -> 61.4 on 2026-08-18)
+    out["adf_refcutoff_ms_per_frame_f8"] = round(
+        bench.measure_adf_ms_per_frame(n_frames=8, cutoff=6.0), 1
+    )
     out["rdf_65536_gpairs_per_s"] = round(
         bench.measure_rdf_pairs_per_s(
             n_atoms=65536, n_frames=8, n_bins=500, repeats=2,

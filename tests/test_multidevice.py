@@ -530,3 +530,27 @@ def test_adf_frames_per_call_route_aware(monkeypatch):
     assert 1 <= f_big < 16
     # tiny systems keep the gram route untouched
     assert so.adf_frames_per_call(1024, np.array([20.0] * 3), 3.6, 8 << 30) == 1
+
+
+def test_adf_plan_statistical_k_and_chunk_gate():
+    """The plan's K bound is statistical (mean + 6*sqrt + 16, 128-mult on
+    TPU) and the fold lane-chunking gate engages only when the typical
+    row leaves whole 128-lane chunks free (expected < K - 128) — both
+    measured on v5e (K 384 -> 256 at cutoff 6.0 was 1.43x; chunking at
+    full rows was a 13% loss)."""
+    from lammps_analysis_tpu.parallel.sharded_ops import _AdfPlan
+
+    box = np.array([40.0] * 3, np.float32)
+    # first shell: expected ~33 -> floor K=128, no chunking possible
+    p = _AdfPlan(10240, box, 3.6, use_pallas=True)
+    assert p.k_n == 128 and not p.fold_chunk
+    # cutoff 5.5: expected ~112 -> K=256, typical row frees chunk 1
+    p = _AdfPlan(10240, box, 5.5, use_pallas=True)
+    assert p.k_n == 256 and p.fold_chunk
+    # cutoff 6.0: expected ~145 -> K=256 (the old 2x margin gave 384),
+    # no free chunk for the typical row -> gate off
+    p = _AdfPlan(10240, box, 6.0, use_pallas=True)
+    assert p.k_n == 256 and not p.fold_chunk
+    # saturation doubling keeps the gate consistent with the new K
+    p.escalate(p.k_n, 0)  # max_count == k_n means clipped
+    assert p.k_n == 512 and p.fold_chunk  # expected 145 < 512 - 128
