@@ -21,6 +21,18 @@ from ..utils.units import UnitSystem
 log = logging.getLogger(__name__)
 
 
+class ExperimentMap(dict):
+    """Experiments by name with attribute access (``exps.NaCl``)."""
+
+    def __getattr__(self, name: str):
+        try:
+            return self[name]
+        except KeyError:
+            raise AttributeError(
+                f"no experiment named {name!r}; have {sorted(self)}"
+            ) from None
+
+
 class Project:
     """A directory-rooted collection of experiments with shared results DB."""
 
@@ -97,17 +109,25 @@ class Project:
         return exp
 
     @property
-    def experiments(self) -> Dict[str, Experiment]:
-        """All experiments registered in the project DB."""
+    def experiments(self) -> "ExperimentMap":
+        """All experiments registered in the project DB.
+
+        A dict that also supports attribute access by experiment name
+        (``project.experiments.NaCl``) — the reference's own CI drives
+        transformations that way
+        (``CI/integration_tests/transformations/test_transformation_run_options.py:73``).
+        """
         for name in self.db.list_experiments():
             if name not in self._experiments:
                 self._experiments[name] = Experiment(project=self, name=name)
-        return dict(self._experiments)
+        return ExperimentMap(self._experiments)
 
     @property
-    def active_experiments(self) -> Dict[str, Experiment]:
+    def active_experiments(self) -> "ExperimentMap":
         names = self.db.active_experiments()
-        return {n: e for n, e in self.experiments.items() if n in names}
+        return ExperimentMap(
+            {n: e for n, e in self.experiments.items() if n in names}
+        )
 
     def activate_experiments(self, names: List[str]):
         """Reference analog: ``project.py:251-268``."""

@@ -237,3 +237,53 @@ def test_unwrap_choice_prefers_box_images(tmp_path, rng):
     # heuristics) — that is the signature of UnwrapViaIndices
     got = exp.load_matrix("Unwrapped_Positions", ["X"])["X"]
     np.testing.assert_allclose(got, true_pos, atol=1e-10)
+
+
+def test_transformation_run_options(rng, tmp_path):
+    """The reference's four dispatch styles all work (its CI drives them:
+    CI/integration_tests/transformations/test_transformation_run_options.py):
+    from the project hub, from the experiment hub, repeated calls are
+    idempotent (no double-write), attribute-style experiment access, and
+    passing a transformation INSTANCE to cls_transformation_run."""
+    import lammps_analysis_tpu as latpu
+    from lammps_analysis_tpu.database.contracts import (
+        SpeciesInfo,
+        TrajectoryChunkData,
+        TrajectoryMetadata,
+    )
+    from lammps_analysis_tpu.database.properties import PropertyInfo
+    from lammps_analysis_tpu.file_io import ScriptInput
+    from lammps_analysis_tpu.transformations import CoordinateUnwrapper
+
+    pi = PropertyInfo("Positions", 3)
+    sp = [SpeciesInfo("Na", 6, [pi])]
+    meta = TrajectoryMetadata(
+        n_configurations=10, species_list=sp, box_l=[5.0] * 3, sample_rate=1
+    )
+    chunk = TrajectoryChunkData(sp, 10)
+    chunk.add_data(rng.uniform(0, 5, (10, 6, 3)), 0, "Na", "Positions")
+    project = latpu.Project(name="runopts", storage_path=tmp_path)
+    project.add_experiment(
+        "NaCl", timestep=0.1, units="metal",
+        simulation_data=ScriptInput(chunk, meta, "m"),
+    )
+
+    project.run.CoordinateUnwrapper()
+    project.run.CoordinateUnwrapper()  # idempotent from the project hub
+
+    exp = project.experiments.NaCl  # attribute access, reference style
+    first = exp.store.load(["Na/Unwrapped_Positions"])["Na/Unwrapped_Positions"]
+    exp.run.CoordinateUnwrapper()  # idempotent from the experiment hub
+    np.testing.assert_array_equal(
+        first,
+        exp.store.load(["Na/Unwrapped_Positions"])["Na/Unwrapped_Positions"],
+    )
+
+    # instance dispatch (cls_transformation_run)
+    exp.cls_transformation_run(CoordinateUnwrapper())
+    np.testing.assert_array_equal(
+        first,
+        exp.store.load(["Na/Unwrapped_Positions"])["Na/Unwrapped_Positions"],
+    )
+    with pytest.raises(AttributeError):
+        project.experiments.DoesNotExist
