@@ -90,6 +90,13 @@ class Experiment:
         units: Union[str, UnitSystem] = None,
         storage_path: Union[str, pathlib.Path] = None,
     ):
+        if not name or not name[0].isalpha():
+            # the reference enforces this (experiment.py:163-165) so that
+            # attribute-style access (project.experiments.<name>) works
+            raise ValueError(
+                "Experiment name must start with a letter! "
+                f"Found {name[:1]!r} instead."
+            )
         self.name = name
         if project is not None:
             self.path = pathlib.Path(project.path) / name

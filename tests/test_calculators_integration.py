@@ -467,3 +467,13 @@ def test_project_add_data_and_load_experiments(tmp_path, rng):
     assert set(project.active_experiments) == {"e1"}
     project.load_experiments("e2")
     assert set(project.active_experiments) == {"e1", "e2"}
+
+
+def test_experiment_name_must_start_with_letter(tmp_path):
+    """Reference contract (experiment.py:163-165): names that cannot be
+    attributes (digit-leading) are rejected at creation."""
+    import pytest as _pytest
+
+    project = latpu.Project(name="names", storage_path=tmp_path)
+    with _pytest.raises(ValueError):
+        project.add_experiment("250K", timestep=0.1, units="metal")
