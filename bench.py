@@ -307,8 +307,9 @@ def main():
         import jax
 
         if jax.default_backend() == "tpu":
+            # production call height (adf_frames_per_call picks f=16)
             extras["adf_firstshell_ms_per_frame"] = round(
-                measure_adf_ms_per_frame(), 1
+                measure_adf_ms_per_frame(n_frames=16), 1
             )
     except Exception as err:  # pragma: no cover
         extras["adf_error"] = str(err)[:120]
