@@ -46,8 +46,7 @@ class Project:
         self.path = pathlib.Path(storage_path) / name
         self.path.mkdir(parents=True, exist_ok=True)
         self.db = ResultsDatabase(self.path / "project.db")
-        if description is not None:
-            self.db.set_project_attribute("description", description)
+        self.description = description  # setter reads file paths (None ok)
 
         self.attach_file_logger()
 
@@ -74,6 +73,17 @@ class Project:
     @property
     def description(self) -> Optional[str]:
         return self.db.get_project_attribute("description")
+
+    @description.setter
+    def description(self, value: Optional[str]):
+        """Persist a project description; a value naming an existing file
+        (.md/.txt or anything else) stores that file's CONTENTS — the
+        reference's contract (``database/project_database.py:68-88``)."""
+        if value is None:
+            return
+        if pathlib.Path(value).exists():
+            value = pathlib.Path(value).read_text()
+        self.db.set_project_attribute("description", value)
 
     # ------------------------------------------------------------ experiments
     def add_experiment(

@@ -477,3 +477,20 @@ def test_experiment_name_must_start_with_letter(tmp_path):
     project = latpu.Project(name="names", storage_path=tmp_path)
     with _pytest.raises(ValueError):
         project.add_experiment("250K", timestep=0.1, units="metal")
+
+
+def test_project_description_setter_and_file(tmp_path):
+    """Reference contract (database/project_database.py:68-88): setting
+    description persists across re-opens, and a value naming an existing
+    file stores the file's CONTENTS."""
+    p1 = latpu.Project(name="descp", storage_path=tmp_path)
+    p1.description = "HelloWorld"
+    assert latpu.Project(name="descp", storage_path=tmp_path).description == (
+        "HelloWorld"
+    )
+    f = tmp_path / "desc.md"
+    f.write_text("FromFile")
+    p1.description = str(f)
+    assert latpu.Project(name="descp", storage_path=tmp_path).description == (
+        "FromFile"
+    )
