@@ -117,7 +117,20 @@ class Experiment:
         if temperature is not None:
             self.temperature = temperature
         if units is not None:
-            self.units_name = resolve_units(units).name
+            u = resolve_units(units)
+            self.units_name = u.name
+            from ..utils.units import units_dict
+
+            if u.name not in units_dict:
+                # custom unit systems persist their full factor set (the
+                # reference stores the Units object; CI locks the
+                # round-trip — test_experiment_database.py:205-228)
+                import dataclasses
+                import json
+
+                self.db.set_attribute(
+                    name, "units_custom", json.dumps(dataclasses.asdict(u))
+                )
         elif self.db.get_attribute(name, "units_name") is None:
             self.units_name = "real"
 
@@ -132,7 +145,16 @@ class Experiment:
 
     @property
     def units(self) -> UnitSystem:
-        return resolve_units(self.units_name)
+        from ..utils.units import units_dict
+
+        name = self.units_name
+        if name not in units_dict:
+            raw = self.db.get_attribute(self.name, "units_custom")
+            if raw is not None:
+                import json
+
+                return UnitSystem(**json.loads(raw))
+        return resolve_units(name)
 
     @property
     def version(self) -> int:

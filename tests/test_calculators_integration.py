@@ -494,3 +494,20 @@ def test_project_description_setter_and_file(tmp_path):
     assert latpu.Project(name="descp", storage_path=tmp_path).description == (
         "FromFile"
     )
+
+
+def test_custom_units_roundtrip(tmp_path):
+    """Reference contract (test_experiment_database.py:205-228): a custom
+    Units object passed to add_experiment survives project re-open."""
+    from lammps_analysis_tpu.utils.units import UnitSystem
+
+    cu = UnitSystem(
+        name="custom", time=1.0, length=1.0, energy=2.0, NkTV2p=1.0,
+        temperature=100.0, pressure=123.0, boltzmann=25.0,
+    )
+    p1 = latpu.Project(name="unitsp", storage_path=tmp_path)
+    p1.add_experiment("Exp01", timestep=0.1, units="si")
+    p1.add_experiment("Exp02", timestep=0.1, units=cu)
+    p2 = latpu.Project(name="unitsp", storage_path=tmp_path)
+    assert p2.experiments["Exp01"].units.name == "si"
+    assert p2.experiments["Exp02"].units == cu
