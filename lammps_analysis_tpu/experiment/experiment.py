@@ -69,6 +69,24 @@ class _DBAttribute:
             obj.db.set_attribute(obj.name, self.name, value)
 
 
+class _BoundSpecies(SpeciesInfo):
+    """A species entry bound to its experiment: assigning ``charge`` or
+    ``mass`` persists through ``set_charge``/``set_mass`` — the
+    reference's notebooks drive charges this way
+    (``examples/notebooks/Molten_Salt_Comparison.ipynb``:
+    ``project.experiments.NaCl.species["Na"].charge = 1``), and there
+    the write lives only in the session cache; here it persists."""
+
+    def __setattr__(self, key, value):
+        if key in ("charge", "mass"):
+            exp = object.__getattribute__(self, "_exp")
+            setter = exp.set_charge if key == "charge" else exp.set_mass
+            setter(self.name, float(value))
+            object.__setattr__(self, key, float(value))
+        else:
+            super().__setattr__(key, value)  # FrozenInstanceError
+
+
 class Experiment:
     """A single simulation's data + analyses."""
 
@@ -196,7 +214,7 @@ class Experiment:
         raw = self.db.get_attribute(self.name, "species", {}) or {}
         out = {}
         for sp_name, info in raw.items():
-            out[sp_name] = SpeciesInfo(
+            sp = _BoundSpecies(
                 name=sp_name,
                 n_particles=info["n_particles"],
                 properties=tuple(
@@ -206,6 +224,8 @@ class Experiment:
                 mass=info.get("mass", 0.0),
                 charge=info.get("charge", 0.0),
             )
+            object.__setattr__(sp, "_exp", self)
+            out[sp_name] = sp
         return out
 
     @species.setter

@@ -511,3 +511,31 @@ def test_custom_units_roundtrip(tmp_path):
     p2 = latpu.Project(name="unitsp", storage_path=tmp_path)
     assert p2.experiments["Exp01"].units.name == "si"
     assert p2.experiments["Exp02"].units == cu
+
+
+def test_species_charge_assignment_persists(tmp_path, rng):
+    """Reference notebook contract (Molten_Salt_Comparison.ipynb):
+    ``experiments.X.species["Na"].charge = 1`` works; here it also
+    persists across re-open (the reference keeps it session-only)."""
+    import dataclasses
+
+    pi = PropertyInfo("Positions", 3)
+    sps = [SpeciesInfo("Na", 4, [pi])]
+    meta = TrajectoryMetadata(
+        n_configurations=3, species_list=sps, box_l=[5.0] * 3, sample_rate=1
+    )
+    ch = TrajectoryChunkData(sps, 3)
+    ch.add_data(rng.uniform(0, 5, (3, 4, 3)), 0, "Na", "Positions")
+    p = latpu.Project(name="spq", storage_path=tmp_path)
+    e = p.add_experiment(
+        "NaCl", timestep=0.1, units="metal",
+        simulation_data=ScriptInput(ch, meta, "m"),
+    )
+    e.species["Na"].charge = 1
+    e.species["Na"].mass = 22.99
+    sp = latpu.Project(name="spq", storage_path=tmp_path).experiments[
+        "NaCl"
+    ].species["Na"]
+    assert sp.charge == 1.0 and sp.mass == 22.99
+    with pytest.raises(dataclasses.FrozenInstanceError):
+        sp.n_particles = 7
