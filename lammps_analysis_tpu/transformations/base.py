@@ -55,6 +55,13 @@ class Transformation(abc.ABC):
     multi_species: bool = False
     #: stateful transformations need sequential batches (carryover)
     requires_carryover: bool = False
+    #: optional numpy implementation of ``transform_batch`` used when the
+    #: placement policy routes this stage to the host CPU. The O(bytes)
+    #: reductions (flux transforms) hit single-core memory bandwidth as
+    #: BLAS batched matmuls (~15.6 GB/s measured) where the jitted XLA
+    #: path pays a host->jax buffer copy plus a strided reduce
+    #: (~0.8 GB/s) — a ~20x stage-level gap on slow-link machines
+    transform_batch_host = None
 
     @abc.abstractmethod
     def transform_batch(
@@ -123,8 +130,8 @@ class Transformation(abc.ABC):
 
         # transformations are O(1) flops/byte: run where the data lives
         # when the accelerator link is slow (measured policy)
-        with bandwidth_bound_compute():
-            kernel = self._batch_kernel()
+        with bandwidth_bound_compute() as host_dev:
+            kernel = self._select_kernel(host_dev)
             for batch in self._prefetched_batches(
                 sources, self._batches(experiment, n_configs, offset)
             ):
@@ -152,8 +159,8 @@ class Transformation(abc.ABC):
         offset = experiment.store.get_cursor(out_path)
         from ..utils.devices import bandwidth_bound_compute
 
-        with bandwidth_bound_compute():
-            kernel = self._batch_kernel()
+        with bandwidth_bound_compute() as host_dev:
+            kernel = self._select_kernel(host_dev)
             for batch in self._prefetched_batches(
                 sources, self._batches(experiment, n_configs, offset),
                 nested=True,
@@ -165,6 +172,23 @@ class Transformation(abc.ABC):
                 self._write_output(experiment, DatasetKeys.OBSERVABLES, out)
 
     # -- plumbing -------------------------------------------------------------
+    def _select_kernel(self, host_dev):
+        """Pick the numpy host kernel when the stage runs on the host CPU.
+
+        ``host_dev`` is ``bandwidth_bound_compute()``'s placement: non-None
+        means a slow accelerator link routed this stage to the host; it is
+        also None when the default backend IS the CPU, so check that too.
+        Either way the data lives in host RAM and a numpy kernel (when the
+        transformation provides one) skips the host->jax buffer copy and
+        runs the reduction as BLAS streaming matmuls.
+        """
+        if self.transform_batch_host is not None:
+            import jax
+
+            if host_dev is not None or jax.default_backend() == "cpu":
+                return self.transform_batch_host
+        return self._batch_kernel()
+
     def _batch_kernel(self):
         """The jit-compiled ``transform_batch``.
 

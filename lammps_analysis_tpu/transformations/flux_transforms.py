@@ -17,9 +17,41 @@ from __future__ import annotations
 
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..database.properties import mdsuite_properties as mp
 from .base import Transformation
+
+
+def _host_atom_sum(x: np.ndarray, w=None) -> np.ndarray:
+    """Sum over the atom axis via BLAS batched matmul: (T, N, D) -> (T, D).
+
+    The host-routed flux stages are O(bytes) reductions, so the reduce IS
+    the stage cost. ``np.matmul`` streams ``x`` once at memory bandwidth
+    (measured 15.6 GB/s on this VM's single core vs 0.5 GB/s for
+    ``(x * w).sum(axis=1)`` and 1.6 GB/s for the jitted XLA reduce — the
+    strided axis-1 reduction defeats numpy's pairwise loop, and the jit
+    path additionally pays the host->jax buffer copy).
+
+    ``w`` is an optional atom weight: a scalar (applied after the sum), a
+    per-atom row (any shape reshapable to ``(N,)``), or a per-frame
+    ``(T, N, 1)`` array (contracted by a batched gemv).
+    """
+    t, n, d = x.shape
+    if w is not None:
+        w = np.asarray(w, dtype=x.dtype)
+        if w.size == 1:
+            w_scalar = float(w.reshape(()))
+            w = None
+        elif w.ndim == 3 and w.shape[:2] == (t, n):
+            # per-frame weights: (T, 1, N) @ (T, N, D) batched gemv
+            return np.matmul(w.transpose(0, 2, 1), x)[:, 0, :]
+        else:
+            return np.matmul(w.reshape(1, 1, n), x)[:, 0, :]
+    else:
+        w_scalar = None
+    out = np.matmul(np.ones((1, 1, n), x.dtype), x)[:, 0, :]
+    return out if w_scalar is None else w_scalar * out
 
 
 class IonicCurrent(Transformation):
@@ -39,6 +71,15 @@ class IonicCurrent(Transformation):
             out = contrib if out is None else out + contrib
         return out, None
 
+    def transform_batch_host(self, batch, carryover=None):
+        out = None
+        for props in batch.values():
+            contrib = _host_atom_sum(
+                np.asarray(props[mp.velocities.name]), props[mp.charge.name]
+            )
+            out = contrib if out is None else out + contrib
+        return out, None
+
 
 class TranslationalDipoleMoment(Transformation):
     """M(t) = sum q_i r_i(t) over unwrapped positions."""
@@ -54,6 +95,16 @@ class TranslationalDipoleMoment(Transformation):
             pos = props[mp.unwrapped_positions.name]
             q = props[mp.charge.name]
             contrib = jnp.sum(pos * q, axis=1)
+            out = contrib if out is None else out + contrib
+        return out, None
+
+    def transform_batch_host(self, batch, carryover=None):
+        out = None
+        for props in batch.values():
+            contrib = _host_atom_sum(
+                np.asarray(props[mp.unwrapped_positions.name]),
+                props[mp.charge.name],
+            )
             out = contrib if out is None else out + contrib
         return out, None
 
@@ -99,6 +150,29 @@ class ThermalFlux(Transformation):
             out = contrib if out is None else out + contrib
         return out, None
 
+    def transform_batch_host(self, batch, carryover=None):
+        out = None
+        for props in batch.values():
+            stress = np.asarray(props[mp.stress.name])  # (T, N, 6)
+            vel = np.asarray(props[mp.velocities.name])  # (T, N, 3)
+            ke = np.asarray(props[mp.kinetic_energy.name])
+            pe = np.asarray(props[mp.potential_energy.name])
+            # one batched GEMM gives every atom-summed stress-velocity
+            # product sum_n s[t, n, c] v[t, n, d] at memory bandwidth;
+            # the Voigt contraction then picks 3 + 3 + 3 scalars per frame
+            m = np.matmul(stress.transpose(0, 2, 1), vel)  # (T, 6, 3)
+            phi = np.stack(
+                [
+                    m[:, 0, 0] + m[:, 3, 1] + m[:, 4, 2],
+                    m[:, 3, 0] + m[:, 1, 1] + m[:, 5, 2],
+                    m[:, 4, 0] + m[:, 5, 1] + m[:, 2, 2],
+                ],
+                axis=-1,
+            )  # (T, 3)
+            contrib = _host_atom_sum(vel, ke + pe) - phi
+            out = contrib if out is None else out + contrib
+        return out, None
+
 
 class IntegratedHeatCurrent(Transformation):
     """R(t) = sum (KE+PE) r over unwrapped positions."""
@@ -118,6 +192,17 @@ class IntegratedHeatCurrent(Transformation):
             pos = props[mp.unwrapped_positions.name]
             energy = props[mp.kinetic_energy.name] + props[mp.potential_energy.name]
             contrib = jnp.sum(energy * pos, axis=1)
+            out = contrib if out is None else out + contrib
+        return out, None
+
+    def transform_batch_host(self, batch, carryover=None):
+        out = None
+        for props in batch.values():
+            pos = np.asarray(props[mp.unwrapped_positions.name])
+            energy = np.asarray(props[mp.kinetic_energy.name]) + np.asarray(
+                props[mp.potential_energy.name]
+            )  # (T, N, 1)
+            contrib = _host_atom_sum(pos, energy)
             out = contrib if out is None else out + contrib
         return out, None
 
@@ -171,6 +256,29 @@ class KinaciIntegratedHeatCurrent(Transformation):
             out = contrib if out is None else out + contrib
         return out, new_carry
 
+    def transform_batch_host(self, batch, carryover=None):
+        out = None
+        new_carry = {}
+        for sp, props in batch.items():
+            pos = np.asarray(props[mp.unwrapped_positions.name])  # (T, N, 3)
+            vel = np.asarray(props[mp.velocities.name])
+            force = np.asarray(props[mp.forces.name])
+            pe = np.asarray(props[mp.potential_energy.name])  # (T, N, 1)
+            dt = float(
+                np.asarray(props[mp.time_step.name])
+                * np.asarray(props[mp.sample_rate.name])
+            )
+            integrand = np.einsum("tnd,tnd->tn", force, vel)  # (T, N)
+            integral = np.cumsum(integrand, axis=0) * dt
+            if carryover is not None and sp in carryover:
+                integral = integral + np.asarray(carryover[sp])[None]
+            new_carry[sp] = integral[-1]
+            # batched gemv: r_k[t, d] = sum_n integral[t, n] pos[t, n, d]
+            r_k = np.matmul(integral[:, None, :], pos)[:, 0, :]
+            contrib = r_k + _host_atom_sum(pos, pe)
+            out = contrib if out is None else out + contrib
+        return out, new_carry
+
 
 class MomentumFlux(Transformation):
     """Off-diagonal stress sums for viscosity: (sum sxy, sum sxz, sum syz)."""
@@ -192,5 +300,14 @@ class MomentumFlux(Transformation):
                 ],
                 axis=-1,
             )
+            out = contrib if out is None else out + contrib
+        return out, None
+
+    def transform_batch_host(self, batch, carryover=None):
+        out = None
+        for props in batch.values():
+            stress = np.asarray(props[mp.stress.name])  # (T, N, 6)
+            sums = _host_atom_sum(stress)  # (T, 6), one streaming pass
+            contrib = sums[:, 3:6]
             out = contrib if out is None else out + contrib
         return out, None

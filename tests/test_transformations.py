@@ -204,6 +204,127 @@ def test_kinaci_carryover_chains(rng):
     )
 
 
+def test_host_kernels_match_jit_kernels(rng):
+    """Every numpy ``transform_batch_host`` agrees with the jitted jnp
+    kernel — the host fast path reassociates the atom sums into BLAS
+    batched matmuls, so the comparison locks the reformulation."""
+    t, n_a, n_b = 9, 7, 4
+
+    def both(trafo, batch, carry=None):
+        jout, jcarry = trafo.transform_batch(batch, carry)
+        hout, hcarry = trafo.transform_batch_host(batch, carry)
+        np.testing.assert_allclose(
+            np.asarray(hout), np.asarray(jout), rtol=1e-9, atol=1e-9
+        )
+        return jcarry, hcarry
+
+    vel = {sp: rng.normal(size=(t, n, 3)) for sp, n in (("A", n_a), ("B", n_b))}
+    # constant scalar charge AND a stored per-frame (T, N, 1) charge
+    both(IonicCurrent(), {
+        "A": {"Velocities": vel["A"], "Charge": np.full((1, 1, 1), 2.0)},
+        "B": {"Velocities": vel["B"],
+              "Charge": rng.normal(size=(t, n_b, 1))},
+    })
+    both(TranslationalDipoleMoment(), {
+        "A": {"Unwrapped_Positions": rng.normal(size=(t, n_a, 3)),
+              "Charge": np.full((1, 1, 1), -1.5)},
+    })
+    both(ThermalFlux(), {
+        "A": {"Stress": rng.normal(size=(t, n_a, 6)),
+              "Velocities": vel["A"],
+              "Kinetic_Energy": rng.normal(size=(t, n_a, 1)),
+              "Potential_Energy": rng.normal(size=(t, n_a, 1))},
+        "B": {"Stress": rng.normal(size=(t, n_b, 6)),
+              "Velocities": vel["B"],
+              "Kinetic_Energy": rng.normal(size=(t, n_b, 1)),
+              "Potential_Energy": rng.normal(size=(t, n_b, 1))},
+    })
+    both(IntegratedHeatCurrent(), {
+        "A": {"Unwrapped_Positions": rng.normal(size=(t, n_a, 3)),
+              "Kinetic_Energy": rng.normal(size=(t, n_a, 1)),
+              "Potential_Energy": rng.normal(size=(t, n_a, 1))},
+    })
+    both(MomentumFlux(), {
+        "A": {"Stress": rng.normal(size=(t, n_a, 6))},
+        "B": {"Stress": rng.normal(size=(t, n_b, 6))},
+    })
+
+
+def test_kinaci_host_kernel_carry_chains(rng):
+    """Host Kinaci matches the jnp kernel across a batch seam, mixing the
+    two kernels' carries (the runner may hand either's carry onward)."""
+    t, n = 24, 3
+    pos = rng.normal(size=(t, n, 3))
+    vel = rng.normal(size=(t, n, 3))
+    force = rng.normal(size=(t, n, 3))
+    pe = rng.normal(size=(t, n, 1))
+
+    def batch(lo, hi):
+        return {
+            "X": {
+                "Unwrapped_Positions": pos[lo:hi],
+                "Velocities": vel[lo:hi],
+                "Forces": force[lo:hi],
+                "Potential_Energy": pe[lo:hi],
+                "Time_Step": np.asarray(0.25),
+                "Sample_Rate": np.asarray(1.0),
+            }
+        }
+
+    trafo = KinaciIntegratedHeatCurrent()
+    full, _ = trafo.transform_batch(batch(0, t))
+    out1, carry = trafo.transform_batch_host(batch(0, 10))
+    out2, _ = trafo.transform_batch_host(batch(10, t), carry)
+    np.testing.assert_allclose(
+        np.concatenate([out1, out2]), np.asarray(full), rtol=1e-9, atol=1e-9
+    )
+
+
+def test_runner_selects_host_kernel_on_cpu(tmp_path, rng):
+    """On the CPU backend the runner must use the numpy host kernel (the
+    jitted path would silently pay the buffer copy)."""
+    import lammps_analysis_tpu as latpu
+    from lammps_analysis_tpu.database import (
+        PropertyInfo, SpeciesInfo, TrajectoryChunkData, TrajectoryMetadata,
+    )
+    from lammps_analysis_tpu.file_io import ScriptInput
+
+    vel_prop = PropertyInfo("Velocities", 3)
+    species = [SpeciesInfo("Na", 4, [vel_prop], charge=1.0),
+               SpeciesInfo("Cl", 3, [vel_prop], charge=-1.0)]
+    n_frames = 12
+    meta = TrajectoryMetadata(
+        n_configurations=n_frames, species_list=species, box_l=[5.0] * 3,
+    )
+    chunk = TrajectoryChunkData(species, n_frames)
+    data = {}
+    for sp in species:
+        data[sp.name] = rng.normal(size=(n_frames, sp.n_particles, 3))
+        chunk.add_data(data[sp.name], 0, sp.name, "Velocities")
+    project = latpu.Project(name="hostsel", storage_path=tmp_path)
+    exp = project.add_experiment("e", timestep=0.1, temperature=300.0)
+    exp.add_data(ScriptInput(chunk, meta, "c0"))
+    exp.set_charge("Na", 1.0)
+    exp.set_charge("Cl", -1.0)
+
+    trafo = IonicCurrent()
+    called = {"jit": False}
+    orig = trafo._batch_kernel
+
+    def spy():
+        called["jit"] = True
+        return orig()
+
+    trafo._batch_kernel = spy
+    trafo.run_transformation(exp)
+    assert not called["jit"], "host-routed stage fell back to the jit path"
+    out = exp.store.load(
+        ["Observables/Ionic_Current"], frames=slice(0, n_frames)
+    )["Observables/Ionic_Current"]
+    expect = data["Na"].sum(axis=1) - data["Cl"].sum(axis=1)
+    np.testing.assert_allclose(out[:, 0, :], expect, rtol=1e-6, atol=1e-6)
+
+
 def test_unwrap_choice_prefers_box_images(tmp_path, rng):
     """With Box_Images stored, dependency resolution uses UnwrapViaIndices
     (reference _unwrap_choice, trajectory_calculator.py:181-194)."""
