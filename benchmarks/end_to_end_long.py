@@ -78,6 +78,24 @@ def main():
     )
 
     results = {"n_atoms": n_atoms, "n_frames": n_frames}
+    # E2E_KEEP_TPU_STAGES=1: refresh only the HOST stages (ingest +
+    # transport stack) in a CPU-forced process, carrying the recorded
+    # TPU-stage numbers (RDF/ADF) from the prior artifact — those code
+    # paths are unchanged and rerunning them would contend for the shared
+    # drifting chip.
+    if os.environ.get("E2E_KEEP_TPU_STAGES") and OUT.exists():
+        prior = json.loads(OUT.read_text())
+        for k in (
+            "rdf_warmup_compile_s", "rdf_s", "rdf_pairs", "rdf_pairs_per_s",
+            "adf_warmup_compile_s", "adf_s", "adf_frames",
+            "adf_ms_per_frame", "adf_note",
+        ):
+            if k in prior:
+                results[k] = prior[k]
+        results["tpu_stages_note"] = (
+            "rdf/adf numbers carried from the prior artifact; this run "
+            "re-measured the host stages (ingest + transport stack)"
+        )
 
     # ------------------------------------------------------------- ingest
     ingest_s = 0.0

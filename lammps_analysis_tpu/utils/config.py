@@ -55,6 +55,32 @@ class Config:
 config = Config()
 
 
+def _host_fingerprint() -> str:
+    """Short hash identifying this host's CPU (model + feature flags).
+
+    XLA's persistent cache stores AOT-compiled executables whose codegen
+    is specialised to the compile machine's CPU features. Loading them on
+    a different host is at best pessimised (XLA warns about mismatched
+    machine features and measured ~4x slower on the unwrap scan after
+    this VM migrated hosts) and at worst SIGILLs — so the cache directory
+    is keyed by the host CPU identity.
+    """
+    import hashlib
+    import platform
+
+    ident = [platform.machine()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "flags", "Features")):
+                    ident.append(line.strip())
+                    if len(ident) >= 3:
+                        break
+    except OSError:  # pragma: no cover - non-Linux
+        ident.append(platform.processor())
+    return hashlib.sha1("|".join(ident).encode()).hexdigest()[:12]
+
+
 def enable_persistent_compile_cache() -> None:
     """Point JAX at an on-disk compilation cache (idempotent).
 
@@ -63,7 +89,9 @@ def enable_persistent_compile_cache() -> None:
     the persistent cache makes every later process pay ~0 instead. TPU
     backends usually have their own server-side cache — the directory cache
     is still harmless there. Opt out with ``LATPU_JAX_CACHE=0``; override
-    the location with ``LATPU_JAX_CACHE=/path``.
+    the BASE location with ``LATPU_JAX_CACHE=/path`` (a ``host-<cpu hash>``
+    subdirectory is always appended: cached executables embed
+    machine-specific codegen and must never be shared across hosts).
     """
     import os
 
@@ -74,9 +102,10 @@ def enable_persistent_compile_cache() -> None:
 
     if jax.config.jax_compilation_cache_dir:
         return  # user already configured one
-    path = env or os.path.join(
+    base = env or os.path.join(
         os.path.expanduser("~"), ".cache", "lammps_analysis_tpu", "xla"
     )
+    path = os.path.join(base, f"host-{_host_fingerprint()}")
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)

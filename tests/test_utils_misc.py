@@ -212,3 +212,24 @@ def test_bandwidth_probe_deadline(monkeypatch):
     assert _time.perf_counter() - t0 < 1.5  # returned at the deadline
     assert mbps < dv.SLOW_LINK_MBPS
     dv.reset_measurement()
+
+
+def test_compile_cache_is_host_keyed():
+    """The persistent XLA cache dir must embed a host-CPU fingerprint:
+    AOT executables are machine-specific (a host migration served stale
+    code compiled for another CPU — 4x slower scans, SIGILL risk)."""
+    import re
+
+    import jax
+
+    from lammps_analysis_tpu.utils.config import (
+        _host_fingerprint,
+        enable_persistent_compile_cache,
+    )
+
+    fp = _host_fingerprint()
+    assert re.fullmatch(r"[0-9a-f]{12}", fp)
+    assert _host_fingerprint() == fp  # stable within a host
+    enable_persistent_compile_cache()  # idempotent (already set on import)
+    cache_dir = jax.config.jax_compilation_cache_dir
+    assert cache_dir is not None and cache_dir.endswith(f"host-{fp}")
