@@ -133,6 +133,17 @@ class BatchPlanner:
             return 128
         return 512
 
+    #: per-slab ceiling for streamed transformations. The memory budget
+    #: alone lets a 100k-frame store plan a near-whole-trajectory slab
+    #: (measured: one 10.5 GB load per species), which defeats the
+    #: one-slab-lookahead prefetch (nothing overlaps the first giant
+    #: read), thrashes the page cache, and pays h5py's cold interleaved
+    #: read rate for the whole stage. Host-side streaming wants many
+    #: same-shaped ~0.5-1 GB slabs: one cached jit compile, loads
+    #: overlapped with compute (IonicCurrent stage on a 22.9 GB store:
+    #: 103 s unbounded -> load-bound with the cap).
+    TRANSFORMATION_SLAB_BYTES = 2**30
+
     def transformation_batch_size(self, trafo, experiment) -> int:
         """Frames per slab for a transformation run."""
         n_atoms = max(
@@ -141,7 +152,7 @@ class BatchPlanner:
         n_props = len(trafo.input_properties) + 1
         bytes_per_frame = n_atoms * 3 * 8 * n_props
         fn, kwargs = resolve_scale_function(trafo.scale_function)
-        budget = self.budget_bytes
+        budget = min(self.budget_bytes, self.TRANSFORMATION_SLAB_BYTES)
         batch = int(budget / max(fn(bytes_per_frame, **kwargs), 1))
         return int(np.clip(batch, 1, max(experiment.number_of_configurations, 1)))
 
