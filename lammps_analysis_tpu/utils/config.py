@@ -64,18 +64,30 @@ def _host_fingerprint() -> str:
     machine features and measured ~4x slower on the unwrap scan after
     this VM migrated hosts) and at worst SIGILLs — so the cache directory
     is keyed by the host CPU identity.
+
+    The model-name + flags lines alone are NOT enough: cloud VMs report a
+    generic model name ("Intel(R) Xeon(R) Processor @ 2.10GHz") and
+    near-identical flag sets across CPU generations, while LLVM derives
+    extra tuning features (e.g. ``+prefer-no-gather``) from the cpuid
+    family/model/stepping — a second migration collided on the old key
+    and served mis-targeted AOT code again. Key on the full identity
+    block: vendor, family, model, stepping, microcode, name, flags.
     """
     import hashlib
     import platform
 
+    keys = (
+        "vendor_id", "cpu family", "model", "model name", "stepping",
+        "microcode", "flags", "Features", "CPU implementer", "CPU part",
+    )
     ident = [platform.machine()]
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("model name", "flags", "Features")):
+                if not line.strip():
+                    break  # one processor block identifies the host
+                if line.split(":")[0].strip() in keys:
                     ident.append(line.strip())
-                    if len(ident) >= 3:
-                        break
     except OSError:  # pragma: no cover - non-Linux
         ident.append(platform.processor())
     return hashlib.sha1("|".join(ident).encode()).hexdigest()[:12]

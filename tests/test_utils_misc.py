@@ -233,3 +233,44 @@ def test_compile_cache_is_host_keyed():
     enable_persistent_compile_cache()  # idempotent (already set on import)
     cache_dir = jax.config.jax_compilation_cache_dir
     assert cache_dir is not None and cache_dir.endswith(f"host-{fp}")
+
+
+def test_fingerprint_distinguishes_cpu_steppings(monkeypatch, tmp_path):
+    """Generic cloud model names + identical flag sets collide across CPU
+    generations; LLVM tunes codegen from cpuid family/model/stepping
+    (e.g. +prefer-no-gather), so those lines MUST move the hash — a real
+    second migration served mis-targeted AOT code on the name+flags key."""
+    import builtins
+
+    import importlib
+
+    cfg = importlib.import_module("lammps_analysis_tpu.utils.config")
+
+    def cpuinfo(stepping):
+        return (
+            "vendor_id\t: GenuineIntel\n"
+            "cpu family\t: 6\n"
+            "model\t\t: 207\n"
+            "model name\t: Intel(R) Xeon(R) Processor @ 2.10GHz\n"
+            f"stepping\t: {stepping}\n"
+            "microcode\t: 0x1\n"
+            "flags\t\t: fpu avx2 avx512f amx-bf16\n"
+            "\n"
+            "power management:\n"
+        )
+
+    real_open = builtins.open
+    fps = {}
+    for stepping in (2, 8):
+        p = tmp_path / f"cpuinfo_{stepping}"
+        p.write_text(cpuinfo(stepping))
+
+        def fake_open(path, *a, _p=p, **k):
+            if path == "/proc/cpuinfo":
+                return real_open(_p, *a, **k)
+            return real_open(path, *a, **k)
+
+        monkeypatch.setattr(builtins, "open", fake_open)
+        fps[stepping] = cfg._host_fingerprint()
+        monkeypatch.setattr(builtins, "open", real_open)
+    assert fps[2] != fps[8]
