@@ -401,25 +401,55 @@ class TrajectoryCalculator(Calculator):
             join_path(species, mp.unwrapped_positions.name)
         ) and complete(join_path(species, mp.positions.name))
 
+    def _stream_placement(self):
+        """Placement + load dtype for bandwidth-bound streamed stages.
+
+        Windowed correlations and on-the-fly transformations are O(1)
+        flops/byte: behind a slow accelerator link (measured policy,
+        ``utils/devices.py``) the slabs commit to the host CPU device and
+        the jitted kernels follow the placement. Loads happen in the dtype
+        the kernels will actually run — f64 only under an x64-enabled CPU
+        run (the parity/test configuration); loading f64 that jit
+        immediately downcasts would double the disk and host->device
+        transfer volume for nothing.
+        """
+        import jax
+
+        from ..utils.devices import bandwidth_bound_device
+
+        device = bandwidth_bound_device()
+        on_cpu = device is not None or jax.default_backend() == "cpu"
+        dtype = (
+            np.float64
+            if on_cpu and jax.config.jax_enable_x64
+            else np.float32
+        )
+        return device, dtype
+
     def _stream_unwrapped_fused(
         self, species: str, data_range: int, correlation_time: int
     ):
         """Stream ``Positions`` slabs and unwrap them on the fly.
 
         The unwrap carry (previous frame's wrapped position + image
-        count) chains across the overlapping window-aligned slabs: the
-        carry for slab k+1 is reconstructed from slab k's arrays at the
-        frame just before slab k+1's start — so every slab is seam-free
-        and the result is bit-identical to streaming a materialised
+        count) chains across the window-aligned slabs: the carry for slab
+        k+1 is reconstructed from slab k's arrays at the frame just
+        before slab k+1's start — so every slab is seam-free and the
+        result is bit-identical to streaming a materialised
         ``Unwrapped_Positions`` dataset (the unwrap math is batch-size
         invariant). Skips one full-trajectory disk WRITE and one READ.
+
+        When ``correlation_time > data_range`` the window plan's slabs are
+        disjoint; the unwrap is path-dependent (jump detection needs every
+        consecutive-frame diff), so each load extends through the next
+        slab's first frame — the gap frames are integrated into the carry
+        but not yielded.
         """
         import jax.numpy as jnp
 
         from ..database.properties import mdsuite_properties as mp
         from ..pipeline.prefetch import prefetch_to_device
         from ..transformations.coordinate_transforms import CoordinateUnwrapper
-        from ..utils.devices import bandwidth_bound_device
 
         exp = self.experiment
         pos_path = join_path(species, mp.positions.name)
@@ -431,25 +461,26 @@ class TrajectoryCalculator(Calculator):
             pos_path, data_range, correlation_time,
             max_slab_bytes=1 << 29,
         )
+        # (start, yield_stop, load_stop): load through the next slab's
+        # start so the seam frame is always in range
+        ext = [
+            (
+                start,
+                stop,
+                max(stop, slabs[i + 1][0]) if i + 1 < len(slabs) else stop,
+            )
+            for i, (start, stop) in enumerate(slabs)
+        ]
         atoms = self.resolve_atom_selection(
             self.args.get("atom_selection"), species
         )
         store = exp.store
-
-        import jax
-
-        device = bandwidth_bound_device()
-        on_cpu = device is not None or jax.default_backend() == "cpu"
-        dtype = (
-            np.float64
-            if on_cpu and jax.config.jax_enable_x64
-            else np.float32
-        )
+        device, dtype = self._stream_placement()
 
         def load(slab):
-            start, stop = slab
+            start, _, load_stop = slab
             return store.load(
-                [pos_path], frames=slice(start, stop), atoms=atoms,
+                [pos_path], frames=slice(start, load_stop), atoms=atoms,
                 dtype=dtype,
             )[pos_path]
 
@@ -461,7 +492,7 @@ class TrajectoryCalculator(Calculator):
         box = jnp.asarray(np.asarray(exp.box_array, dtype=dtype))
         carry = None
         for i, pos in enumerate(
-            prefetch_to_device(load, slabs, depth=2, device=device)
+            prefetch_to_device(load, ext, depth=2, device=device)
         ):
             unwrapped, _ = kernel(
                 {
@@ -470,14 +501,15 @@ class TrajectoryCalculator(Calculator):
                 },
                 carry,
             )
-            if i + 1 < len(slabs):
-                # seam for the NEXT (overlapping) slab: state at the frame
-                # before its start, image counts recovered exactly as
+            start, stop, _ = ext[i]
+            if i + 1 < len(ext):
+                # seam for the NEXT slab: state at the frame before its
+                # start, image counts recovered exactly as
                 # CoordinateUnwrapper.bootstrap_carry does from the store
-                j = slabs[i + 1][0] - 1 - slabs[i][0]
+                j = ext[i + 1][0] - 1 - start
                 image = jnp.round((unwrapped[j] - pos[j]) / box)
                 carry = (pos[j], image)
-            yield unwrapped
+            yield unwrapped[: stop - start]
 
     def _stream_properties_multi(
         self,
@@ -494,23 +526,14 @@ class TrajectoryCalculator(Calculator):
         with prefetched streaming (a 100k-frame pair is ~25 GB loaded
         whole; slabs are bounded by the batch plan).
         """
-        import jax
-
         from ..pipeline.prefetch import prefetch_to_device
-        from ..utils.devices import bandwidth_bound_device
 
         store = self.experiment.store
         paths = {sp: join_path(sp, prop_name) for sp in species_list}
         slabs = self._window_slab_plan(
             next(iter(paths.values())), data_range, correlation_time
         )
-        device = bandwidth_bound_device()
-        on_cpu = device is not None or jax.default_backend() == "cpu"
-        dtype = (
-            np.float64
-            if on_cpu and jax.config.jax_enable_x64
-            else np.float32
-        )
+        device, dtype = self._stream_placement()
 
         def load(slab):
             start, stop = slab
@@ -537,7 +560,6 @@ class TrajectoryCalculator(Calculator):
         positions (see :meth:`_stream_unwrapped_fused`).
         """
         from ..pipeline.prefetch import prefetch_to_device
-        from ..utils.devices import bandwidth_bound_device
 
         from ..database.properties import mdsuite_properties as _mp
 
@@ -555,23 +577,7 @@ class TrajectoryCalculator(Calculator):
             self.args.get("atom_selection"), species
         )
         store = self.experiment.store
-
-        # windowed correlations are O(1) flops/byte: behind a slow
-        # accelerator link (measured) the slabs commit to the host CPU
-        # device and the jitted kernels follow the placement
-        import jax
-
-        device = bandwidth_bound_device()
-        on_cpu = device is not None or jax.default_backend() == "cpu"
-        # load in the dtype the kernels will actually run: f64 only under
-        # an x64-enabled CPU run (the parity/test configuration) — loading
-        # f64 that jit immediately downcasts would double the disk and
-        # host->device transfer volume for nothing
-        dtype = (
-            np.float64
-            if on_cpu and jax.config.jax_enable_x64
-            else np.float32
-        )
+        device, dtype = self._stream_placement()
 
         def load(slab):
             start, stop = slab

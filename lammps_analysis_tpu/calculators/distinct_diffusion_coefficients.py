@@ -114,7 +114,13 @@ class EinsteinDistinctDiffusionCoefficients(TrajectoryCalculator):
                         )
                     msd_sum += cross
                     n_windows += 1
-            msd = msd_sum / max(n_windows, 1)
+            if n_windows == 0:
+                raise ValueError(
+                    f"{self.name}: data_range {w} exceeds the "
+                    f"{exp.number_of_configurations} available "
+                    "configurations."
+                )
+            msd = msd_sum / n_windows
             msd *= exp.units.length**2
             try:
                 popt, pcov, _, _ = fit_einstein_curve(
@@ -246,7 +252,13 @@ class GreenKuboDistinctDiffusionCoefficients(TrajectoryCalculator):
                         cross = cross - per_particle
                     vacf_sum += cross
                     sigmas.append(prefactor * np.trapezoid(cross, x=times))
-            vacf = vacf_sum / max(len(sigmas), 1)
+            if not sigmas:
+                raise ValueError(
+                    f"{self.name}: data_range {w} exceeds the "
+                    f"{exp.number_of_configurations} available "
+                    "configurations."
+                )
+            vacf = vacf_sum / len(sigmas)
             sigmas = np.asarray(sigmas)
             results[f"{sp_a}_{sp_b}"] = {
                 "diffusion_coefficient": float(np.mean(sigmas)),

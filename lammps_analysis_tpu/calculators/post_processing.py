@@ -46,12 +46,15 @@ class _RDFPostProcessor(Calculator):
 
     @staticmethod
     def _rdf_args(rdf: Computation) -> Dict[str, Any]:
-        p = rdf.computation_parameter
-        return {
-            "number_of_bins": p["number_of_bins"],
-            "cutoff": p["cutoff"],
-            "number_of_configurations": p["number_of_configurations"],
-        }
+        """Cache-key contribution of the source RDF: its FULL argument dict.
+
+        Keying only bins/cutoff/n_configs let two RDFs differing in
+        species, start/stop or atom_selection collide and serve a stale
+        post-processed result (violating base.py's contract that every
+        argument affecting the numerical result is in the key).
+        NernstEinstein already embeds its sources' full args (:344-351).
+        """
+        return {"rdf_args": dict(rdf.computation_parameter)}
 
 
 class CoordinationNumbers(_RDFPostProcessor):
@@ -259,22 +262,54 @@ class StructureFactor(_RDFPostProcessor):
         self.rdf_data = self._resolve_rdf(rdf_data)
         return {"resolution": int(resolution), **self._rdf_args(self.rdf_data)}
 
+    @staticmethod
+    def _split_pair(pair: str, names) -> tuple:
+        """Split an RDF subject key ``"A_B"`` into two KNOWN entity names.
+
+        Species/molecule names may themselves contain underscores
+        (``mol_1_mol_1``), so a bare ``pair.split("_")`` mis-parses; try
+        every split point and accept the one where both halves are known.
+        """
+        for i, ch in enumerate(pair):
+            if ch != "_":
+                continue
+            sp_a, sp_b = pair[:i], pair[i + 1:]
+            if sp_a in names and sp_b in names:
+                return sp_a, sp_b
+        raise ValueError(
+            f"StructureFactor: RDF pair key {pair!r} does not split into "
+            f"two known entities ({sorted(names)}). Pass the matching "
+            "rdf_data and make sure its species exist in the experiment."
+        )
+
     def run_calculator(self) -> Dict[str, dict]:
         exp = self.experiment
         a = self.args
         q = np.linspace(0.5, 12.0, a["resolution"])  # 1/Angstrom (:175)
         volume_ang3 = exp.volume * exp.units.volume / 1e-30
-        species = {
-            name: sp
-            for name, sp in exp.species.items()
-            if name != "Observables"
-        }
-        n_total = sum(sp.n_particles for sp in species.values())
+        # weight fractions over the source RDF's own subjects when known
+        # (falling back to the experiment's species) so molecule-based or
+        # restricted RDFs don't KeyError; entity() resolves both kinds
+        rdf_species = (a.get("rdf_args") or {}).get("species")
+        names = [
+            n
+            for n in (rdf_species if rdf_species else exp.species)
+            if n != "Observables"
+        ]
+        infos = {n: exp.entity(n) for n in names}
+        n_total = sum(sp.n_particles for sp in infos.values())
         rho_0 = n_total / volume_ang3
 
-        x = {name: sp.n_particles / n_total for name, sp in species.items()}
-        f = {name: form_factor(name, q) for name in species}
-        f_mean = sum(x[name] * f[name] for name in species)
+        x = {name: sp.n_particles / n_total for name, sp in infos.items()}
+        try:
+            f = {name: form_factor(name, q) for name in infos}
+        except KeyError as err:
+            raise ValueError(
+                "StructureFactor needs Cromer-Mann form factors for every "
+                "RDF subject — molecule COM trajectories have no atomic "
+                f"form factor. ({err})"
+            ) from err
+        f_mean = sum(x[name] * f[name] for name in infos)
 
         results = {}
         total = np.zeros_like(q)
@@ -287,7 +322,7 @@ class StructureFactor(_RDFPostProcessor):
                 kernel * (rdf - 1), x=radii, axis=1
             )
             results[pair] = {"q": q.tolist(), "S": s_partial.tolist()}
-            sp_a, sp_b = pair.split("_")
+            sp_a, sp_b = self._split_pair(pair, infos)
             factor = 1.0 if sp_a == sp_b else 2.0
             weight = (
                 factor * x[sp_a] * x[sp_b] * f[sp_a] * f[sp_b] / f_mean**2

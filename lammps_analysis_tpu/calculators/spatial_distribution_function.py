@@ -131,9 +131,14 @@ class SpatialDistributionFunction(TrajectoryCalculator):
             pos_a = exp.store.load([path_a], frames=fsel, dtype=np.float32)[
                 path_a
             ]
-            pos_b = exp.store.load([path_b], frames=fsel, dtype=np.float32)[
-                path_b
-            ]
+            # same-species runs reuse the array (one HDF5 read, half the RAM)
+            pos_b = (
+                pos_a
+                if path_b == path_a
+                else exp.store.load(
+                    [path_b], frames=fsel, dtype=np.float32
+                )[path_b]
+            )
             pb_j = jnp.asarray(pos_b)
             for a0 in range(0, n_a, a_block):
                 pa_j = jnp.asarray(pos_a[:, a0 : a0 + a_block])

@@ -86,6 +86,18 @@ class Transformation(abc.ABC):
         )
         return None
 
+    def bootstrap_carry_multi(self, experiment, species, offset: int):
+        """Multi-species analog of :meth:`bootstrap_carry` (resume at
+        ``offset`` after an append). Default: no carry, with the same loud
+        warning — see :class:`KinaciIntegratedHeatCurrent` for an exact
+        re-integration."""
+        log.warning(
+            "%s resumes at frame %d without carry state; results before "
+            "and after the append boundary may be discontinuous.",
+            type(self).__name__, offset,
+        )
+        return None
+
     # ------------------------------------------------------------------ runner
     def run_transformation(self, experiment, species: Optional[List[str]] = None):
         """Execute against an experiment, writing results into its store.
@@ -117,7 +129,10 @@ class Transformation(abc.ABC):
             prop.name: self._resolve_input(experiment, sp_name, prop)
             for prop in self.input_properties
         }
-        n_particles = experiment.species[sp_name].n_particles
+        # entity(): molecule names resolve too — a calculator's dependency
+        # check runs transformations for mapped-molecule "species", whose
+        # info lives in experiment.molecules, not experiment.species
+        n_particles = experiment.entity(sp_name).n_particles
         self._ensure_output(experiment, sp_name, n_particles, n_configs)
 
         offset = experiment.store.get_cursor(
@@ -155,8 +170,10 @@ class Transformation(abc.ABC):
             for sp in species
         }
         self._ensure_output(experiment, DatasetKeys.OBSERVABLES, 1, n_configs)
-        carry = None
         offset = experiment.store.get_cursor(out_path)
+        carry = None
+        if offset > 0 and self.requires_carryover:
+            carry = self.bootstrap_carry_multi(experiment, species, offset)
         from ..utils.devices import bandwidth_bound_compute
 
         with bandwidth_bound_compute() as host_dev:
@@ -290,8 +307,11 @@ class Transformation(abc.ABC):
             return np.asarray(experiment.time_step)
         if prop.name == "Sample_Rate":
             return np.asarray(experiment.sample_rate)
-        sp: SpeciesInfo = experiment.species.get(sp_name)
-        if sp is None:
+        from ..utils.constants import SpeciesNotFoundError
+
+        try:
+            sp: SpeciesInfo = experiment.entity(sp_name)
+        except SpeciesNotFoundError:
             return None
         if prop.name == "Charge":
             if sp.charge is None:

@@ -102,9 +102,15 @@ class CoordinateWrapper(Transformation):
     def transform_batch(self, batch, carryover=None):
         pos = batch[mp.unwrapped_positions.name]
         box = batch[mp.box_length.name]
+        # center_box wraps to [-L/2, L/2): shift +L/2, floor-wrap to [0, L),
+        # shift back (wrap_coordinates.py:68-73). The signs matter — the
+        # un-compensated opposite shift rigidly offsets every derived
+        # Positions value by +L/2 relative to genuinely-wrapped species.
         if self.center_box:
-            pos = pos - box / 2.0
+            pos = pos + box / 2.0
         wrapped = pos - jnp.floor(pos / box) * box
+        if self.center_box:
+            wrapped = wrapped - box / 2.0
         return wrapped, None
 
 

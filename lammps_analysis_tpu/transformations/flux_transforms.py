@@ -256,6 +256,38 @@ class KinaciIntegratedHeatCurrent(Transformation):
             out = contrib if out is None else out + contrib
         return out, new_carry
 
+    def bootstrap_carry_multi(self, experiment, species, offset: int):
+        """Exact append-resume: re-integrate each species' per-atom
+        force-work integral over the already-processed frames.
+
+        The stored output is the species-summed current — the per-atom
+        integrals the carry needs are not recoverable from it, so resume
+        streams Velocities/Forces for frames ``[0, offset)`` once (same
+        math as :meth:`transform_batch`'s cumsum tail, accumulated in
+        f64)."""
+        from ..database.trajectory_store import join_path
+
+        dt = float(np.asarray(experiment.time_step)) * float(
+            np.asarray(experiment.sample_rate)
+        )
+        carry = {}
+        for sp in species:
+            n = experiment.species[sp].n_particles
+            # ~256 MB of (vel + force) f32 rows per slab
+            step = max(1, (1 << 28) // max(1, 2 * n * 3 * 4))
+            total = np.zeros((n,), dtype=np.float64)
+            v_path = join_path(sp, mp.velocities.name)
+            f_path = join_path(sp, mp.forces.name)
+            for a in range(0, offset, step):
+                frames = slice(a, min(offset, a + step))
+                vel = experiment.store.load([v_path], frames=frames)[v_path]
+                force = experiment.store.load([f_path], frames=frames)[f_path]
+                total += np.einsum(
+                    "tnd,tnd->n", force, vel, dtype=np.float64
+                )
+            carry[sp] = total * dt
+        return carry
+
     def transform_batch_host(self, batch, carryover=None):
         out = None
         new_carry = {}

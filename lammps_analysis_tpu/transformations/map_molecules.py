@@ -93,8 +93,15 @@ class MolecularMap:
                 join_path(sp, mp.unwrapped_positions.name)
             ):
                 producer = transformation_for_property(
-                    mp.unwrapped_positions.name
+                    mp.unwrapped_positions.name,
+                    experiment=experiment, species=sp,
                 )
+                if producer is None:
+                    raise ValueError(
+                        f"Molecule mapping needs Unwrapped_Positions for "
+                        f"{sp!r}, and the store holds no coordinate set "
+                        "to derive them from."
+                    )
                 producer.run_transformation(experiment, [sp])
 
         groups = self._detect_groups(

@@ -26,10 +26,13 @@ from .flux_transforms import (
 from .map_molecules import MolecularMap
 
 #: property name -> list of transformation classes able to produce it,
-#: in preference order.
+#: in preference order (reference ``transformation_dict.py:46-62`` lists
+#: ScaleCoordinates / UnwrapViaIndices first and falls through candidates
+#: on CannotFindPropertyError; here the store-aware chooser below picks
+#: directly, so the static order only matters for context-free callers).
 PROPERTY_TO_TRANSFORMATION = {
     "Unwrapped_Positions": [CoordinateUnwrapper, UnwrapViaIndices],
-    "Positions": [CoordinateWrapper, ScaleCoordinates],
+    "Positions": [ScaleCoordinates, CoordinateWrapper],
     "Velocities_From_Positions": [VelocityFromPositions],
     "Ionic_Current": [IonicCurrent],
     "Translational_Dipole_Moment": [TranslationalDipoleMoment],
@@ -63,18 +66,36 @@ def transformation_for_property(
 ):
     """Instantiate the preferred producer of ``prop_name`` (or None).
 
-    With experiment context, unwrapping prefers the dump's own image
+    With experiment context the coordinate-property choice is store-aware,
+    the acyclic equivalent of the reference's try-each-candidate fallback
+    (``transformations.py:366-381``): a producer is only chosen when its
+    own per-config source is stored (or derivable without cycling back
+    through ``prop_name``). Unwrapping prefers the dump's own image
     counters when they are stored (reference ``_unwrap_choice``,
-    ``calculators/trajectory_calculator.py:181-194``).
+    ``calculators/trajectory_calculator.py:181-194``). Without the
+    store-aware choice, a scaled-coordinates-only store (LAMMPS ``xs``
+    columns) would recurse forever: Positions -> CoordinateWrapper needs
+    Unwrapped_Positions -> CoordinateUnwrapper needs Positions -> ...
     """
     classes = PROPERTY_TO_TRANSFORMATION.get(prop_name)
     if not classes:
         return None
-    if (
-        prop_name == "Unwrapped_Positions"
-        and experiment is not None
-        and species is not None
-        and experiment.store.check_existence(f"{species}/Box_Images")
-    ):
-        return UnwrapViaIndices()
+    if experiment is not None and species is not None:
+        def stored(name: str) -> bool:
+            return experiment.store.check_existence(f"{species}/{name}")
+
+        if prop_name == "Unwrapped_Positions":
+            if stored("Box_Images"):
+                return UnwrapViaIndices()
+            # CoordinateUnwrapper consumes Positions: stored, or acyclically
+            # derivable from Scaled_Positions via ScaleCoordinates
+            if stored("Positions") or stored("Scaled_Positions"):
+                return CoordinateUnwrapper()
+            return None
+        if prop_name == "Positions":
+            if stored("Scaled_Positions"):
+                return ScaleCoordinates()
+            if stored("Unwrapped_Positions"):
+                return CoordinateWrapper()
+            return None
     return classes[0]()

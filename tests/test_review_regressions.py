@@ -1,0 +1,337 @@
+"""Regression tests for the round-2 adversarial code-review findings.
+
+Each test locks a specific fixed defect:
+
+* wrap convention — CoordinateWrapper(center_box=True) must produce the
+  reference's [-L/2, L/2) interval (``wrap_coordinates.py:62-74``), not a
+  rigidly +L/2-shifted [0, L).
+* producer registry — a scaled-coordinates-only store must resolve
+  Positions via ScaleCoordinates instead of recursing
+  CoordinateWrapper <-> CoordinateUnwrapper forever.
+* multi-species carry resume — KinaciIntegratedHeatCurrent re-run after
+  an append must chain its per-atom force-work integrals exactly.
+* fused-unwrap gap seam — correlation_time > data_range makes the window
+  plan's slabs disjoint; the on-the-fly unwrap must integrate the gap
+  frames into the carry (the unwrap is path-dependent).
+* post-processor cache keys — the full source-RDF arg dict must key the
+  cache (atom_selection/start/stop collisions served stale results).
+* molecule-species transformations — the dependency cascade may run a
+  transformation for a mapped molecule "species".
+* distinct calculators raise on zero windows instead of returning zeros.
+* StructureFactor pair parsing survives underscores in entity names.
+"""
+
+import numpy as np
+import pytest
+
+import lammps_analysis_tpu as latpu
+from lammps_analysis_tpu.database import (
+    PropertyInfo,
+    SpeciesInfo,
+    TrajectoryChunkData,
+    TrajectoryMetadata,
+)
+from lammps_analysis_tpu.file_io import ScriptInput
+
+POSITIONS = PropertyInfo("Positions", 3)
+SCALED = PropertyInfo("Scaled_Positions", 3)
+UNWRAPPED = PropertyInfo("Unwrapped_Positions", 3)
+VELOCITIES = PropertyInfo("Velocities", 3)
+FORCES = PropertyInfo("Forces", 3)
+PE = PropertyInfo("Potential_Energy", 1)
+
+
+def _experiment(tmp_path, name, species, data, n_frames, box=8.0, **kwargs):
+    meta = TrajectoryMetadata(
+        n_configurations=n_frames, species_list=species, box_l=[box] * 3,
+        sample_rate=1, temperature=300.0,
+    )
+    chunk = TrajectoryChunkData(species, n_frames)
+    for sp_name, prop_name, arr in data:
+        chunk.add_data(arr, 0, sp_name, prop_name)
+    project = latpu.Project(name=name, storage_path=tmp_path)
+    return project.add_experiment(
+        name + "_e", timestep=0.1, units="si",
+        simulation_data=ScriptInput(chunk, meta, name + "_d"), **kwargs
+    )
+
+
+# --------------------------------------------------------------- wrap convention
+def test_wrap_center_box_matches_reference_interval(rng):
+    """center_box=True wraps to [-L/2, L/2) exactly as the reference:
+    +L/2 shift, floor-wrap, -L/2 shift (NOT the un-compensated -L/2
+    pre-shift that landed everything in [0, L))."""
+    import jax.numpy as jnp
+
+    from lammps_analysis_tpu.transformations import CoordinateWrapper
+
+    box = np.array([4.0, 6.0, 8.0])
+    unwrapped = rng.normal(scale=10.0, size=(7, 5, 3))
+    out, _ = CoordinateWrapper(center_box=True).transform_batch(
+        {
+            "Unwrapped_Positions": jnp.asarray(unwrapped),
+            "Box_Array": jnp.asarray(box),
+        }
+    )
+    out = np.asarray(out)
+    assert (out >= -box / 2).all() and (out < box / 2).all()
+    shifted = unwrapped + box / 2
+    expected = shifted - np.floor(shifted / box) * box - box / 2
+    np.testing.assert_allclose(out, expected, atol=1e-12)
+    # and the uncentered variant stays [0, L)
+    out0, _ = CoordinateWrapper(center_box=False).transform_batch(
+        {
+            "Unwrapped_Positions": jnp.asarray(unwrapped),
+            "Box_Array": jnp.asarray(box),
+        }
+    )
+    out0 = np.asarray(out0)
+    assert (out0 >= 0).all() and (out0 < box).all()
+
+
+# --------------------------------------------------------------- producer registry
+def test_scaled_only_store_derives_positions_without_recursion(tmp_path, rng):
+    """A LAMMPS xs-style store (Scaled_Positions only) must resolve
+    Positions via ScaleCoordinates — the old classes[0] choice recursed
+    CoordinateWrapper <-> CoordinateUnwrapper until RecursionError."""
+    n_frames, n_atoms, box = 40, 6, 8.0
+    frac = rng.uniform(0.05, 0.95, size=(n_frames, n_atoms, 3))
+    exp = _experiment(
+        tmp_path, "scaledonly", [SpeciesInfo("X", n_atoms, [SCALED])],
+        [("X", "Scaled_Positions", frac)], n_frames, box=box,
+    )
+    res = exp.run.RadialDistributionFunction(
+        number_of_configurations=8, cutoff=3.0, number_of_bins=40, plot=False
+    )
+    pos = exp.store.load(["X/Positions"], frames=slice(0, n_frames))[
+        "X/Positions"
+    ]
+    np.testing.assert_allclose(pos, frac * box, rtol=1e-6)
+    assert "X_X" in res.data_dict
+
+
+def test_registry_returns_none_without_a_coordinate_source(tmp_path, rng):
+    """No stored coordinate set of any kind -> no producer (the caller
+    raises a clear error instead of recursing)."""
+    from lammps_analysis_tpu.transformations import transformation_for_property
+
+    n_frames, n_atoms = 10, 4
+    exp = _experiment(
+        tmp_path, "velonly", [SpeciesInfo("X", n_atoms, [VELOCITIES])],
+        [("X", "Velocities", rng.normal(size=(n_frames, n_atoms, 3)))],
+        n_frames,
+    )
+    assert transformation_for_property(
+        "Positions", experiment=exp, species="X"
+    ) is None
+    assert transformation_for_property(
+        "Unwrapped_Positions", experiment=exp, species="X"
+    ) is None
+
+
+# --------------------------------------------------------- multi-species carry resume
+def test_kinaci_append_resume_chains_carry(tmp_path, rng):
+    """Appending frames and re-running the Kinaci transformation must
+    equal the one-shot run: the per-atom force-work integral is
+    re-integrated at resume (it is NOT recoverable from the stored
+    species-summed output)."""
+    from lammps_analysis_tpu.transformations import KinaciIntegratedHeatCurrent
+
+    n_frames, n_atoms = 24, 3
+    props = [UNWRAPPED, VELOCITIES, FORCES, PE]
+    sp = [SpeciesInfo("X", n_atoms, props)]
+    pos = np.cumsum(rng.normal(size=(n_frames, n_atoms, 3)), axis=0)
+    vel = rng.normal(size=(n_frames, n_atoms, 3))
+    force = rng.normal(size=(n_frames, n_atoms, 3))
+    pe = rng.normal(size=(n_frames, n_atoms, 1))
+
+    def data(lo, hi):
+        return [
+            ("X", "Unwrapped_Positions", pos[lo:hi]),
+            ("X", "Velocities", vel[lo:hi]),
+            ("X", "Forces", force[lo:hi]),
+            ("X", "Potential_Energy", pe[lo:hi]),
+        ]
+
+    # one-shot reference
+    exp_full = _experiment(tmp_path, "kfull", sp, data(0, n_frames), n_frames)
+    KinaciIntegratedHeatCurrent().run_transformation(exp_full)
+    full = exp_full.store.load(
+        ["Observables/Kinaci_Heat_Current"], frames=slice(0, n_frames)
+    )["Observables/Kinaci_Heat_Current"]
+
+    # split run with an append in between
+    half = n_frames // 2
+    exp_inc = _experiment(tmp_path, "kinc", sp, data(0, half), half)
+    KinaciIntegratedHeatCurrent().run_transformation(exp_inc)
+    meta2 = TrajectoryMetadata(
+        n_configurations=n_frames - half, species_list=sp,
+        box_l=[8.0] * 3, sample_rate=1,
+    )
+    chunk2 = TrajectoryChunkData(sp, n_frames - half)
+    for sp_name, prop_name, arr in data(half, n_frames):
+        chunk2.add_data(arr, 0, sp_name, prop_name)
+    exp_inc.add_data(ScriptInput(chunk2, meta2, "part2"))
+    KinaciIntegratedHeatCurrent().run_transformation(exp_inc)
+    inc = exp_inc.store.load(
+        ["Observables/Kinaci_Heat_Current"], frames=slice(0, n_frames)
+    )["Observables/Kinaci_Heat_Current"]
+    np.testing.assert_allclose(inc, full, rtol=1e-5, atol=1e-7)
+
+
+# --------------------------------------------------------- fused-unwrap gap seam
+def test_fused_unwrap_disjoint_slabs_integrate_gap(tmp_path, rng):
+    """correlation_time > data_range: the window plan's slabs are
+    disjoint, but jump detection needs every consecutive-frame diff —
+    the fused stream must load the gap frames into the carry. The old
+    clamped seam index silently chained from the wrong frame."""
+    from lammps_analysis_tpu.calculators.einstein_diffusion_coefficients import (
+        EinsteinDiffusionCoefficients,
+    )
+    from lammps_analysis_tpu.utils.config import change_memory_fraction, config
+
+    n_frames, n_atoms, box, dt = 600, 8, 2.0, 0.1
+    unwrapped = (
+        np.cumsum(rng.normal(scale=0.3, size=(n_frames, n_atoms, 3)), axis=0)
+        + box / 2
+    )
+    wrapped = unwrapped - box * np.floor(unwrapped / box)
+    sp = [SpeciesInfo("X", n_atoms, [POSITIONS])]
+
+    def build(name):
+        return _experiment(
+            tmp_path, name, sp, [("X", "Positions", wrapped)], n_frames,
+            box=box,
+        )
+
+    kw = dict(data_range=24, correlation_time=100, plot=False)
+    res_mat = build("gapmat").run.EinsteinDiffusionCoefficients(**kw)
+
+    exp_fused = build("gapfused")
+    probe = EinsteinDiffusionCoefficients(exp_fused)
+    probe.args = probe.prepare_args(data_range=24, correlation_time=100)
+    with change_memory_fraction(1e-7):
+        slabs = probe._window_slab_plan("X/Positions", 24, 100)
+        assert len(slabs) > 2, "budget did not force multiple slabs"
+        assert any(
+            b[0] > a[1] for a, b in zip(slabs, slabs[1:])
+        ), "plan has no gaps; the regression needs disjoint slabs"
+        config.fuse_streaming = True
+        try:
+            res_fused = exp_fused.run.EinsteinDiffusionCoefficients(**kw)
+        finally:
+            config.fuse_streaming = False
+    np.testing.assert_allclose(
+        np.array(res_fused["X"]["msd"]), np.array(res_mat["X"]["msd"]),
+        rtol=1e-10,
+    )
+
+
+# --------------------------------------------------------- post-processor cache keys
+def test_postprocessor_cache_keyed_by_full_rdf_args(tmp_path, rng):
+    """Two source RDFs differing only in atom_selection must produce two
+    distinct CoordinationNumbers computations (bins/cutoff/n_conf-only
+    keys collided and served the first result for the second call)."""
+    n_frames, box = 30, 6.0
+    # two interpenetrating tight pairs so g(r) has a clear near peak
+    base = rng.uniform(1.0, 5.0, size=(1, 12, 3)).repeat(n_frames, axis=0)
+    base += rng.normal(scale=0.01, size=base.shape)
+    partner = base + 0.9
+    pos = np.concatenate([base, partner], axis=1)
+    exp = _experiment(
+        tmp_path, "cnkey", [SpeciesInfo("A", 24, [POSITIONS])],
+        [("A", "Positions", pos % box)], n_frames, box=box,
+    )
+    kw = dict(
+        number_of_configurations=10, cutoff=3.0, number_of_bins=60,
+        plot=False,
+    )
+    rdf_sel = exp.run.RadialDistributionFunction(
+        atom_selection=slice(0, 12), **kw
+    )
+    rdf_all = exp.run.RadialDistributionFunction(**kw)
+    assert rdf_sel.args != rdf_all.args
+
+    from lammps_analysis_tpu.calculators.post_processing import (
+        CoordinationNumbers,
+    )
+
+    calls = []
+    orig = CoordinationNumbers.run_calculator
+
+    def spy(self):
+        calls.append(dict(self.args))
+        return orig(self)
+
+    CoordinationNumbers.run_calculator = spy
+    try:
+        exp.run.CoordinationNumbers(rdf_data=rdf_sel, plot=False)
+        exp.run.CoordinationNumbers(rdf_data=rdf_all, plot=False)
+    finally:
+        CoordinationNumbers.run_calculator = orig
+    assert len(calls) == 2, "second CN call was served the first's cache"
+    assert calls[0] != calls[1]
+
+
+# --------------------------------------------------------- molecule-species trafos
+def test_transformation_runs_for_molecule_species(tmp_path, rng):
+    """The dependency cascade may run a transformation for a mapped
+    molecule 'species'; sizing must resolve through entity(), not
+    experiment.species (KeyError before the fix)."""
+    from tests.test_molecule_mapping import make_water_experiment
+
+    from lammps_analysis_tpu.transformations import VelocityFromPositions
+
+    exp, _ = make_water_experiment(tmp_path, rng, n_mol=4, n_frames=20)
+    exp.run.MolecularMap(
+        molecules=[
+            latpu.Molecule(name="water", smiles="[H]O[H]", amount=4,
+                           cutoff=1.2)
+        ]
+    )
+    VelocityFromPositions().run_transformation(exp, ["water"])
+    out = exp.store.load(
+        ["water/Velocities_From_Positions"], frames=slice(0, 20)
+    )["water/Velocities_From_Positions"]
+    assert out.shape == (20, 4, 3)
+    com = exp.store.load(
+        ["water/Unwrapped_Positions"], frames=slice(0, 20)
+    )["water/Unwrapped_Positions"]
+    np.testing.assert_allclose(
+        out[:-1], np.diff(com, axis=0) / 0.1, rtol=1e-4, atol=1e-6
+    )
+
+
+# --------------------------------------------------------- zero-window raise
+def test_distinct_calculators_raise_on_oversized_data_range(tmp_path, rng):
+    n_frames, n_atoms = 20, 5
+    pos = np.cumsum(rng.normal(size=(n_frames, n_atoms, 3)), axis=0)
+    vel = rng.normal(size=(n_frames, n_atoms, 3))
+    exp = _experiment(
+        tmp_path, "zerowin",
+        [SpeciesInfo("X", n_atoms, [UNWRAPPED, VELOCITIES])],
+        [("X", "Unwrapped_Positions", pos), ("X", "Velocities", vel)],
+        n_frames,
+    )
+    with pytest.raises(ValueError, match="exceeds"):
+        exp.run.EinsteinDistinctDiffusionCoefficients(
+            data_range=500, plot=False
+        )
+    with pytest.raises(ValueError, match="exceeds"):
+        exp.run.GreenKuboDistinctDiffusionCoefficients(
+            data_range=500, plot=False
+        )
+
+
+# --------------------------------------------------------- SF pair parsing
+def test_structure_factor_pair_split_handles_underscores():
+    from lammps_analysis_tpu.calculators.post_processing import StructureFactor
+
+    names = {"mol_1", "Na", "Cl"}
+    assert StructureFactor._split_pair("mol_1_mol_1", names) == (
+        "mol_1", "mol_1",
+    )
+    assert StructureFactor._split_pair("Na_Cl", names) == ("Na", "Cl")
+    assert StructureFactor._split_pair("mol_1_Na", names) == ("mol_1", "Na")
+    with pytest.raises(ValueError, match="does not split"):
+        StructureFactor._split_pair("K_K", names)
