@@ -270,7 +270,13 @@ class ResultsDatabase:
                 "INSERT INTO computations "
                 "(experiment_id, name, args_key, args_json, experiment_version,"
                 " created) VALUES (?,?,?,?,?,?)",
-                (eid, calc_name, args_key, args_key, version, time.time()),
+                # args_json preserves the CALL's argument order (species
+                # order matters for provenance); args_key is the
+                # sort-keyed cache lookup form
+                (
+                    eid, calc_name, args_key, ordered_json(args), version,
+                    time.time(),
+                ),
             )
             cid = cur.lastrowid
             for subjects, data in results.items():
@@ -278,7 +284,12 @@ class ResultsDatabase:
                     "INSERT INTO computation_results VALUES (?,?,?)",
                     (cid, subjects, canonical_json(data)),
                 )
-        return Computation(calc_name, json.loads(args_key), dict(results), experiment)
+        # round-trip through JSON so fresh and cache-loaded Computations
+        # expose identical arg types (tuples -> lists etc.), in call order
+        return Computation(
+            calc_name, json.loads(ordered_json(args)), dict(results),
+            experiment,
+        )
 
     def delete_computations(
         self, experiment: str, calc_name: str, args: Optional[dict] = None

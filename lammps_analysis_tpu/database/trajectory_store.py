@@ -117,7 +117,9 @@ class TrajectoryStore:
         # do not get degenerate mega-frame chunks.
         # Filtered (compressed) datasets must decompress whole chunks per
         # touched frame, so they keep the small 2 MB chunks.
-        frame_bytes = max(n_particles * n_dims * 8, 1)
+        frame_bytes = max(
+            n_particles * n_dims * np.dtype(dtype).itemsize, 1
+        )
         target = 2**21 if self.compression else 2**24
         chunk_frames = int(
             np.clip(target // frame_bytes, 1, min(max(n_configs, 1), 4096))

@@ -336,7 +336,10 @@ class Experiment:
             processor = simulation_data
         elif isinstance(simulation_data, (list, tuple)):
             for item in simulation_data:
-                self.add_data(item, force=force)
+                self.add_data(
+                    item, force=force,
+                    update_with_pubchempy=update_with_pubchempy,
+                )
             return
         else:
             raise TypeError(
@@ -351,17 +354,44 @@ class Experiment:
             return
 
         meta: TrajectoryMetadata = processor.metadata
-        self._merge_metadata(meta, update_with_pubchempy)
+        self._validate_append(meta)
 
+        # Crash-safe ordering: stream FIRST, persist metadata only after
+        # success. A mid-stream failure (truncated file, Ctrl-C, disk
+        # full) then leaves number_of_configurations at the pre-append
+        # value — calculators keep reading only good frames, and a retry
+        # of the same source is a clean rewrite, not a double count.
+        old_count = self.number_of_configurations
+        total = old_count + meta.n_configurations
         self.store.initialize(
             TrajectoryMetadata(
-                n_configurations=self.number_of_configurations,
+                n_configurations=total,
                 species_list=meta.species_list,
             )
         )
+        for sp in meta.species_list:
+            for prop in sp.properties:
+                path = join_path(sp.name, prop.name)
+                cur = self.store.get_cursor(path)
+                if cur == old_count:
+                    continue
+                if cur < old_count:
+                    # dataset created by THIS source but absent from the
+                    # earlier ones: its frames must land on the shared
+                    # time axis at old_count.. — the leading frames stay
+                    # zero-filled (cursor 0 would silently misalign it)
+                    log.warning(
+                        "%s first appears in %s: frames 0..%d have no "
+                        "data for it and read as zeros.",
+                        path, key, old_count - 1,
+                    )
+                # cur > old_count: a crashed earlier attempt at this same
+                # append — rewind and rewrite its partial frames
+                self.store.set_cursor(path, old_count)
         for chunk in processor.get_configurations_generator():
             self.store.add_chunk(chunk)
 
+        self._merge_metadata(meta, update_with_pubchempy)
         self.read_files = ledger + [key]
         self.db.bump_experiment_version(self.name)
         self.refresh_property_groups()
@@ -372,32 +402,37 @@ class Experiment:
             self.number_of_configurations,
         )
 
+    def _validate_append(self, meta: TrajectoryMetadata):
+        """Reject incompatible appends BEFORE any store write."""
+        existing = self.species
+        if not existing:
+            return
+        # appending more data: species layout must match
+        names_new = {s.name: s.n_particles for s in meta.species_list}
+        names_old = {
+            k: v.n_particles
+            for k, v in existing.items()
+            if k != DatasetKeys.OBSERVABLES
+        }
+        if set(names_new) != set(names_old):
+            # A disjoint append would leave the missing species' datasets
+            # short while number_of_configurations grows — later loads
+            # would silently read resized-but-unwritten (zero) frames.
+            raise ValueError(
+                "Appended data source must cover the same species as the "
+                f"experiment: existing {sorted(names_old)}, new source "
+                f"{sorted(names_new)}. Use a separate experiment for "
+                "disjoint species sets."
+            )
+        for k in names_new:
+            if names_new[k] != names_old[k]:
+                raise ValueError(
+                    f"Species {k!r} particle count changed between data "
+                    f"sources: {names_old[k]} vs {names_new[k]}"
+                )
+
     def _merge_metadata(self, meta: TrajectoryMetadata, lookup_masses: bool):
         existing = self.species
-        if existing:
-            # appending more data: species layout must match
-            names_new = {s.name: s.n_particles for s in meta.species_list}
-            names_old = {
-                k: v.n_particles
-                for k, v in existing.items()
-                if k != DatasetKeys.OBSERVABLES
-            }
-            if set(names_new) != set(names_old):
-                # A disjoint append would leave the missing species' datasets
-                # short while number_of_configurations grows — later loads
-                # would silently read resized-but-unwritten (zero) frames.
-                raise ValueError(
-                    "Appended data source must cover the same species as the "
-                    f"experiment: existing {sorted(names_old)}, new source "
-                    f"{sorted(names_new)}. Use a separate experiment for "
-                    "disjoint species sets."
-                )
-            for k in names_new:
-                if names_new[k] != names_old[k]:
-                    raise ValueError(
-                        f"Species {k!r} particle count changed between data "
-                        f"sources: {names_old[k]} vs {names_new[k]}"
-                    )
         merged = dict(existing)
         for sp in meta.species_list:
             prev = merged.get(sp.name)

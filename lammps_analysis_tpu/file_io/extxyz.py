@@ -137,7 +137,15 @@ class EXTXYZFile(TabularTextReader):
                 header1 = f.readline()
                 t0, t1 = _get_time(header0), _get_time(header1)
                 if t0 is not None and t1 is not None:
-                    sample_rate = int(round(t1 - t0))
+                    dt = t1 - t0
+                    rate = int(round(dt))
+                    # the reference rounds unconditionally
+                    # (extxyz_files.py:136) — a fractional interval like
+                    # time = 0.25 ps truncates to sample_rate 0 and every
+                    # downstream time axis collapses to zero; only accept
+                    # a clean integer interval, else warn + leave unset
+                    if rate >= 1 and abs(dt - rate) <= 1e-9 * max(1.0, abs(dt)):
+                        sample_rate = rate
             except (EOFError, ValueError):
                 pass
             if sample_rate is None:

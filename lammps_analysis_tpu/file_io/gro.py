@@ -22,6 +22,7 @@ Format (fixed columns, GROMACS manual 5.7):
 
 from __future__ import annotations
 
+import itertools
 import logging
 from typing import Dict, Iterator, List, Optional
 
@@ -121,10 +122,14 @@ class GROFile(FileProcessor):
         ]
         sample_rate = self._sample_rate
         if sample_rate is None and scan["n_frames"] > 1:
-            # derive from consecutive frame times when titles carry t=
+            # derive from consecutive frame times when titles carry t=;
+            # islice to the second frame's title only (readlines() here
+            # materialised the WHOLE multi-GB trajectory as str objects)
             with open(self.file_path) as f:
-                lines = f.readlines()
-            t1 = _title_time(lines[scan["frame_lines"]])
+                title1 = next(
+                    itertools.islice(f, scan["frame_lines"], None), ""
+                )
+            t1 = _title_time(title1)
             if scan["t0"] is not None and t1 is not None:
                 sample_rate = int(round(t1 - scan["t0"])) or None
         return TrajectoryMetadata(

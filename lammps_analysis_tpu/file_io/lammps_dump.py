@@ -66,7 +66,17 @@ class LAMMPSDumpFile(TabularTextReader):
             header = read_n_lines(f, N_HEADER_LINES)
             n_particles = int(header[3].split()[0])
             col_names = header[8].split()[2:]  # after "ITEM: ATOMS"
-            id_col = col_names.index("id")
+            # 'id' is only needed to re-sort rows; LAMMPS happily writes
+            # dumps without it — accept those when the user declares the
+            # file sorted, and fail with a actionable message otherwise
+            id_col = col_names.index("id") if "id" in col_names else None
+            if id_col is None and not self.trajectory_is_sorted_by_ids:
+                raise ValueError(
+                    f"{self.file_path}: dump has no 'id' column, so rows "
+                    "cannot be re-sorted; pass "
+                    "trajectory_is_sorted_by_ids=True if the dump preserves "
+                    "atom order."
+                )
             prop_dict = extract_properties_from_header(col_names, self._column_map)
 
             f.seek(0)

@@ -241,11 +241,14 @@ class TabularTextReader(FileProcessor):
 
 
 def _as_slice(indices: List[int]):
-    """Contiguous index lists become slices (views beat fancy-index copies)."""
-    if len(indices) > 1 and indices[-1] - indices[0] == len(indices) - 1:
-        return slice(indices[0], indices[-1] + 1)
+    """Contiguous ASCENDING index lists become slices (views beat
+    fancy-index copies). The test must be exact equality with the range —
+    an endpoint-only check accepts permuted/gapped lists like [5, 9, 7]
+    and silently selects the wrong columns."""
     if len(indices) == 1:
         return slice(indices[0], indices[0] + 1)
+    if indices == list(range(indices[0], indices[0] + len(indices))):
+        return slice(indices[0], indices[-1] + 1)
     return indices
 
 

@@ -17,6 +17,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 namespace {
 
@@ -114,8 +115,10 @@ long parse_table_block(const char* buf, long buf_len, long n_configs,
 // its integer id column (LAMMPS ids are 1..n_particles): the id-sort the
 // Python engine would otherwise do with argsort + gather happens for free
 // during the single parse pass. Returns the number of doubles written, -1
-// on truncation, or -2 if any id is outside [1, n_particles] (caller falls
-// back to the unsorted parse + argsort).
+// on truncation, or -2 if any id is outside [1, n_particles] OR repeats
+// within a configuration (a duplicate would overwrite one slot and leave
+// another holding the caller's uninitialised np.empty memory; the caller
+// falls back to the unsorted parse + argsort, matching the pandas path).
 long parse_table_block_by_id(const char* buf, long buf_len, long n_configs,
                              int n_header_lines, int n_particles, int n_cols,
                              int id_col, double* out) {
@@ -124,6 +127,9 @@ long parse_table_block_by_id(const char* buf, long buf_len, long n_configs,
     const long cfg_stride = (long)n_particles * n_cols;
     double row[256];
     if (n_cols > 256) return -3;
+    // generation-stamped duplicate detector: stamp[id-1] == c+1 means id
+    // was already seen in configuration c (no O(N) clear per config)
+    std::vector<long> stamp((size_t)n_particles, 0);
     for (long c = 0; c < n_configs; ++c) {
         for (int h = 0; h < n_header_lines; ++h) {
             p = skip_line(p, end);
@@ -137,9 +143,11 @@ long parse_table_block_by_id(const char* buf, long buf_len, long n_configs,
             }
             p = skip_line(p, end);
             long id = (long)row[id_col];
-            if (id < 1 || id > n_particles || (double)id != row[id_col]) {
+            if (id < 1 || id > n_particles || (double)id != row[id_col] ||
+                stamp[(size_t)(id - 1)] == c + 1) {
                 return -2;
             }
+            stamp[(size_t)(id - 1)] = c + 1;
             std::memcpy(cfg_out + (id - 1) * n_cols, row,
                         n_cols * sizeof(double));
         }

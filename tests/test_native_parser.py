@@ -159,3 +159,17 @@ def test_fuzz_no_crash_on_malformed_input(rng):
         except ValueError:
             pass
     assert parsed + errors == 500
+
+
+def test_parse_block_by_id_duplicate_ids_fall_back():
+    """Duplicate ids within a configuration must NOT take the by-id fast
+    path (one slot would be overwritten and another left as the caller's
+    uninitialised np.empty memory); the argsort fallback keeps both rows
+    deterministically."""
+    text = b"1 X 10.0\n1 X 20.0\n"  # id 1 twice, id 2 missing
+    out = native_parser.parse_table_block(text, 1, 0, 2, 3, id_col=0)
+    np.testing.assert_allclose(out[0, :, 2], [10.0, 20.0])
+    # and a later configuration may legitimately reuse ids seen earlier
+    ok = b"2 X 20.0\n1 X 10.0\n2 X 21.0\n1 X 11.0\n"
+    out2 = native_parser.parse_table_block(ok, 2, 0, 2, 3, id_col=0)
+    np.testing.assert_allclose(out2[:, :, 2], [[10.0, 20.0], [11.0, 21.0]])

@@ -335,3 +335,182 @@ def test_structure_factor_pair_split_handles_underscores():
     assert StructureFactor._split_pair("mol_1_Na", names) == ("mol_1", "Na")
     with pytest.raises(ValueError, match="does not split"):
         StructureFactor._split_pair("K_K", names)
+
+
+# =====================================================================
+# second review batch: storage / ingestion / orchestration findings
+# =====================================================================
+
+class _FlakyScript(ScriptInput):
+    """ScriptInput that dies after its first chunk on the first attempt."""
+
+    def __init__(self, chunk, meta, name, fail_once=True):
+        super().__init__(chunk, meta, name)
+        self.fail = fail_once
+
+    def get_configurations_generator(self):
+        gen = super().get_configurations_generator()
+        first = next(gen)
+        # split the single chunk into two halves so a mid-stream crash
+        # leaves a partial write
+        half = first.chunk_size // 2
+        for lo, hi in ((0, half), (half, first.chunk_size)):
+            sub = TrajectoryChunkData(first.species_list, hi - lo)
+            for sp in first.species_list:
+                for prop in sp.properties:
+                    sub.add_data(
+                        first.get_data(sp.name, prop.name)[lo:hi], 0,
+                        sp.name, prop.name,
+                    )
+            yield sub
+            if self.fail:
+                self.fail = False
+                raise EOFError("simulated truncated source")
+
+
+def test_add_data_crash_is_clean_and_retry_rewrites(tmp_path, rng):
+    """A mid-stream ingestion failure must leave the experiment's frame
+    count at the pre-append value (metadata persists only after a
+    successful stream), and retrying the SAME source must rewrite its
+    frames instead of double-counting/duplicating."""
+    n_frames, n_atoms = 20, 4
+    pos = rng.uniform(0, 8, size=(n_frames, n_atoms, 3))
+    sp = [SpeciesInfo("X", n_atoms, [POSITIONS])]
+    meta = TrajectoryMetadata(
+        n_configurations=n_frames, species_list=sp, box_l=[8.0] * 3,
+        sample_rate=1,
+    )
+    chunk = TrajectoryChunkData(sp, n_frames)
+    chunk.add_data(pos, 0, "X", "Positions")
+    project = latpu.Project(name="crashsafe", storage_path=tmp_path)
+    exp = project.add_experiment("e", timestep=0.1, units="si")
+
+    flaky = _FlakyScript(chunk, meta, "src")
+    with pytest.raises(EOFError):
+        exp.add_data(flaky)
+    assert exp.number_of_configurations == 0
+    assert list(exp.read_files) == []
+
+    # retry (same ledger key, generator now succeeds)
+    exp.add_data(flaky)
+    assert exp.number_of_configurations == n_frames
+    got = exp.store.load(["X/Positions"], frames=slice(0, n_frames))[
+        "X/Positions"
+    ]
+    np.testing.assert_allclose(got, pos, rtol=1e-6)
+    # and the ledger makes a third call a no-op
+    exp.add_data(_FlakyScript(chunk, meta, "src", fail_once=False))
+    assert exp.number_of_configurations == n_frames
+
+
+def test_append_with_new_property_lands_on_shared_time_axis(tmp_path, rng):
+    """A property first appearing in the SECOND source must be written at
+    frames N1.. (zero-filled before), not at 0..N2 misaligned."""
+    n1, n2, n_atoms = 10, 12, 3
+    pos = rng.uniform(0, 8, size=(n1 + n2, n_atoms, 3))
+    vel = rng.normal(size=(n2, n_atoms, 3))
+
+    sp1 = [SpeciesInfo("X", n_atoms, [POSITIONS])]
+    meta1 = TrajectoryMetadata(
+        n_configurations=n1, species_list=sp1, box_l=[8.0] * 3,
+        sample_rate=1,
+    )
+    c1 = TrajectoryChunkData(sp1, n1)
+    c1.add_data(pos[:n1], 0, "X", "Positions")
+
+    sp2 = [SpeciesInfo("X", n_atoms, [POSITIONS, VELOCITIES])]
+    meta2 = TrajectoryMetadata(
+        n_configurations=n2, species_list=sp2, box_l=[8.0] * 3,
+        sample_rate=1,
+    )
+    c2 = TrajectoryChunkData(sp2, n2)
+    c2.add_data(pos[n1:], 0, "X", "Positions")
+    c2.add_data(vel, 0, "X", "Velocities")
+
+    project = latpu.Project(name="newprop", storage_path=tmp_path)
+    exp = project.add_experiment(
+        "e", timestep=0.1, units="si",
+        simulation_data=ScriptInput(c1, meta1, "s1"),
+    )
+    exp.add_data(ScriptInput(c2, meta2, "s2"))
+
+    got_pos = exp.store.load(["X/Positions"], frames=slice(0, n1 + n2))[
+        "X/Positions"
+    ]
+    np.testing.assert_allclose(got_pos, pos, rtol=1e-6)
+    got_vel = exp.store.load(["X/Velocities"], frames=slice(0, n1 + n2))[
+        "X/Velocities"
+    ]
+    np.testing.assert_allclose(got_vel[:n1], 0.0)  # zero-filled lead
+    np.testing.assert_allclose(got_vel[n1:], vel, rtol=1e-6)
+
+
+def test_as_slice_rejects_permuted_indices():
+    from lammps_analysis_tpu.file_io.tabular import _as_slice
+
+    assert _as_slice([5, 6, 7]) == slice(5, 8)
+    assert _as_slice([3]) == slice(3, 4)
+    # endpoint distance == len-1 but NOT contiguous ascending
+    assert _as_slice([5, 9, 7]) == [5, 9, 7]
+    assert _as_slice([7, 6, 5]) == [7, 6, 5]
+
+
+def test_extxyz_fractional_time_interval_leaves_sample_rate_unset(tmp_path):
+    lines = []
+    for t in (0.0, 0.25, 0.5):
+        lines.append("2")
+        lines.append(
+            f'Lattice="8 0 0 0 8 0 0 0 8" Properties=species:S:1:pos:R:3 '
+            f"time={t}"
+        )
+        lines.append("Na 1.0 1.0 1.0")
+        lines.append("Na 2.0 2.0 2.0")
+    p = tmp_path / "frac.extxyz"
+    p.write_text("\n".join(lines) + "\n")
+    from lammps_analysis_tpu.file_io import EXTXYZFile
+
+    meta = EXTXYZFile(p).metadata
+    assert meta.sample_rate is None  # was int(round(0.25)) == 0
+
+
+def test_lammps_dump_without_id_column(tmp_path, rng):
+    """id-less dumps are readable when declared sorted; a clear error
+    (not ValueError-from-list.index) otherwise."""
+    from lammps_analysis_tpu.file_io import LAMMPSDumpFile
+
+    n_frames, n_atoms, box = 3, 4, 8.0
+    pos = rng.uniform(0, box, size=(n_frames, n_atoms, 3))
+    p = tmp_path / "noid.dump"
+    with open(p, "w") as f:
+        for t in range(n_frames):
+            f.write("ITEM: TIMESTEP\n%d\n" % (t * 10))
+            f.write("ITEM: NUMBER OF ATOMS\n%d\n" % n_atoms)
+            f.write("ITEM: BOX BOUNDS pp pp pp\n")
+            for _ in range(3):
+                f.write("0.0 %.4f\n" % box)
+            f.write("ITEM: ATOMS element x y z\n")
+            for i in range(n_atoms):
+                f.write("Ar %.8f %.8f %.8f\n" % tuple(pos[t, i]))
+
+    with pytest.raises(ValueError, match="trajectory_is_sorted_by_ids"):
+        LAMMPSDumpFile(p).metadata
+
+    reader = LAMMPSDumpFile(p, trajectory_is_sorted_by_ids=True)
+    assert reader.metadata.n_configurations == n_frames
+    chunks = list(reader.get_configurations_generator())
+    got = np.concatenate(
+        [c.get_data("Ar", "Positions") for c in chunks], axis=0
+    )
+    np.testing.assert_allclose(got, pos, atol=1e-7)
+
+
+def test_results_db_preserves_arg_order(tmp_path):
+    from lammps_analysis_tpu.database.results_db import ResultsDatabase
+
+    db = ResultsDatabase(tmp_path / "r.db")
+    db.ensure_experiment("e")
+    args = {"species": ["Na", "Cl"], "cutoff": 5.0, "alpha": 1}
+    db.store_computation("e", "Calc", args, 1, {"System": {"x": [1.0]}})
+    found = db.find_computation("e", "Calc", args, 1)
+    assert list(found.args) == list(args), "stored args lost call order"
+    assert found.args["species"] == ["Na", "Cl"]
