@@ -36,8 +36,37 @@ from .base import Calculator
 log = logging.getLogger(__name__)
 
 
+def split_pair(pair: str, names) -> tuple:
+    """Split an RDF/distinct subject key ``"A_B"`` into two KNOWN names.
+
+    Species/molecule names may themselves contain underscores
+    (``mol_1_mol_1``), so a bare ``pair.split("_")`` mis-parses; try
+    every split point and accept the one where both halves are known.
+    (The reference carries this latent bug for molecule names,
+    ``coordination_number_calculation.py:220-223``.)
+    """
+    for i, ch in enumerate(pair):
+        if ch != "_":
+            continue
+        sp_a, sp_b = pair[:i], pair[i + 1:]
+        if sp_a in names and sp_b in names:
+            return sp_a, sp_b
+    raise ValueError(
+        f"Pair key {pair!r} does not split into two known entities "
+        f"({sorted(names)})."
+    )
+
+
 class _RDFPostProcessor(Calculator):
     """Shared: resolve the input RDF computation and its parameters."""
+
+    def _entity_names(self) -> set:
+        """Known entity names (species + mapped molecules) for pair keys."""
+        exp = self.experiment
+        return (
+            {n for n in exp.species if n != "Observables"}
+            | set(exp.molecules)
+        )
 
     def _resolve_rdf(self, rdf_data) -> Computation:
         if isinstance(rdf_data, Computation):
@@ -109,12 +138,16 @@ class CoordinationNumbers(_RDFPostProcessor):
     def run_calculator(self) -> Dict[str, dict]:
         exp = self.experiment
         volume_nm3 = exp.volume * exp.units.volume / 1e-27  # nm^3 (:210-218)
+        names = self._entity_names()
         results = {}
         for pair, vals in self.rdf_data.data_dict.items():
             radii = np.asarray(vals["x"], dtype=float)[1:]
             rdf = np.asarray(vals["y"], dtype=float)[1:]
-            sp0 = pair.split("_")[0]
-            density = exp.species[sp0].n_particles / volume_nm3
+            # reference convention: the FIRST species' density
+            # (coordination_number_calculation.py:220-223); split against
+            # the known names so molecule entities with underscores resolve
+            sp0 = split_pair(pair, names)[0]
+            density = exp.entity(sp0).n_particles / volume_nm3
             integral = 4 * np.pi * density * cumulative_trapezoid(
                 radii[1:] ** 2 * rdf[1:], x=radii[1:]
             )
@@ -264,23 +297,16 @@ class StructureFactor(_RDFPostProcessor):
 
     @staticmethod
     def _split_pair(pair: str, names) -> tuple:
-        """Split an RDF subject key ``"A_B"`` into two KNOWN entity names.
-
-        Species/molecule names may themselves contain underscores
-        (``mol_1_mol_1``), so a bare ``pair.split("_")`` mis-parses; try
-        every split point and accept the one where both halves are known.
-        """
-        for i, ch in enumerate(pair):
-            if ch != "_":
-                continue
-            sp_a, sp_b = pair[:i], pair[i + 1:]
-            if sp_a in names and sp_b in names:
-                return sp_a, sp_b
-        raise ValueError(
-            f"StructureFactor: RDF pair key {pair!r} does not split into "
-            f"two known entities ({sorted(names)}). Pass the matching "
-            "rdf_data and make sure its species exist in the experiment."
-        )
+        """See :func:`split_pair` (kept as a method for API stability)."""
+        try:
+            return split_pair(pair, names)
+        except ValueError:
+            raise ValueError(
+                f"StructureFactor: RDF pair key {pair!r} does not split "
+                f"into two known entities ({sorted(names)}). Pass the "
+                "matching rdf_data and make sure its species exist in the "
+                "experiment."
+            ) from None
 
     def run_calculator(self) -> Dict[str, dict]:
         exp = self.experiment
@@ -394,15 +420,18 @@ class NernstEinsteinIonicConductivity(Calculator):
             for name, sp in exp.species.items()
             if name != "Observables"
         )
+        entity_names = {
+            n for n in exp.species if n != "Observables"
+        } | set(exp.molecules)
         selected = self.args.get("species")
         sigma = 0.0
         var = 0.0
         for sp_name, vals in self.diffusion_data.data_dict.items():
-            if sp_name not in exp.species:
+            if sp_name not in entity_names:
                 continue
             if selected is not None and sp_name not in selected:
                 continue
-            sp = exp.species[sp_name]
+            sp = exp.entity(sp_name)
             d = np.atleast_1d(vals["diffusion_coefficient"])[0]
             d_err = np.atleast_1d(vals.get("uncertainty", 0.0))[0]
             x_i = sp.n_particles / n_total
@@ -426,14 +455,15 @@ class NernstEinsteinIonicConductivity(Calculator):
                 volume_si * boltzmann_constant * exp.temperature
             )
             for pair, vals in self.distinct_diffusion_data.data_dict.items():
-                names = pair.split("_")
-                if len(names) != 2 or not all(n in exp.species for n in names):
+                try:
+                    names = split_pair(pair, entity_names)
+                except ValueError:
                     continue
                 if selected is not None and not all(
                     n in selected for n in names
                 ):
                     continue
-                sp_a, sp_b = (exp.species[n] for n in names)
+                sp_a, sp_b = (exp.entity(n) for n in names)
                 x_a = sp_a.n_particles / n_total
                 x_b = sp_b.n_particles / n_total
                 d_ab = np.atleast_1d(vals["diffusion_coefficient"])[0]

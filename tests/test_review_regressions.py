@@ -504,6 +504,108 @@ def test_lammps_dump_without_id_column(tmp_path, rng):
     np.testing.assert_allclose(got, pos, atol=1e-7)
 
 
+def test_coordination_numbers_molecule_pair_keys(tmp_path, rng):
+    """CN on a molecule-COM RDF whose entity names contain underscores
+    must resolve the first entity's density (was pair.split('_')[0] ->
+    KeyError 'mol'); matches the reference's first-species convention."""
+    from lammps_analysis_tpu.database.results_db import Computation
+
+    n_frames, n_atoms = 5, 100
+    sp = [SpeciesInfo("X", n_atoms, [POSITIONS])]
+    meta = TrajectoryMetadata(
+        n_configurations=n_frames, species_list=sp, box_l=[20.0] * 3,
+        sample_rate=1, temperature=300.0,
+    )
+    chunk = TrajectoryChunkData(sp, n_frames)
+    chunk.add_data(rng.uniform(0, 20, (n_frames, n_atoms, 3)), 0, "X",
+                   "Positions")
+    project = latpu.Project(name="cnmol", storage_path=tmp_path)
+    exp = project.add_experiment(
+        "e", timestep=0.1, temperature=300.0, units="real",
+        simulation_data=ScriptInput(chunk, meta, "d"),
+    )
+    exp.molecules = {"mol_1": {"n_particles": 50, "properties": []}}
+
+    r = np.linspace(0, 0.5, 200)
+    g = np.where(r > 0.15, 1.0, 0.0) + 2.0 * np.exp(
+        -((r - 0.25) ** 2) / (2 * 0.02**2)
+    )
+    rdf = Computation(
+        "RadialDistributionFunction",
+        {"number_of_bins": 200, "cutoff": 5.0},
+        {"mol_1_mol_1": {"x": r.tolist(), "y": g.tolist()}},
+        "synthetic",
+    )
+    res = exp.run.CoordinationNumbers(rdf_data=rdf, plot=False)
+    cn = np.asarray(res["mol_1_mol_1"]["cn"])
+    # density must be the molecule count (50), not a species lookup crash
+    volume_nm3 = exp.volume * exp.units.volume / 1e-27
+    from scipy.integrate import cumulative_trapezoid
+
+    direct = 4 * np.pi * (50 / volume_nm3) * cumulative_trapezoid(
+        r[1:][1:] ** 2 * g[1:][1:], x=r[1:][1:]
+    )
+    np.testing.assert_allclose(cn, direct, rtol=1e-10)
+
+
+def test_nernst_einstein_corrected_molecule_names(tmp_path, rng):
+    """Corrected NE must include distinct terms whose pair keys carry
+    underscore entity names (were silently dropped by pair.split('_'))."""
+    from lammps_analysis_tpu.database.results_db import Computation
+    from lammps_analysis_tpu.utils.units import (
+        boltzmann_constant, elementary_charge,
+    )
+
+    n_frames, n_atoms = 5, 64
+    sp = [SpeciesInfo("X", n_atoms, [POSITIONS])]
+    meta = TrajectoryMetadata(
+        n_configurations=n_frames, species_list=sp, box_l=[20.0] * 3,
+        sample_rate=1, temperature=300.0,
+    )
+    chunk = TrajectoryChunkData(sp, n_frames)
+    chunk.add_data(rng.uniform(0, 20, (n_frames, n_atoms, 3)), 0, "X",
+                   "Positions")
+    project = latpu.Project(name="nemol", storage_path=tmp_path)
+    exp = project.add_experiment(
+        "e", timestep=0.1, temperature=300.0, units="si",
+        simulation_data=ScriptInput(chunk, meta, "d"),
+    )
+    exp.set_charge("X", 1.0)
+    exp.molecules = {
+        "ion_pair": {"n_particles": 32, "charge": 1.0, "properties": []},
+    }
+
+    d_self = Computation(
+        "EinsteinDiffusionCoefficients", {"data_range": 4},
+        {"X": {"diffusion_coefficient": 1e-9, "uncertainty": 0.0},
+         "ion_pair": {"diffusion_coefficient": 2e-9, "uncertainty": 0.0}},
+        "e",
+    )
+    d_dist = Computation(
+        "EinsteinDistinctDiffusionCoefficients", {"data_range": 4},
+        {"ion_pair_ion_pair": {"diffusion_coefficient": 5e-10}},
+        "e",
+    )
+    res = exp.run.NernstEinsteinIonicConductivity(
+        diffusion_data=d_self, distinct_diffusion_data=d_dist, plot=False,
+    )
+    out = res.data_dict["System"]
+    n_total = n_atoms  # molecules are not counted in the species total
+    vol = exp.volume * exp.units.volume
+    kt = boltzmann_constant * 300.0
+    base = n_total * elementary_charge**2 / (vol * kt)
+    x_x, x_m = n_atoms / n_total, 32 / n_total
+    expected_self = base * (x_x * 1e-9 + x_m * 2e-9)
+    np.testing.assert_allclose(
+        out["nernst_einstein_ionic_conductivity"], expected_self, rtol=1e-12
+    )
+    expected_corr = expected_self + base * x_m * x_m * 5e-10
+    np.testing.assert_allclose(
+        out["corrected_nernst_einstein_ionic_conductivity"], expected_corr,
+        rtol=1e-12,
+    )
+
+
 def test_results_db_preserves_arg_order(tmp_path):
     from lammps_analysis_tpu.database.results_db import ResultsDatabase
 
