@@ -32,6 +32,32 @@ from ..transformations.registry import transformation_for_property
 log = logging.getLogger(__name__)
 
 
+def window_aligned_slabs(
+    n_frames: int, slab: int, data_range: int, correlation_time: int
+) -> List[tuple]:
+    """Window-aligned (start, stop) slabs covering every sliding window.
+
+    The windows of a whole-array run start at ``0, ct, 2*ct, ...`` while
+    ``start + data_range <= n_frames``. Each slab begins on a window start
+    and is long enough for at least one window, so iterating windows
+    slab-relatively (``0, ct, ...`` within each slab) enumerates exactly
+    the global window set, each window once (property-tested).
+    """
+    # a slab must hold at least one whole window (the batch plan and the
+    # max_slab_bytes clamp both guarantee this; guard the pure function)
+    slab = max(slab, data_range)
+    slabs = []
+    start = 0
+    while start + data_range <= n_frames:
+        stop = min(start + slab, n_frames)
+        slabs.append((start, stop))
+        if stop >= n_frames:
+            break
+        n_windows = (stop - start - data_range) // correlation_time + 1
+        start = start + n_windows * correlation_time
+    return slabs
+
+
 class Calculator(abc.ABC):
     """Base orchestration for all calculators."""
 
@@ -359,16 +385,9 @@ class TrajectoryCalculator(Calculator):
             slab = max(
                 min(slab, max_slab_bytes // per_frame), 2 * data_range
             )
-        slabs = []
-        start = 0
-        while start + data_range <= n_frames:
-            stop = min(start + slab, n_frames)
-            slabs.append((start, stop))
-            if stop >= n_frames:
-                break
-            n_windows = (stop - start - data_range) // correlation_time + 1
-            start = start + n_windows * correlation_time
-        return slabs
+        return window_aligned_slabs(
+            n_frames, slab, data_range, correlation_time
+        )
 
     def _fusible_unwrap(self, species: str) -> bool:
         """True when this calculator's unwrapped-positions stream should be
