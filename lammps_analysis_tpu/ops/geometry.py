@@ -104,8 +104,14 @@ def wrap_coordinates(
     """Wrap positions into the primary box image.
 
     ``center=True`` wraps into ``[-box/2, box/2)`` instead of ``[0, box)``
-    (reference: ``transformations/wrap_coordinates.py:51-80``).
+    (reference: ``transformations/wrap_coordinates.py:51-80``). The
+    centered form must shift BEFORE the floor-wrap and shift back after —
+    a plain post-shift of the ``[0, box)`` wrap produces values that are
+    not congruent to the input modulo the box (same finding as the
+    CoordinateWrapper fix).
     """
+    if center:
+        pos = pos + box * 0.5
     wrapped = pos - box * jnp.floor(pos / box)
     if center:
         wrapped = wrapped - box * 0.5

@@ -175,5 +175,31 @@ def test_batch_plan_slabs_partition_exactly(n_frames, frame_batch):
     assert covered == list(range(n_frames))
 
 
+@settings(max_examples=100, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    center=st.booleans(),
+)
+def test_wrap_coordinates_congruent_and_in_interval(seed, center):
+    """Wrapping must return values congruent to the input modulo the box
+    and inside the target interval ([0, L) or [-L/2, L/2)). The centered
+    form once post-shifted a [0, L) wrap, yielding non-congruent values."""
+    import jax.numpy as jnp
+
+    from lammps_analysis_tpu.ops.geometry import wrap_coordinates
+
+    rng = np.random.default_rng(seed)
+    box = rng.uniform(2.0, 20.0, size=3)
+    pos = rng.uniform(-3, 3, size=(8, 3)) * box
+    wrapped = np.asarray(
+        wrap_coordinates(jnp.asarray(pos), jnp.asarray(box), center=center)
+    )
+    lo = -box / 2 if center else np.zeros(3)
+    hi = box / 2 if center else box
+    assert (wrapped >= lo - 1e-9).all() and (wrapped < hi + 1e-9).all()
+    k = (pos - wrapped) / box
+    np.testing.assert_allclose(k, np.round(k), atol=1e-6)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
