@@ -201,5 +201,35 @@ def test_wrap_coordinates_congruent_and_in_interval(seed, center):
     np.testing.assert_allclose(k, np.round(k), atol=1e-6)
 
 
+@settings(max_examples=150, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    fmt=st.sampled_from(
+        ["%.4f", "%.8f", "%.12f", "%.15f", "%.17g", "%g", "%e", "%.10e",
+         "repr"]
+    ),
+    scale=st.sampled_from([1e-8, 1e-3, 1.0, 1e4, 1e12]),
+)
+def test_native_parser_bit_exact_for_any_rendering(seed, fmt, scale):
+    """Every rendered float must parse BIT-IDENTICALLY to python float()
+    regardless of the format (the fixed-decimal fast path must either be
+    exact or fall back to from_chars — never silently lose ulps)."""
+    from lammps_analysis_tpu.file_io.native_parser import (
+        available,
+        parse_table_block,
+    )
+
+    if not available():
+        pytest.skip("native parser unavailable")
+    rng = np.random.default_rng(seed)
+    vals = rng.normal(size=8) * scale
+    tokens = [repr(float(v)) if fmt == "repr" else fmt % v for v in vals]
+    line = (" ".join(tokens) + "\n").encode()
+    out = np.asarray(parse_table_block(line, 1, 0, 1, len(tokens))).ravel()
+    for got, tok in zip(out, tokens):
+        want = float(tok)
+        assert got == want, (tok, got.hex(), float(tok).hex())
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
