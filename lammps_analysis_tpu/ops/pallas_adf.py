@@ -199,7 +199,8 @@ _TAKEN = 6.0e7  # key for already-extracted lanes
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k_n", "interpret", "tc", "e_fixed", "w_chunks"),
+    static_argnames=("k_n", "interpret", "tc", "e_fixed", "w_chunks",
+                     "lean"),
 )
 def _neighbor_extract_pallas(
     positions: jnp.ndarray,  # (F, N, 3) float32
@@ -213,6 +214,7 @@ def _neighbor_extract_pallas(
     e_fixed: int = 4,
     w_chunks: int | None = None,
     centers: tuple | None = None,  # (pos_c (F,Nc,3), sid_c, i_offset)
+    lean: bool = False,
 ):
     """Per-center in-cutoff neighbor indices, no ``top_k``, no HBM gathers.
 
@@ -266,6 +268,16 @@ def _neighbor_extract_pallas(
     CLAMPED in-kernel (never out-of-bounds); callers must detect the
     overflow outside (``sorted_neighbor_extract`` returns the flag) and
     retry un-windowed — a clamped run under-counts.
+
+    ``lean`` (static): skip the ``idx`` output and the per-extraction
+    ``d`` accumulation — every production caller discards ``idx``, and
+    ``d`` is recomputed once per block as ``sqrt(rx^2 + ry^2 + rz^2)``
+    on the finished accumulators (the same f32 values the in-kernel
+    distance used, so the cutoff SELECTION — made in-kernel — is
+    unchanged; the emitted ``d`` may differ from the in-kernel value by
+    float non-associativity only, i.e. ~1 ulp). Cuts the extraction
+    inner loop from 5 picked values / 6 slot accumulators to 4 / 4 and
+    drops one of the six VMEM scratch rows. Returns ``idx=None``.
     """
     f, n, _ = positions.shape
     n_pad = _round_up(n, 128)
@@ -363,9 +375,16 @@ def _neighbor_extract_pallas(
     ):
         if has_window:
             win_ref, *rest = rest
-        (out_idx_ref, out_rx_ref, out_ry_ref, out_rz_ref,
-         out_d_ref, out_sid_ref, out_cnt_ref,
-         keys_ref, dxs_ref, dys_ref, dzs_ref, ds_ref, sids_ref) = rest
+        if lean:
+            out_idx_ref = ds_ref = None
+            (out_rx_ref, out_ry_ref, out_rz_ref,
+             out_d_ref, out_sid_ref, out_cnt_ref,
+             keys_ref, dxs_ref, dys_ref, dzs_ref, sids_ref) = rest
+        else:
+            (out_idx_ref, out_rx_ref, out_ry_ref, out_rz_ref,
+             out_d_ref, out_sid_ref, out_cnt_ref,
+             keys_ref, dxs_ref, dys_ref, dzs_ref, ds_ref,
+             sids_ref) = rest
         ib = pl.program_id(1)
         bx = params_ref[0, 0]
         by = params_ref[0, 1]
@@ -398,7 +417,10 @@ def _neighbor_extract_pallas(
             """Extract each row's smallest live key into its next slot,
             accumulating the extracted lane's values via masked sums
             (exactly one matching lane — keys are the unique j ids)."""
-            idx_acc, rxa, rya, rza, da, sa, slot = carry
+            if lean:
+                rxa, rya, rza, sa, slot = carry
+            else:
+                idx_acc, rxa, rya, rza, da, sa, slot = carry
             cur = jnp.min(keys_w, axis=1, keepdims=True)  # (TC, 1)
             m_sel = keys_w == cur
             keys_w = jnp.where(m_sel, _TAKEN, keys_w)
@@ -411,7 +433,6 @@ def _neighbor_extract_pallas(
             # a mask multiply would poison the whole row's accumulators;
             # the where() below never evaluates the arithmetic on them
             ohb = (slot_iota == slot) & ok  # (TC, K) bool
-            vx, vy, vz, vd, vs = vals_w
 
             def pick(vw):
                 return jnp.sum(
@@ -421,13 +442,19 @@ def _neighbor_extract_pallas(
             def put(acc, val):  # (TC, 1) val broadcast onto the slot
                 return acc + jnp.where(ohb, val, 0.0)
 
-            idx_acc = put(idx_acc, cur + 1.0)
+            if lean:
+                vx, vy, vz, vs = vals_w
+            else:
+                vx, vy, vz, vd, vs = vals_w
+                idx_acc = put(idx_acc, cur + 1.0)
+                da = put(da, pick(vd))
             rxa = put(rxa, pick(vx))
             rya = put(rya, pick(vy))
             rza = put(rza, pick(vz))
-            da = put(da, pick(vd))
             sa = put(sa, pick(vs) + 1.0)
             slot = slot + okf
+            if lean:
+                return (rxa, rya, rza, sa, slot), keys_w
             return (idx_acc, rxa, rya, rza, da, sa, slot), keys_w
 
         # Sweep 1 — scalar-free, build fused in: each 128-lane chunk
@@ -472,15 +499,21 @@ def _neighbor_extract_pallas(
             dxs_ref[:, slanes] = dxc
             dys_ref[:, slanes] = dyc
             dzs_ref[:, slanes] = dzc
-            ds_ref[:, slanes] = dc
             sids_ref[:, slanes] = sidc
-            vals = (dxc, dyc, dzc, dc, sidc)
+            if lean:
+                vals = (dxc, dyc, dzc, sidc)
+            else:
+                ds_ref[:, slanes] = dc
+                vals = (dxc, dyc, dzc, dc, sidc)
             for _ in range(e_fixed):
                 carry, chunk = take_min(carry, chunk, vals)
             keys_ref[:, slanes] = chunk
             return carry
 
-        init = (idx0, zk, zk, zk, zk, sid0, slot0)
+        if lean:
+            init = (zk, zk, zk, sid0, slot0)
+        else:
+            init = (idx0, zk, zk, zk, zk, sid0, slot0)
         n_chunks_k = n_pad // 128
         if has_window:
             # dynamic (start, count) circular window(s): addresses stay
@@ -522,18 +555,30 @@ def _neighbor_extract_pallas(
         ).astype(jnp.int32)
 
         def cleanup(_, carry):
-            vals = (
-                dxs_ref[...], dys_ref[...], dzs_ref[...],
-                ds_ref[...], sids_ref[...],
-            )
+            if lean:
+                vals = (
+                    dxs_ref[...], dys_ref[...], dzs_ref[...],
+                    sids_ref[...],
+                )
+            else:
+                vals = (
+                    dxs_ref[...], dys_ref[...], dzs_ref[...],
+                    ds_ref[...], sids_ref[...],
+                )
             carry, keys_w = take_min(carry, keys_ref[...], vals)
             keys_ref[...] = keys_w
             return carry
 
-        idx, rxa, rya, rza, da, sa, slot = jax.lax.fori_loop(
-            0, left, cleanup, carry
-        )
-        out_idx_ref[...] = idx
+        carry = jax.lax.fori_loop(0, left, cleanup, carry)
+        if lean:
+            rxa, rya, rza, sa, slot = carry
+            # d recomputed once per block from the picked components —
+            # same f32 values the in-kernel distance used (empty slots
+            # hold zeros, so d stays 0 there)
+            da = jnp.sqrt(rxa * rxa + rya * rya + rza * rza)
+        else:
+            idx, rxa, rya, rza, da, sa, slot = carry
+            out_idx_ref[...] = idx
         out_rx_ref[...] = rxa
         out_ry_ref[...] = rya
         out_rz_ref[...] = rza
@@ -591,19 +636,26 @@ def _neighbor_extract_pallas(
         inputs.append(
             window.astype(jnp.int32).reshape(f * n_blocks, 1, 2 * n_arcs)
         )
+    n_out = 5 if lean else 6
+    n_scratch = 5 if lean else 6
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=[k_spec] * 6 + [cnt_spec],
-        out_shape=[k_shape] * 6
+        out_specs=[k_spec] * n_out + [cnt_spec],
+        out_shape=[k_shape] * n_out
         + [jax.ShapeDtypeStruct((f * nc_pad, 1), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((tc, sw * 128), jnp.float32)] * 6,
+        scratch_shapes=[pltpu.VMEM((tc, sw * 128), jnp.float32)] * n_scratch,
         interpret=interpret,
     )(*inputs)
-    idx, rx, ry, rz, d_n, sid_n, cnt = outs
+    if lean:
+        rx, ry, rz, d_n, sid_n, cnt = outs
+        idx_out = None
+    else:
+        idx, rx, ry, rz, d_n, sid_n, cnt = outs
+        idx_out = idx.reshape(f, nc_pad, k_n).astype(jnp.int32)
     return (
-        idx.reshape(f, nc_pad, k_n).astype(jnp.int32),
+        idx_out,
         rx.reshape(f, nc_pad, k_n),
         ry.reshape(f, nc_pad, k_n),
         rz.reshape(f, nc_pad, k_n),
@@ -1020,7 +1072,7 @@ def sorted_neighbor_extract(
         overflow = jnp.asarray(0, jnp.int32)
     _, rx, ry, rz, d_n, sid_n, cnt = _neighbor_extract_pallas(
         pos_s, sid_s, box, cutoff, k_n=k_n, interpret=interpret,
-        tc=tc, window=win, e_fixed=e_fixed, w_chunks=w_chunks,
+        tc=tc, window=win, e_fixed=e_fixed, w_chunks=w_chunks, lean=True,
     )
     return rx, ry, rz, d_n, sid_n, cnt, sid_s, overflow
 
@@ -1104,7 +1156,7 @@ def sorted_neighbor_extract_stripe(
         overflow = jnp.asarray(0, jnp.int32)
     _, rx, ry, rz, d_n, sid_n, cnt = _neighbor_extract_pallas(
         pos_s, sid_s, box, cutoff, k_n=k_n, interpret=interpret,
-        tc=tc, window=win, e_fixed=e_fixed, w_chunks=w_chunks,
+        tc=tc, window=win, e_fixed=e_fixed, w_chunks=w_chunks, lean=True,
         centers=(pos_c, sid_c, lo),
     )
     return rx, ry, rz, d_n, sid_n, cnt, sid_c, overflow
@@ -1154,7 +1206,8 @@ def pallas_neighbor_lists(
     gather / post-processing pass.
     """
     _, rx, ry, rz, d_n, sid_n, cnt = _neighbor_extract_pallas(
-        positions, species_id, box, cutoff, k_n=k_n, interpret=interpret
+        positions, species_id, box, cutoff, k_n=k_n, interpret=interpret,
+        lean=True,
     )
     r_n = jnp.stack([rx, ry, rz], axis=-1)
     return (
@@ -1180,7 +1233,8 @@ def pallas_neighbor_components(
     consumes, with no relayouts anywhere.
     """
     _, rx, ry, rz, d_n, sid_n, cnt = _neighbor_extract_pallas(
-        positions, species_id, box, cutoff, k_n=k_n, interpret=interpret
+        positions, species_id, box, cutoff, k_n=k_n, interpret=interpret,
+        lean=True,
     )
     return (
         (rx, ry, rz), d_n, sid_n, _pad_sid(species_id, rx.shape[1]),
@@ -1931,7 +1985,8 @@ def adf_histogram_pallas(
         n_pad = rx.shape[1]
     elif use_components:
         _, rx, ry, rz, d_n, sid_n, cnt = _neighbor_extract_pallas(
-            positions, species_id, box, cutoff, k_n=k_n, interpret=interpret
+            positions, species_id, box, cutoff, k_n=k_n,
+            interpret=interpret, lean=True,
         )
         r_n = (rx, ry, rz)
         sid_pad = _pad_sid(species_id, rx.shape[1])

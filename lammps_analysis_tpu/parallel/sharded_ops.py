@@ -438,7 +438,7 @@ def _adf_pipeline(plan: _AdfPlan, n_species, cutoff, n_bins, norm_power):
             # chunk skip
             _, rxn, ryn, rzn, d_nn, s_nn, cnts = (
                 _pk._neighbor_extract_pallas(
-                    pos_shard, sid, box_, cutoff, k_n=_k
+                    pos_shard, sid, box_, cutoff, k_n=_k, lean=True
                 )
             )
             r_nn = (rxn, ryn, rzn)
