@@ -970,28 +970,48 @@ def brick_window_bound(n_atoms: int, box, cutoff, n_arcs: int = 6) -> int:
     return int(min(n_chunks, np.ceil(1.8 * 3.0 * per_slab) + n_arcs + 2))
 
 
-def extract_e_for(n_atoms: int, box, cutoff,
-                  window_chunks: float | None = None) -> int:
+def extract_e_for(n_atoms: int, box, cutoff, sort: str = "z") -> int:
     """Static sweep-1 extraction depth for the windowed sorted extract.
 
-    Expected in-cutoff lanes per PROCESSED chunk = expected neighbor
-    count / window chunk count; depth must cover it or leftovers spill
-    into the expensive full-width cleanup sweep. Needs STATIC (host)
-    box/cutoff values — callers with traced values keep the default.
-    ``window_chunks``: expected processed chunks per block (brick callers
-    pass their much smaller estimate; default = the z-slab window).
+    The spatial sorts CONCENTRATE a center's neighbors into few chunks
+    (the same-slab / adjacent-y ones), so the depth must cover the
+    DENSEST chunk's typical count, not the window mean: every leftover
+    lane costs one exact-cleanup ``take_min`` over the FULL scratch
+    width (``w_chunks`` chunks wide), and with the old uniform-spread
+    estimate the cleanup dominated the extract (op-count model share
+    0.5-0.96 across 10k-131k atoms; see
+    ``benchmarks/extract_e_model.py``). The cost-optimal depth tracked
+    ``~2.8x the mean nonzero per-chunk count`` within ~12% across all
+    measured configs; the mean-nonzero estimate below (geometry of the
+    sort's chunk extents, x1.25 edge-bias factor) matched the simulated
+    distributions within ~25%. Overshooting is cheap (sweep-1 cost is
+    linear in ``e``); undershooting pays ``w_chunks``-wide sweeps.
+
+    Needs STATIC (host) box/cutoff values — callers with traced values
+    keep the default. ``sort`` must match the caller's spatial order
+    ("z" or "brick") — the two concentrate differently.
     """
     box_np = np.asarray(box, np.float64).reshape(3)
     volume = float(np.prod(box_np))
+    rc = float(cutoff)
     expected = n_atoms / max(volume, 1e-30) * (
-        4.0 / 3.0 * np.pi * float(cutoff) ** 3
+        4.0 / 3.0 * np.pi * rc**3
     )
-    n_chunks = max(n_atoms // 128, 1)
-    if window_chunks is None:
-        window_frac = min(1.0, 2.1 * float(cutoff) / float(box_np[2]))
-        window_chunks = window_frac * n_chunks
-    per_chunk = expected / max(float(window_chunks), 1.0)
-    return int(np.clip(2 * np.ceil((per_chunk + 2.0) / 2.0), 4, 16))
+    n_pad = _round_up(max(n_atoms, 1), 128)
+    n_chunks = max(n_pad // 128, 1)
+    if sort == "brick":
+        # a center's nonzero chunks: ~3 slabs (outer two partial —
+        # effective 2.2), each contributing the y-window's chunk span
+        n_slabs = max(1, int(box_np[2] // max(rc, 1e-30)))
+        chunks_per_slab = n_chunks / n_slabs
+        y_chunk = box_np[1] * 128.0 * n_slabs / n_pad
+        n_nz = 2.2 * (2.0 * rc + y_chunk) / max(box_np[1], 1e-30) \
+            * chunks_per_slab
+    else:
+        # z-sort: chunks overlapping the 2*cutoff z-window
+        n_nz = 2.0 * rc / max(box_np[2], 1e-30) * n_chunks + 1.0
+    mean_nz = 1.25 * expected / max(min(n_nz, n_chunks), 1.0)
+    return int(np.clip(np.ceil(2.8 * mean_nz), 4, 48))
 
 
 @functools.partial(

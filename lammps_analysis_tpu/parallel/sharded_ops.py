@@ -259,14 +259,18 @@ class _AdfPlan:
                 n_avail, box_np, float(cutoff), n_arcs=self.n_arcs
             )
             self.extract_e = extract_e_for(
-                n_avail, box_np, float(cutoff),
-                window_chunks=self.w_chunks / 1.8,
+                n_avail, box_np, float(cutoff), sort="brick"
             )
         else:
             self.extract_e = (
-                extract_e_for(n_avail, box_np, float(cutoff))
+                extract_e_for(n_avail, box_np, float(cutoff), sort="z")
                 if self.use_sorted else 4
             )
+        # per-process A/B override (kernel variants must never share a
+        # process — see the env-flag aliasing note in the design docs)
+        e_env = os.environ.get("LATPU_ADF_EXTRACT_E")
+        if e_env and self.use_sorted:
+            self.extract_e = max(1, int(e_env))
             # static scratch bound for the window-relative extract; a
             # block in a z-sparse region can exceed it — the overflow
             # reports via occ and escalate() falls back to the unsorted

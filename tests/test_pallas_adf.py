@@ -638,7 +638,16 @@ def test_static_window_heuristics():
     box = [40.0, 40.0, 40.0]
     # denser windows need deeper sweeps, monotonic in cutoff
     es = [extract_e_for(10240, box, c) for c in (2.0, 3.6, 5.5, 8.0)]
-    assert es == sorted(es) and es[0] >= 4 and es[-1] <= 16
+    assert es == sorted(es) and es[0] >= 4 and es[-1] <= 48
+    # concentration model: depth tracks the densest chunk, not the
+    # window mean — simulated cost-optimal depths (extract_e_model.py)
+    # were 8 / 14 at 10240 atoms cutoffs 3.6 / 5.5 (z) and 16 / 24 at
+    # 65536 in a 74.3 box (brick); the model must land within ~±40%
+    assert 6 <= extract_e_for(10240, box, 3.6, sort="z") <= 11
+    assert 11 <= extract_e_for(10240, box, 5.5, sort="z") <= 20
+    box65 = [74.3, 74.3, 74.3]
+    assert 12 <= extract_e_for(65536, box65, 3.6, sort="brick") <= 22
+    assert 18 <= extract_e_for(65536, box65, 5.5, sort="brick") <= 33
     # the bound grows with cutoff and never exceeds the chunk count
     n_chunks = 10240 // 128
     ws = [window_chunk_bound(10240, box, c) for c in (2.0, 3.6, 5.5, 50.0)]
