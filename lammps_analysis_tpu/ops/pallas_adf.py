@@ -739,6 +739,62 @@ def _brick_sort(positions, species_id, box, cutoff):
     return pos_s, sid_s
 
 
+@jax.jit
+def _brick3_sort(positions, species_id, box, cutoff):
+    """Per-frame (z-slab, serpentine y-cell, serpentine x) sort.
+
+    Refines :func:`_brick_sort` one level: inside each (z-slab, y-cell)
+    brick atoms order by x, so a center's neighbors form SHORT x-runs
+    inside <= 9 cells instead of full-y slab windows. Candidate-floor
+    sim (``benchmarks/candidate_floor_sim.py``): at 65536 atoms the
+    cover LOSES at the first-shell cutoff (11.9 vs brick's 10.8 at
+    tc=16 — x-sorting fragments coverage into more arcs without
+    shrinking it) and WINS at wide cutoffs (5.5: 14.7 vs 20.9, 1.42x)
+    where each cell holds several 128-atom chunks. Gate on geometry —
+    see ``_AdfPlan`` in ``parallel.sharded_ops``. Invalid atoms last.
+
+    The composite sort key is ``(slab * n_cells + ycell) * 2 * box_x +
+    x`` in f32: cell ranks stay exactly ordered (small integers times a
+    gap larger than any x), and an f32-rounding swap of two nearby-x
+    atoms inside one cell is harmless — the extract's bbox predicate is
+    computed on the sorted positions themselves, so ANY order is
+    correct; order only shapes the cover.
+
+    Returns ``(pos_sorted (F, N, 3), sid_sorted (F, N))``.
+    """
+    f, n, _ = positions.shape
+    box_arr = jnp.asarray(box, positions.dtype).reshape(3)
+    co = jnp.asarray(cutoff, positions.dtype)
+    n_slabs = jnp.maximum(jnp.floor(box_arr[2] / co), 1.0)
+    slab_w = box_arr[2] / n_slabs
+    z = jnp.clip(positions[..., 2], 0.0, box_arr[2] * (1 - 1e-7))
+    slab = jnp.minimum(jnp.floor(z / slab_w), n_slabs - 1.0)
+    n_cells = jnp.maximum(jnp.floor(box_arr[1] / co), 1.0)
+    cell_w = box_arr[1] / n_cells
+    y = jnp.clip(positions[..., 1], 0.0, box_arr[1] * (1 - 1e-7))
+    ycell = jnp.minimum(jnp.floor(y / cell_w), n_cells - 1.0)
+    # serpentine y-cells inside slabs and serpentine x inside cells:
+    # consecutive cells in the traversal are spatial neighbors, so a
+    # center block straddling a cell seam holds atoms from ADJACENT
+    # cells (same reasoning as the brick sort's serpentine y)
+    odd_slab = jnp.mod(slab, 2.0) >= 1.0
+    ycell_eff = jnp.where(odd_slab, n_cells - 1.0 - ycell, ycell)
+    rank = slab * n_cells + ycell_eff
+    x = positions[..., 0]
+    odd_rank = jnp.mod(rank, 2.0) >= 1.0
+    x_eff = jnp.where(odd_rank, box_arr[0] - x, x)
+    key = rank * (2.0 * box_arr[0]) + x_eff
+    if species_id.ndim == 1:
+        sid2 = jnp.broadcast_to(species_id, (f, n))
+    else:
+        sid2 = species_id
+    key = jnp.where(sid2 >= 0, key, jnp.asarray(jnp.inf, key.dtype))
+    order = jnp.argsort(key, axis=1)
+    pos_s = jnp.take_along_axis(positions, order[..., None], axis=1)
+    sid_s = jnp.take_along_axis(sid2, order, axis=1)
+    return pos_s, sid_s
+
+
 @functools.partial(jax.jit, static_argnames=("tc", "n_arcs", "split"))
 def _chunk_arcs(pos_s, sid_s, box, cutoff, tc, n_arcs, pos_c=None,
                 sid_c=None, split: int = 2):
@@ -970,6 +1026,31 @@ def brick_window_bound(n_atoms: int, box, cutoff, n_arcs: int = 6) -> int:
     return int(min(n_chunks, np.ceil(1.8 * 3.0 * per_slab) + n_arcs + 2))
 
 
+def brick3_window_bound(n_atoms: int, box, cutoff, n_arcs: int = 12) -> int:
+    """Static per-block total-window bound for the 3-level brick3 sort.
+
+    A center's in-cutoff atoms span <= 3 slabs x <= 3 y-cells; inside
+    each (slab, y-cell) the x-window covers ``(2.1 * cutoff + one
+    chunk's x-extent) / box_x`` of the cell's chunks plus ~1.5 boundary
+    chunks (cells hold few chunks, so boundaries dominate). 1.75x the
+    9-cell estimate plus per-arc slack. Verified against the
+    candidate-floor sim's per-block maxima
+    (``benchmarks/brick3_bound_check.py``). Sparse geometries can
+    exceed it — the kernel clamps and the caller retries un-windowed.
+    Needs STATIC (host) box/cutoff values.
+    """
+    n_pad = _round_up(n_atoms, 128)
+    n_chunks = n_pad // 128
+    box_np = np.asarray(box, np.float64).reshape(3)
+    rc = float(cutoff)
+    n_slabs = max(1, int(box_np[2] // rc))
+    n_cells = max(1, int(box_np[1] // rc))
+    cell_chunks = n_chunks / (n_slabs * n_cells)
+    x_frac = min(1.0, 2.1 * rc / max(box_np[0], 1e-30))
+    per_cell = x_frac * cell_chunks + 1.5
+    return int(min(n_chunks, np.ceil(1.75 * 9.0 * per_cell) + n_arcs + 2))
+
+
 def extract_e_for(n_atoms: int, box, cutoff, sort: str = "z") -> int:
     """Static sweep-1 extraction depth for the windowed sorted extract.
 
@@ -1007,6 +1088,15 @@ def extract_e_for(n_atoms: int, box, cutoff, sort: str = "z") -> int:
         y_chunk = box_np[1] * 128.0 * n_slabs / n_pad
         n_nz = 2.2 * (2.0 * rc + y_chunk) / max(box_np[1], 1e-30) \
             * chunks_per_slab
+    elif sort == "brick3":
+        # ~2.2 slabs x ~2.2 y-cells, each cell contributing the
+        # x-window's chunk span (chunks inside a cell are x-runs)
+        n_slabs = max(1, int(box_np[2] // max(rc, 1e-30)))
+        n_cells = max(1, int(box_np[1] // max(rc, 1e-30)))
+        cell_chunks = n_chunks / (n_slabs * n_cells)
+        x_chunk = box_np[0] / max(cell_chunks, 1.0)
+        n_nz = 2.2 * 2.2 * (2.0 * rc + x_chunk) / max(box_np[0], 1e-30) \
+            * cell_chunks
     else:
         # z-sort: chunks overlapping the 2*cutoff z-window
         n_nz = 2.0 * rc / max(box_np[2], 1e-30) * n_chunks + 1.0
@@ -1017,7 +1107,7 @@ def extract_e_for(n_atoms: int, box, cutoff, sort: str = "z") -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("k_n", "interpret", "e_fixed", "w_chunks", "sort",
-                     "n_arcs"),
+                     "n_arcs", "tc"),
 )
 def sorted_neighbor_extract(
     positions: jnp.ndarray,  # (F, N, 3)
@@ -1030,6 +1120,7 @@ def sorted_neighbor_extract(
     w_chunks: int | None = None,
     sort: str = "z",
     n_arcs: int = 1,
+    tc: int | None = None,
 ):
     """Spatially sorted extract: z-sort + per-block circular chunk window.
 
@@ -1053,6 +1144,8 @@ def sorted_neighbor_extract(
     flags with up to ``n_arcs`` (start, count) arcs — the per-block
     sweep shrinks ~2x at 65k atoms vs the single z-arc
     (``benchmarks/brick_window_sim.py``); identical neighbor sets.
+    ``sort="brick3"`` adds a third (serpentine x inside y-cells) level —
+    wide-cutoff geometries only (see :func:`_brick3_sort`).
     """
     f, n, _ = positions.shape
     n_pad = _round_up(n, 128)
@@ -1064,8 +1157,12 @@ def sorted_neighbor_extract(
             else (0, n_pad - n),
             constant_values=-1,
         )
-    brick = sort == "brick"
-    if brick:
+    brick = sort in ("brick", "brick3")
+    if sort == "brick3":
+        pos_s, sid_s = _brick3_sort(
+            positions.astype(jnp.float32), species_id, box, cutoff
+        )
+    elif sort == "brick":
         pos_s, sid_s = _brick_sort(
             positions.astype(jnp.float32), species_id, box, cutoff
         )
@@ -1073,11 +1170,14 @@ def sorted_neighbor_extract(
         pos_s, sid_s = _spatial_sort(
             positions.astype(jnp.float32), species_id, box
         )
-    if w_chunks is not None:
+    if tc is None:
+        if w_chunks is not None:
+            w_chunks = min(w_chunks, n_pad // 128)
+            tc = _extract_tc_windowed(n_pad, w_chunks)
+        else:
+            tc = _extract_tc(n_pad)
+    elif w_chunks is not None:
         w_chunks = min(w_chunks, n_pad // 128)
-        tc = _extract_tc_windowed(n_pad, w_chunks)
-    else:
-        tc = _extract_tc(n_pad)
     if brick:
         win, total = _chunk_arcs(
             pos_s, sid_s, box, cutoff, tc, max(n_arcs, 1)
@@ -1141,8 +1241,12 @@ def sorted_neighbor_extract_stripe(
             else (0, n_pad - n),
             constant_values=-1,
         )
-    brick = sort == "brick"
-    if brick:
+    brick = sort in ("brick", "brick3")
+    if sort == "brick3":
+        pos_s, sid_s = _brick3_sort(
+            positions.astype(jnp.float32), species_id, box, cutoff
+        )
+    elif sort == "brick":
         pos_s, sid_s = _brick_sort(
             positions.astype(jnp.float32), species_id, box, cutoff
         )

@@ -236,6 +236,7 @@ class _AdfPlan:
         # (~80% of chunks skipped at 10k atoms / first-shell cutoffs);
         # the sweep's extraction depth scales with the window density
         from ..ops.pallas_adf import (
+            brick3_window_bound,
             brick_window_bound,
             extract_e_for,
             window_chunk_bound,
@@ -254,7 +255,20 @@ class _AdfPlan:
             if self.use_sorted else "z"
         )
         self.n_arcs = 6
-        if self.use_sorted and self.sort == "brick":
+        if self.use_sorted and self.sort == "brick3":
+            # 3-level (z-slab, snake y-cell, snake x) sort: the
+            # candidate-floor sim shows a ~1.1-1.4x candidate cut ONLY
+            # at wide cutoffs (each (slab, y-cell) must hold >= ~3
+            # chunks); opt-in via LATPU_ADF_SORT until a hardware A/B
+            # lands (one process per arm — see the aliasing note)
+            self.n_arcs = 12
+            self.w_chunks = brick3_window_bound(
+                n_avail, box_np, float(cutoff), n_arcs=self.n_arcs
+            )
+            self.extract_e = extract_e_for(
+                n_avail, box_np, float(cutoff), sort="brick3"
+            )
+        elif self.use_sorted and self.sort == "brick":
             self.w_chunks = brick_window_bound(
                 n_avail, box_np, float(cutoff), n_arcs=self.n_arcs
             )
@@ -427,7 +441,7 @@ def _adf_pipeline(plan: _AdfPlan, n_species, cutoff, n_bins, norm_power):
                 _pk.sorted_neighbor_extract(
                     pos_shard, sid, box_, cutoff, k_n=_k, e_fixed=_ee,
                     w_chunks=_wc, sort=_sort,
-                    n_arcs=_arcs if _sort == "brick" else 1,
+                    n_arcs=_arcs if _sort in ("brick", "brick3") else 1,
                 )
             )
             r_nn = (rxn, ryn, rzn)
@@ -886,7 +900,7 @@ def sharded_adf_histogram_2d(
                 _pk.sorted_neighbor_extract_stripe(
                     pos_shard, sid, box_, cutoff, rank, n_at,
                     k_n=_k, e_fixed=_ee, w_chunks=_wc, sort=_sort,
-                    n_arcs=_arcs if _sort == "brick" else 1,
+                    n_arcs=_arcs if _sort in ("brick", "brick3") else 1,
                 )
             )
             h = _pk.adf_stage2_auto(

@@ -589,7 +589,9 @@ def test_extract_kernel_tc_invariant(rng, tc):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-@pytest.mark.parametrize("sort,n_arcs", [("z", 1), ("brick", 6)])
+@pytest.mark.parametrize(
+    "sort,n_arcs", [("z", 1), ("brick", 6), ("brick3", 12)]
+)
 def test_stripe_extract_union_matches_full(rng, sort, n_arcs):
     """Center-stripe extracts (tensor-parallel sharding) concatenated over
     all ranks must equal the full sorted extract exactly — every sorted
@@ -648,6 +650,10 @@ def test_static_window_heuristics():
     box65 = [74.3, 74.3, 74.3]
     assert 12 <= extract_e_for(65536, box65, 3.6, sort="brick") <= 22
     assert 18 <= extract_e_for(65536, box65, 5.5, sort="brick") <= 33
+    # brick3 concentrates harder (x-runs inside cells): depth must not
+    # drop below the brick depth at the wide cutoff where brick3 engages
+    assert extract_e_for(65536, box65, 5.5, sort="brick3") >= \
+        extract_e_for(65536, box65, 5.5, sort="brick")
     # the bound grows with cutoff and never exceeds the chunk count
     n_chunks = 10240 // 128
     ws = [window_chunk_bound(10240, box, c) for c in (2.0, 3.6, 5.5, 50.0)]
@@ -707,31 +713,39 @@ def test_chunk_arcs_covers_flags(rng):
     assert total.mean() < 0.9 * c
 
 
-def test_brick_extract_matches_unsorted(rng):
+@pytest.mark.parametrize("sort,n_arcs", [("brick", 6), ("brick3", 12)])
+def test_brick_extract_matches_unsorted(rng, sort, n_arcs):
     """Brick-sorted multi-arc extract == the unsorted kernel: identical
     per-frame (center species, neighbor species, distance) multisets,
     identical folded histogram; a too-small w_chunks bound raises the
-    overflow flag."""
+    overflow flag. Both multi-arc orderings (brick, brick3)."""
     from lammps_analysis_tpu.ops.pallas_adf import (
         _neighbor_extract_pallas,
         adf_pairs_histogram_pallas,
+        brick3_window_bound,
         brick_window_bound,
         sorted_neighbor_extract,
     )
 
-    f, n, box_l, cutoff, n_bins = 2, 4096, 16.0, 2.2, 73
+    # brick3's bound is boundary-dominated (+1.5 chunks per cell x 9
+    # cells), so it only narrows below the full chunk count once the
+    # system holds enough chunks — use a 2x larger box for that arm
+    if sort == "brick3":
+        f, n, box_l, cutoff, n_bins = 2, 8192, 20.17, 2.2, 73
+    else:
+        f, n, box_l, cutoff, n_bins = 2, 4096, 16.0, 2.2, 73
     pos = rng.uniform(0, box_l, (f, n, 3)).astype(np.float32)
-    sid = np.r_[np.zeros(2000), np.ones(n - 2100), -np.ones(100)].astype(
-        np.int32
-    )
+    sid = np.r_[np.zeros(n // 2), np.ones(n - n // 2 - 100),
+                -np.ones(100)].astype(np.int32)
     box = jnp.asarray([box_l] * 3, jnp.float32)
     box_np = np.array([box_l] * 3, np.float32)
-    wb = brick_window_bound(n, box_np, cutoff)
+    bound_fn = brick_window_bound if sort == "brick" else brick3_window_bound
+    wb = bound_fn(n, box_np, cutoff, n_arcs=n_arcs)
     assert wb < n // 128  # the bound narrows the scratch here
     rx, ry, rz, d_b, s_b, cnt_b, sid_b, ovf = sorted_neighbor_extract(
         jnp.asarray(pos), jnp.asarray(sid), box, cutoff,
         k_n=128, interpret=True, e_fixed=6, w_chunks=wb,
-        sort="brick", n_arcs=6,
+        sort=sort, n_arcs=n_arcs,
     )
     assert int(ovf) == 0
     _, rxu, ryu, rzu, d_u, s_u, cnt_u = _neighbor_extract_pallas(
@@ -760,18 +774,24 @@ def test_brick_extract_matches_unsorted(rng):
         jnp.asarray(sid_b, dtype=jnp.float32)[..., None], n_bins, 2,
         fold=True, counts=cnt_b[..., None], interpret=True,
     ))
-    np.testing.assert_allclose(h_brick, h_ref, rtol=1e-5, atol=1e-6)
+    # rtol 5e-5: the neighbor multisets match EXACTLY (asserted above);
+    # only the f32 histogram accumulation order differs between the two
+    # tensor layouts, and the brick3 arm's 8192-atom counts double the
+    # accumulation depth (observed 2e-5 drift on 2/292 bins)
+    np.testing.assert_allclose(h_brick, h_ref, rtol=5e-5, atol=1e-6)
 
     # a bound below some block's total window must flag overflow
     *_, ovf_small = sorted_neighbor_extract(
         jnp.asarray(pos), jnp.asarray(sid), box, cutoff,
         k_n=128, interpret=True, e_fixed=6, w_chunks=2,
-        sort="brick", n_arcs=6,
+        sort=sort, n_arcs=n_arcs,
     )
     assert int(ovf_small) == 1
 
 
-@pytest.mark.parametrize("sort,n_arcs", [("z", 1), ("brick", 6)])
+@pytest.mark.parametrize(
+    "sort,n_arcs", [("z", 1), ("brick", 6), ("brick3", 12)]
+)
 def test_sorted_packed_folded_stage2(rng, sort, n_arcs):
     """The production 10k route's exact stage-2 combination — per-frame
     center species (sorted extract) + center packing + folded pairs +
