@@ -71,11 +71,25 @@ def window_starts(total: int, window: int, stride: int) -> jnp.ndarray:
     return jnp.arange(max(n, 0)) * stride
 
 
-@functools.partial(
-    jax.jit, static_argnames=("window", "stride", "chunk")
-)
+def _auto_chunk(n: int, d: int, window: int) -> int:
+    """Windows per ``lax.map`` step that keep FFT intermediates in budget.
+
+    The per-window working set is the zero-padded f32 batch plus its
+    complex spectrum: ``N * D * fft_len * ~16`` bytes.  On the
+    single-core CPU host, batches past ~0.5 GiB thrash the cache
+    (measured 5.2 -> 15+ M window-frame-atoms/s at 10k atoms going from
+    chunk 32 to 1, benchmarks/vacf_slab_sweep.py); tiny series (flux,
+    N = 1) are insensitive, so the cap keeps them batched.  On TPU the
+    batch just has to fit HBM comfortably.
+    """
+    fft_len = _next_fast_len(2 * window)
+    per_window = max(n * d * fft_len * 16, 1)
+    budget = 2**29 if jax.default_backend() == "cpu" else 2**32
+    return max(1, min(32, budget // per_window))
+
+
 def windowed_acf_sum(
-    x: jnp.ndarray, window: int, stride: int, chunk: int = 32, tau=None
+    x: jnp.ndarray, window: int, stride: int, chunk: int | None = None, tau=None
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Sum of per-window biased ACFs plus per-window particle-mean integral input.
 
@@ -83,7 +97,8 @@ def windowed_acf_sum(
     ----------
     x : (T, N, D) time series (frames, particles, components).
     window, stride : ensemble window length and correlation_time stride.
-    chunk : windows processed per scan step (memory knob).
+    chunk : windows processed per scan step (memory knob); ``None``
+        (default) sizes it from the working set via ``_auto_chunk``.
     tau : optional (R,) int lag indices — each window is gathered at these
         indices BEFORE the ACF (reference semantics:
         ``green_kubo_ionic_conductivity.py:201`` gathers the ensemble at
@@ -98,6 +113,17 @@ def windowed_acf_sum(
         over D; used for the SEM of the running integral
         (``green_kubo_self_diffusion_coefficients.py:199-206``).
     """
+    if chunk is None:
+        chunk = _auto_chunk(x.shape[1], x.shape[2], window)
+    return _windowed_acf_sum(x, window, stride, chunk, tau)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window", "stride", "chunk")
+)
+def _windowed_acf_sum(
+    x: jnp.ndarray, window: int, stride: int, chunk: int, tau=None
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     total = x.shape[0]
     starts = window_starts(total, window, stride)
     n_windows = int(starts.shape[0])

@@ -715,7 +715,7 @@ def sharded_windowed_acf(
     x: jnp.ndarray,
     window: int,
     stride: int,
-    chunk: int = 32,
+    chunk: int | None = None,
     tau=None,
     mesh=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -726,13 +726,17 @@ def sharded_windowed_acf(
     count-weighted mean across shards (exact when particle counts divide,
     and the remainder tail is folded in with its own weight).
     """
-    from ..ops.correlation import windowed_acf_sum
+    from ..ops.correlation import _auto_chunk, windowed_acf_sum
 
     mesh = mesh or get_default_mesh()
     n_dev = _n_mesh_devices(mesh)
     n_particles = x.shape[1]
     if n_dev == 1 or n_particles < n_dev:
         return windowed_acf_sum(x, window, stride, chunk=chunk, tau=tau)
+    if chunk is None:
+        # size for the per-shard slice so the resolved value is concrete
+        # before the shard_map trace
+        chunk = _auto_chunk(n_particles // n_dev, x.shape[2], window)
 
     main = (n_particles // n_dev) * n_dev
     axes = tuple(mesh.shape.keys())
