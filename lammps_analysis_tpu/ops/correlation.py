@@ -134,14 +134,24 @@ def _windowed_acf_sum(
             jnp.zeros((0, r), x.dtype),
         )
 
+    n_particles = x.shape[1]
+    fft_len = _next_fast_len(2 * r)
+
     def one_window(s):
         seg = jax.lax.dynamic_slice_in_dim(x, s, window, axis=0)  # (W, N, D)
         if tau is not None:
             seg = jnp.take(seg, tau, axis=0)  # (R, N, D)
-        seg = jnp.moveaxis(seg, 0, -1)  # (N, D, W)
-        acf = acf_biased(seg, axis=-1)  # (N, D, W)
-        acf_nd = jnp.sum(acf, axis=1)  # (N, W) summed over components
-        return jnp.sum(acf_nd, axis=0), jnp.mean(acf_nd, axis=0)
+        seg = jnp.moveaxis(seg, 0, -1)  # (N, D, R)
+        # irfft is linear, so sum the power spectra over particles and
+        # components FIRST and invert once per window — the per-series
+        # irfft (and its (N, D, fft_len) result write) disappears:
+        # measured 14.2 -> 28.0 M window-frame-atoms/s at 10k atoms
+        # (benchmarks/vacf_slab_sweep.py), identical to the per-series
+        # acf_biased sum to ~1e-7 relative.
+        f = jnp.fft.rfft(seg, n=fft_len, axis=-1)
+        spec = jnp.sum(f.real * f.real + f.imag * f.imag, axis=(0, 1))
+        acf_all = jnp.fft.irfft(spec, n=fft_len)[:r] / r  # sum over N, D
+        return acf_all, acf_all / n_particles
 
     sums, means = jax.lax.map(one_window, starts, batch_size=chunk)
     return jnp.sum(sums, axis=0), means
