@@ -103,11 +103,11 @@ def measure_gk_corr_frames_per_s(t=16384, n=256, window=512, stride=256,
 
     rng = np.random.default_rng(1)
     vel = jnp.asarray(rng.normal(size=(t, n, 3)).astype(np.float32))
-    out = windowed_acf_sum(vel, window, stride, chunk=16)
+    out = windowed_acf_sum(vel, window, stride)
     np.asarray(out[0])  # compile + execute + fetch
     t0 = time.perf_counter()
     for _ in range(repeats):
-        out = windowed_acf_sum(vel, window, stride, chunk=16)
+        out = windowed_acf_sum(vel, window, stride)
     jax.block_until_ready(out)
     elapsed = (time.perf_counter() - t0) / repeats
     n_windows = (t - window) // stride + 1

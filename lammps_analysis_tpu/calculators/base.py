@@ -591,7 +591,15 @@ class TrajectoryCalculator(Calculator):
             return
 
         path = join_path(species, prop_name)
-        slabs = self._window_slab_plan(path, data_range, correlation_time)
+        # cap slabs at 512 MiB even when the memory budget allows more:
+        # the windowed kernels lose an order of magnitude past the
+        # cache-friendly regime (comb MSD measured 128-143 M wfa/s on
+        # <=1.2 GiB slabs vs 12.5 M on the planner's uncapped 3.2 GiB
+        # slab at 10k atoms), XLA-CPU compile time grows with slab
+        # length, and same-shaped moderate slabs reuse one compile
+        slabs = self._window_slab_plan(
+            path, data_range, correlation_time, max_slab_bytes=1 << 29
+        )
         atoms = self.resolve_atom_selection(
             self.args.get("atom_selection"), species
         )
