@@ -539,3 +539,83 @@ def test_species_charge_assignment_persists(tmp_path, rng):
     assert sp.charge == 1.0 and sp.mass == 22.99
     with pytest.raises(dataclasses.FrozenInstanceError):
         sp.n_particles = 7
+
+
+def test_windowed_stream_slabs_capped_at_512mib(tmp_path, rng):
+    """The windowed streaming path caps slabs at 512 MiB even when the
+    memory budget allows more: the planner's uncapped slab (3.2 GiB at
+    10k atoms x 55k frames) drops the comb-MSD kernel an order of
+    magnitude below its cache-friendly rate and inflates XLA-CPU compile
+    time (slab-length-dependent). Locks both the cap arithmetic on a
+    simulated production-size store and the wiring from
+    ``_stream_property``."""
+    n_frames, n_atoms = 200, 8
+    pos = random_walk(rng, n_frames, n_atoms, 0.05)
+    sp = [SpeciesInfo("X", n_atoms, [UNWRAPPED])]
+    meta = TrajectoryMetadata(
+        n_configurations=n_frames, species_list=sp, box_l=[100.0] * 3,
+        sample_rate=1, temperature=300.0,
+    )
+    chunk = TrajectoryChunkData(sp, n_frames)
+    chunk.add_data(pos, 0, "X", "Unwrapped_Positions")
+    project = make_project(tmp_path)
+    exp = project.add_experiment(
+        "cap", timestep=0.1, temperature=300.0, units="si",
+        simulation_data=ScriptInput(chunk, meta, "d"),
+    )
+
+    from lammps_analysis_tpu.calculators.einstein_diffusion_coefficients import (
+        EinsteinDiffusionCoefficients,
+    )
+
+    calc = EinsteinDiffusionCoefficients(exp)
+    calc.args = calc.prepare_args(data_range=64, correlation_time=16)
+
+    # Wiring: _stream_property must pass the 512 MiB cap down.
+    seen = {}
+    orig = calc._window_slab_plan
+
+    def spy(path, data_range, correlation_time, max_slab_bytes=None):
+        seen["max_slab_bytes"] = max_slab_bytes
+        return orig(path, data_range, correlation_time,
+                    max_slab_bytes=max_slab_bytes)
+
+    calc._window_slab_plan = spy
+    next(iter(calc._stream_property("X", "Unwrapped_Positions", 64, 16)))
+    assert seen["max_slab_bytes"] == 1 << 29
+    calc._window_slab_plan = orig
+
+    # Cap arithmetic at production scale: simulate a 10240-atom store
+    # whose memory budget would hand out 55k-frame (~6.9 GiB) slabs.
+    big_atoms, big_frames = 10240, 110_000
+    data_range, correlation_time = 512, 256
+
+    class FakePlan:
+        total_frames = big_frames
+        frame_batch = 55_000
+
+    calc._plan_for = lambda paths, data_range=None: FakePlan()
+    store_get = exp.store.get_data_size
+    exp.store.get_data_size = lambda path: (big_frames, big_atoms, 3)
+    try:
+        slabs = calc._window_slab_plan(
+            "X/Unwrapped_Positions", data_range, correlation_time,
+            max_slab_bytes=1 << 29,
+        )
+    finally:
+        exp.store.get_data_size = store_get
+
+    per_frame = big_atoms * 3 * 4
+    cap_frames = max((1 << 29) // per_frame, 2 * data_range)
+    # window alignment may extend a slab by < one window past the cap
+    assert all(stop - start <= cap_frames + data_range
+               for start, stop in slabs)
+    assert len(slabs) > 10, "cap did not split the plan into many slabs"
+    # coverage invariant survives the cap: every window seen exactly once
+    starts = sorted(
+        w for start, stop in slabs
+        for w in range(start, stop - data_range + 1, correlation_time)
+        if (w - start) % correlation_time == 0
+    )
+    expected = list(range(0, big_frames - data_range + 1, correlation_time))
+    assert [s for i, s in enumerate(starts) if i == 0 or s != starts[i - 1]] == expected
