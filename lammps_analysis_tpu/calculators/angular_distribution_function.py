@@ -152,8 +152,13 @@ class AngularDistributionFunction(TrajectoryCalculator):
             ]
             return self.load_concat_positions(species, idx, n_pad, dtype)
 
+        from ..utils.progress import progress_iter
+
         while True:
-            for pos in prefetch_to_device(load_batch, range(n_batches)):
+            for pos in progress_iter(
+                prefetch_to_device(load_batch, range(n_batches)),
+                desc=self.name, total=n_batches, unit="batch",
+            ):
                 runner.feed(jnp.asarray(pos))
             hist = runner.finalize()
             if hist is not None:

@@ -27,6 +27,7 @@ from ..database.results_db import Computation
 from ..database.trajectory_store import join_path
 from ..memory.planner import BatchPlan
 from ..utils.constants import DatasetKeys
+from ..utils.progress import progress_iter
 from ..transformations.registry import transformation_for_property
 
 log = logging.getLogger(__name__)
@@ -511,7 +512,11 @@ class TrajectoryCalculator(Calculator):
         box = jnp.asarray(np.asarray(exp.box_array, dtype=dtype))
         carry = None
         for i, pos in enumerate(
-            prefetch_to_device(load, ext, depth=2, device=device)
+            progress_iter(
+                prefetch_to_device(load, ext, depth=2, device=device),
+                desc=f"{self.name} {species} (fused unwrap)",
+                total=len(ext), unit="slab",
+            )
         ):
             unwrapped, _ = kernel(
                 {
@@ -549,8 +554,12 @@ class TrajectoryCalculator(Calculator):
 
         store = self.experiment.store
         paths = {sp: join_path(sp, prop_name) for sp in species_list}
+        # same 512 MiB cap as _stream_property (the windowed kernels
+        # degrade past the cache-friendly regime); each slab loads every
+        # species, so the per-path budget is divided by the species count
         slabs = self._window_slab_plan(
-            next(iter(paths.values())), data_range, correlation_time
+            next(iter(paths.values())), data_range, correlation_time,
+            max_slab_bytes=(1 << 29) // max(len(set(paths.values())), 1),
         )
         device, dtype = self._stream_placement()
 
@@ -563,7 +572,11 @@ class TrajectoryCalculator(Calculator):
             )
             return {sp: data[p] for sp, p in paths.items()}
 
-        yield from prefetch_to_device(load, slabs, depth=2, device=device)
+        yield from progress_iter(
+            prefetch_to_device(load, slabs, depth=2, device=device),
+            desc=f"{self.name} {'+'.join(species_list)}/{prop_name}",
+            total=len(slabs), unit="slab",
+        )
 
     def _stream_property(
         self, species: str, prop_name: str, data_range: int, correlation_time: int
@@ -612,4 +625,7 @@ class TrajectoryCalculator(Calculator):
                 [path], frames=slice(start, stop), atoms=atoms, dtype=dtype
             )[path]
 
-        yield from prefetch_to_device(load, slabs, depth=2, device=device)
+        yield from progress_iter(
+            prefetch_to_device(load, slabs, depth=2, device=device),
+            desc=f"{self.name} {path}", total=len(slabs), unit="slab",
+        )

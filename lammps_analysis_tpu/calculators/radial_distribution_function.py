@@ -124,9 +124,16 @@ class RadialDistributionFunction(TrajectoryCalculator):
             sample_configs[b * frames_per_batch : (b + 1) * frames_per_batch]
             for b in range(n_batches)
         ]
-        for batch_pos in prefetch_to_device(
-            lambda idx: self.load_concat_positions(species, idx, n_pad, dtype),
-            batches,
+        from ..utils.progress import progress_iter
+
+        for batch_pos in progress_iter(
+            prefetch_to_device(
+                lambda idx: self.load_concat_positions(
+                    species, idx, n_pad, dtype
+                ),
+                batches,
+            ),
+            desc=self.name, total=len(batches), unit="batch",
         ):
             h = sharded_rdf_histogram(
                 jnp.asarray(batch_pos),

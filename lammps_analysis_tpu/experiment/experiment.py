@@ -388,7 +388,12 @@ class Experiment:
                 # cur > old_count: a crashed earlier attempt at this same
                 # append — rewind and rewrite its partial frames
                 self.store.set_cursor(path, old_count)
-        for chunk in processor.get_configurations_generator():
+        from ..utils.progress import progress_iter
+
+        for chunk in progress_iter(
+            processor.get_configurations_generator(),
+            desc=f"ingest {key}", unit="chunk",
+        ):
             self.store.add_chunk(chunk)
 
         self._merge_metadata(meta, update_with_pubchempy)

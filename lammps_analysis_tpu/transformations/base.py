@@ -34,6 +34,7 @@ from ..database.contracts import (
 )
 from ..database.trajectory_store import join_path
 from ..utils.constants import CannotFindPropertyError, DatasetKeys
+from ..utils.progress import progress_iter
 
 log = logging.getLogger(__name__)
 
@@ -147,8 +148,11 @@ class Transformation(abc.ABC):
         # when the accelerator link is slow (measured policy)
         with bandwidth_bound_compute() as host_dev:
             kernel = self._select_kernel(host_dev)
-            for batch in self._prefetched_batches(
-                sources, self._batches(experiment, n_configs, offset)
+            batches = list(self._batches(experiment, n_configs, offset))
+            for batch in progress_iter(
+                self._prefetched_batches(sources, batches),
+                desc=f"{type(self).__name__} {sp_name}",
+                total=len(batches), unit="slab",
             ):
                 out, carry = kernel(batch, carry)
                 self._write_output(experiment, sp_name, np.asarray(out))
@@ -178,9 +182,11 @@ class Transformation(abc.ABC):
 
         with bandwidth_bound_compute() as host_dev:
             kernel = self._select_kernel(host_dev)
-            for batch in self._prefetched_batches(
-                sources, self._batches(experiment, n_configs, offset),
-                nested=True,
+            batches = list(self._batches(experiment, n_configs, offset))
+            for batch in progress_iter(
+                self._prefetched_batches(sources, batches, nested=True),
+                desc=type(self).__name__,
+                total=len(batches), unit="slab",
             ):
                 out, carry = kernel(batch, carry)
                 out = np.asarray(out)

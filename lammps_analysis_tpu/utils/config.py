@@ -41,6 +41,11 @@ class Config:
         materialised path (the unwrap math is batch-size invariant);
         the trade is that no ``Unwrapped_Positions`` dataset is left
         behind for later reuse. Off by default (reference semantics).
+    progress_bars : bool | None
+        Progress bars on ingestion/transformation/streaming loops
+        (reference parity: tqdm on every loop). ``None`` (default) means
+        auto — on only when stderr is a TTY or ``jupyter`` is set, so
+        tests, benchmarks, and driver runs stay clean.
     """
 
     jupyter: bool = False
@@ -50,6 +55,7 @@ class Config:
     accumulate_dtype: str = "float64"
     interactive_plots: bool = False
     fuse_streaming: bool = False
+    progress_bars: bool | None = None
 
 
 config = Config()

@@ -274,3 +274,36 @@ def test_fingerprint_distinguishes_cpu_steppings(monkeypatch, tmp_path):
         fps[stepping] = cfg._host_fingerprint()
         monkeypatch.setattr(builtins, "open", real_open)
     assert fps[2] != fps[8]
+
+
+def test_progress_iter_pass_through_and_toggle():
+    """Progress bars (reference parity: tqdm on every loop) must be a
+    zero-cost pass-through when disabled, auto-off under pytest (stderr
+    is not a TTY), and a faithful iterator when forced on."""
+    from lammps_analysis_tpu.utils.config import config
+    from lammps_analysis_tpu.utils.progress import _enabled, progress_iter
+
+    # auto mode under pytest: stderr is not a tty and jupyter is False
+    assert config.progress_bars is None
+    assert _enabled() is False
+    items = list(progress_iter(iter(range(5)), desc="x"))
+    assert items == [0, 1, 2, 3, 4]
+
+    # forced on: still yields exactly the underlying items (tqdm wraps)
+    config.progress_bars = True
+    try:
+        assert _enabled() is True
+        gen = (i * i for i in range(4))
+        assert list(progress_iter(gen, desc="x", total=4)) == [0, 1, 4, 9]
+    finally:
+        config.progress_bars = None
+
+    # forced off beats jupyter auto-on
+    config.progress_bars = False
+    config.jupyter = True
+    try:
+        assert _enabled() is False
+    finally:
+        config.progress_bars = None
+        config.jupyter = False
+    assert _enabled() is False
