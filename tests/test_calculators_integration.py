@@ -619,3 +619,47 @@ def test_windowed_stream_slabs_capped_at_512mib(tmp_path, rng):
     )
     expected = list(range(0, big_frames - data_range + 1, correlation_time))
     assert [s for i, s in enumerate(starts) if i == 0 or s != starts[i - 1]] == expected
+
+
+def test_multi_species_stream_slabs_capped(tmp_path, rng):
+    """_stream_properties_multi (distinct-diffusion family) must cap its
+    window slabs at 512 MiB divided by the species count — every slab
+    loads all species, and the windowed kernels fall off the same
+    cache-regime cliff as the single-species path."""
+    n_frames, n_atoms = 180, 6
+    pos = random_walk(rng, n_frames, n_atoms, 0.05)
+    sp = [SpeciesInfo("A", n_atoms, [UNWRAPPED]),
+          SpeciesInfo("B", n_atoms, [UNWRAPPED])]
+    meta = TrajectoryMetadata(
+        n_configurations=n_frames, species_list=sp, box_l=[100.0] * 3,
+        sample_rate=1, temperature=300.0,
+    )
+    chunk = TrajectoryChunkData(sp, n_frames)
+    chunk.add_data(pos, 0, "A", "Unwrapped_Positions")
+    chunk.add_data(pos + 1.0, 0, "B", "Unwrapped_Positions")
+    project = make_project(tmp_path)
+    exp = project.add_experiment(
+        "mcap", timestep=0.1, temperature=300.0, units="si",
+        simulation_data=ScriptInput(chunk, meta, "d"),
+    )
+
+    from lammps_analysis_tpu.calculators.distinct_diffusion_coefficients import (
+        EinsteinDistinctDiffusionCoefficients,
+    )
+
+    calc = EinsteinDistinctDiffusionCoefficients(exp)
+    calc.args = calc.prepare_args(data_range=32, correlation_time=8)
+
+    seen = {}
+    orig = calc._window_slab_plan
+
+    def spy(path, data_range, correlation_time, max_slab_bytes=None):
+        seen["max_slab_bytes"] = max_slab_bytes
+        return orig(path, data_range, correlation_time,
+                    max_slab_bytes=max_slab_bytes)
+
+    calc._window_slab_plan = spy
+    next(iter(calc._stream_properties_multi(
+        ["A", "B"], "Unwrapped_Positions", 32, 8
+    )))
+    assert seen["max_slab_bytes"] == (1 << 29) // 2
