@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lammps_analysis_tpu.ops import correlation as C
 from lammps_analysis_tpu.ops import msd as M
@@ -168,3 +169,45 @@ def test_time_cumsum_matches_numpy(rng):
     x2 = rng.normal(size=(5, 11))
     got2 = np.asarray(time_cumsum(jnp.asarray(x2), axis=1))
     np.testing.assert_allclose(got2, np.cumsum(x2, axis=1), rtol=1e-12)
+
+
+@pytest.mark.parametrize("chunk", [None, 1, 3, 100])
+def test_windowed_acf_sum_chunk_invariance(rng, chunk):
+    """The chunk knob (incl. the auto default and a non-dividing chunk:
+    7 windows with chunk=3 leaves a remainder batch, chunk=100 exceeds
+    the window count) is pure memory staging — results must be
+    bit-comparable across every setting."""
+    T, N, D, W, S = 40, 3, 2, 16, 4  # -> 7 windows
+    x = rng.normal(size=(T, N, D))
+    ref_sum, ref_win = C.windowed_acf_sum(jnp.array(x), W, S, chunk=2)
+    got_sum, got_win = C.windowed_acf_sum(jnp.array(x), W, S, chunk=chunk)
+    np.testing.assert_allclose(np.asarray(got_sum), np.asarray(ref_sum),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(got_win), np.asarray(ref_win),
+                               rtol=1e-12)
+
+
+def test_windowed_acf_sum_tau_subset_matches_direct(rng):
+    """tau gathers each window BEFORE the ACF (reference gathers the
+    ensemble at tau_values then autocorrelates the sub-sampled series)."""
+    T, N, D, W, S = 36, 2, 3, 12, 6
+    tau = jnp.array([0, 2, 5, 11])
+    x = rng.normal(size=(T, N, D))
+    acf_sum, per_window = C.windowed_acf_sum(
+        jnp.array(x), W, S, chunk=2, tau=tau
+    )
+    r = int(tau.shape[0])
+    expect = np.zeros(r)
+    expect_windows = []
+    for s in range(0, T - W + 1, S):
+        seg = x[s : s + W][np.asarray(tau)]  # (R, N, D)
+        acf_nd = np.zeros((N, r))
+        for p in range(N):
+            for d in range(D):
+                acf_nd[p] += direct_biased_acf(seg[:, p, d][None])[0]
+        expect += acf_nd.sum(axis=0)
+        expect_windows.append(acf_nd.mean(axis=0))
+    np.testing.assert_allclose(np.asarray(acf_sum), expect, atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(per_window), expect_windows, atol=1e-10
+    )
