@@ -58,14 +58,43 @@ print("MS_PER_FRAME", round(ms, 2))
 """
 
 
+PROBE_SRC = (
+    "import time,numpy as np,jax,jax.numpy as jnp;"
+    "a=jnp.ones((512,512));np.asarray(a@a);t0=time.perf_counter();"
+    "np.asarray((a+1.0)@a);print('PROBE',round(time.perf_counter()-t0,2))"
+)
+
+
+def _probe_s() -> float:
+    """Chip-state probe in a throwaway subprocess (never killed early)."""
+    r = subprocess.run(
+        [sys.executable, "-c", PROBE_SRC], capture_output=True, text=True,
+        timeout=1800,
+    )
+    for line in r.stdout.splitlines():
+        if line.startswith("PROBE"):
+            return float(line.split()[1])
+    return float("inf")
+
+
 def main():
     out = {}
+    path = REPO / "benchmarks" / "adf_brick3_ab.json"
     for n, box, f, cutoff in (
         (65536, 74.3, 6, 5.5),
         (65536, 74.3, 6, 6.0),
         (131072, 93.6, 4, 6.0),
     ):
         key = f"n{n}_c{cutoff}"
+        # arms of one geometry must share chip state to be comparable:
+        # record the probe before the pair, abort the pair if degraded
+        p = _probe_s()
+        out[f"{key}_probe_s"] = p
+        if p > 20.0:
+            out[f"{key}_skipped"] = f"probe {p} s > 20 s; chip degraded"
+            path.write_text(json.dumps(out, indent=2))
+            print(f"{key}: SKIPPED (probe {p} s)", flush=True)
+            continue
         hists = {}
         for arm in ("brick", "brick3"):
             npy = f"/tmp/adf_brick3_ab_{arm}_{key}.npy"
@@ -104,7 +133,7 @@ def main():
                 / out[f"{key}_brick3_ms_per_frame"],
                 3,
             )
-    path = REPO / "benchmarks" / "adf_brick3_ab.json"
+        path.write_text(json.dumps(out, indent=2))
     path.write_text(json.dumps(out, indent=2))
     print(json.dumps(out, indent=2))
 
