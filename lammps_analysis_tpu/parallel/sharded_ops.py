@@ -103,6 +103,25 @@ def rdf_use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def rdf_use_native() -> bool:
+    """Native AVX host kernel is the default on a CPU-only backend.
+
+    ~14x the jitted XLA-CPU route at the headline workload (1.1 G vs
+    76.5 M pairs/s on one core); semantics match up to f32 rounding at
+    bin edges. ``config.native_cpu_kernels = False`` restores XLA.
+    """
+    import jax
+
+    from ..ops import native_rdf
+    from ..utils.config import config
+
+    return (
+        config.native_cpu_kernels
+        and jax.default_backend() == "cpu"
+        and native_rdf.available()
+    )
+
+
 def sharded_rdf_histogram(
     positions: jnp.ndarray,
     species_id: jnp.ndarray,
@@ -114,12 +133,14 @@ def sharded_rdf_histogram(
     i_block: int = 128,
     mesh=None,
     use_pallas: bool | None = None,
+    use_native: bool | None = None,
 ) -> jnp.ndarray:
     """RDF histogram with the frame axis sharded over the mesh.
 
     Remainder frames (batch not divisible by the device count) run as a
     single-device tail so counts are exact. On TPU the fused Pallas kernel
-    (``ops.pallas_rdf``) is used; elsewhere the XLA kernel.
+    (``ops.pallas_rdf``) is used; on a single-device CPU backend the
+    native AVX host kernel (``ops.native_rdf``); elsewhere the XLA kernel.
     """
     mesh = mesh or get_default_mesh()
     n_dev = _n_mesh_devices(mesh)
@@ -138,6 +159,25 @@ def sharded_rdf_histogram(
             cutoff=cutoff, n_bins=n_bins, n_pairs=n_pairs, mesh=mesh,
             i_block=i_block,
         )
+    if use_native is None:
+        use_native = (
+            n_dev == 1
+            and positions.dtype == jnp.float32
+            and not isinstance(positions, jax.core.Tracer)
+            and rdf_use_native()
+        )
+    if use_native:
+        from ..ops import native_rdf
+
+        try:
+            return jnp.asarray(
+                native_rdf.rdf_histogram_native(
+                    positions, species_id, pair_table, box,
+                    cutoff=cutoff, n_bins=n_bins, n_pairs=n_pairs,
+                )
+            )
+        except RuntimeError:
+            pass  # non-canonical layout etc. — XLA route below
     if use_pallas is None:
         use_pallas = rdf_use_pallas()
     kernel = _rdf_backend_kernel(

@@ -46,6 +46,12 @@ class Config:
         (reference parity: tqdm on every loop). ``None`` (default) means
         auto — on only when stderr is a TTY or ``jupyter`` is set, so
         tests, benchmarks, and driver runs stay clean.
+    native_cpu_kernels : bool
+        On a CPU-only backend, route hot host kernels (currently the RDF
+        pair histogram) to the native C++ AVX implementations in
+        ``native/`` when the toolchain can build them (~14x the jitted
+        XLA-CPU route). Semantics match XLA up to f32 rounding at bin
+        edges; set False for bit-identical XLA behavior.
     """
 
     jupyter: bool = False
@@ -56,6 +62,7 @@ class Config:
     interactive_plots: bool = False
     fuse_streaming: bool = False
     progress_bars: bool | None = None
+    native_cpu_kernels: bool = True
 
 
 config = Config()
