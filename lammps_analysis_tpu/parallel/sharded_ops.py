@@ -122,6 +122,26 @@ def rdf_use_native() -> bool:
     )
 
 
+def adf_use_native() -> bool:
+    """Native host ADF kernel is the default on a CPU-only backend.
+
+    ~18x the jitted XLA-CPU neighbor route at the headline workload
+    (10240 atoms, first-shell cutoff: 0.2 s vs 3.66 s/frame on one core);
+    semantics match up to f32 rounding / summation order.
+    ``config.native_cpu_kernels = False`` restores XLA.
+    """
+    import jax
+
+    from ..ops import native_adf
+    from ..utils.config import config
+
+    return (
+        config.native_cpu_kernels
+        and jax.default_backend() == "cpu"
+        and native_adf.available()
+    )
+
+
 def sharded_rdf_histogram(
     positions: jnp.ndarray,
     species_id: jnp.ndarray,
@@ -550,6 +570,25 @@ def sharded_adf_histogram(
         tiled = positions.shape[1] > 1536
 
     if (
+        n_dev == 1
+        and positions.dtype == jnp.float32
+        and not isinstance(positions, jax.core.Tracer)
+        and adf_use_native()
+    ):
+        from ..ops import native_adf
+
+        try:
+            return jnp.asarray(
+                native_adf.adf_histogram_native(
+                    positions, species_id, triple_table, box,
+                    cutoff=cutoff, n_bins=n_bins, n_triples=n_triples,
+                    norm_power=norm_power,
+                )
+            )
+        except RuntimeError:
+            pass  # unexpected shape/dtype — XLA route below
+
+    if (
         tiled
         and "atoms" in getattr(mesh, "shape", {})
         and mesh.shape["atoms"] > 1
@@ -715,9 +754,31 @@ class AdfBatchRunner:
                 return base(pos, sid, ttab, box_), z, z
 
         run = _sharded_runner(self.mesh, self.n_dev, n_counts=2)
+        use_native = self.n_dev == 1 and adf_use_native()
 
         def batch_fn(pos, sid, ttab, box_):
-            h, mc, occ = run(pipeline, pos, sid, ttab, box_)
+            if (
+                use_native
+                and pos.dtype == jnp.float32
+                and not isinstance(pos, jax.core.Tracer)
+            ):
+                from ..ops import native_adf
+
+                try:
+                    h = jnp.asarray(
+                        native_adf.adf_histogram_native(
+                            pos, sid, ttab, box_,
+                            cutoff=self.cutoff, n_bins=self.n_bins,
+                            n_triples=self.n_triples,
+                            norm_power=self.norm_power,
+                        )
+                    )
+                    z = jnp.asarray(0, jnp.int32)
+                    h, mc, occ = h, z, z
+                except RuntimeError:
+                    h, mc, occ = run(pipeline, pos, sid, ttab, box_)
+            else:
+                h, mc, occ = run(pipeline, pos, sid, ttab, box_)
             if self.bin_width is not None:
                 total = jnp.sum(h, axis=1, keepdims=True)
                 h = jnp.where(total > 0, h / (total * self.bin_width), 0.0)
