@@ -18,6 +18,7 @@ integrals) stays NumPy/SciPy.
 from __future__ import annotations
 
 import abc
+import dataclasses
 import logging
 from typing import Any, Dict, List, Optional, Union
 
@@ -57,6 +58,26 @@ def window_aligned_slabs(
         n_windows = (stop - start - data_range) // correlation_time + 1
         start = start + n_windows * correlation_time
     return slabs
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamSlabInfo:
+    """Provenance of one streamed slab (atom-minibatch aware).
+
+    ``group``/``n_groups`` describe the atom-axis minibatch the slab
+    belongs to: when one ``data_range``-frame window of all atoms exceeds
+    the memory budget, the stream splits the (selected) atoms into
+    ``n_groups`` contiguous groups and re-streams the frame slabs per
+    group (reference atom-wise minibatching,
+    ``memory_manager.py:257-340`` / ``data_manager.py:223-281``).
+    """
+
+    start: int  # global frame start of the slab
+    stop: int  # global frame stop (exclusive)
+    slab_index: int  # position in the slab sequence (same for every group)
+    n_slabs: int
+    group: int  # atom-group index
+    n_groups: int
 
 
 class Calculator(abc.ABC):
@@ -390,6 +411,84 @@ class TrajectoryCalculator(Calculator):
             n_frames, slab, data_range, correlation_time
         )
 
+    def _window_stream_plan(
+        self,
+        path: str,
+        data_range: int,
+        correlation_time: int,
+        max_slab_bytes: Optional[int] = None,
+        n_selected: Optional[int] = None,
+    ) -> tuple:
+        """``(slabs, n_groups)`` — frame slabs plus an atom-axis split.
+
+        When one full-width ``data_range``-frame window fits the budget
+        (``plan.raw_frame_batch >= data_range``) this is exactly
+        :meth:`_window_slab_plan` with ``n_groups = 1``. Otherwise the
+        reference's graceful degradation applies
+        (``memory_manager.py:257-340``): the (selected) atom axis is split
+        into ``n_groups`` minibatches sized so one window of one group
+        fits, and the frame slabs are re-sized to the reduced width.
+        ``n_selected`` is the post-``atom_selection`` atom count driving
+        the split (for multi-species streams: the summed count across the
+        streamed paths, all sharing the budget).
+        """
+        plan = self._plan_for([path], data_range=data_range)
+        _, n_atoms, n_dims = self.experiment.store.get_data_size(path)
+        n_sel = int(n_atoms if n_selected is None else n_selected)
+        raw = plan.raw_frame_batch or plan.frame_batch
+        if raw >= data_range or n_sel <= 1:
+            return (
+                self._window_slab_plan(
+                    path, data_range, correlation_time,
+                    max_slab_bytes=max_slab_bytes,
+                ),
+                1,
+            )
+        planner = self.experiment.planner
+        bpaf = n_dims * 8  # bytes per atom-frame (f64 planning, as _plan_for)
+        m = planner.window_atoms_per_group(
+            n_sel, data_range, bpaf, self.scale_function
+        )
+        n_groups = -(-n_sel // m)
+        gplan = planner.plan(
+            n_frames=plan.total_frames,
+            bytes_per_frame=m * bpaf,
+            scale_function=self.scale_function,
+            data_range=data_range,
+        )
+        slab = gplan.frame_batch
+        if max_slab_bytes is not None:
+            per_frame = max(m * n_dims * 4, 1)
+            slab = max(min(slab, max_slab_bytes // per_frame), data_range)
+        log.info(
+            "%s %s: one %d-frame window of %d atoms exceeds the memory "
+            "budget; splitting the atom axis into %d minibatches of <= %d "
+            "atoms", self.name, path, data_range, n_sel, n_groups, m,
+        )
+        return (
+            window_aligned_slabs(
+                plan.total_frames, slab, data_range, correlation_time
+            ),
+            n_groups,
+        )
+
+    @staticmethod
+    def _atom_groups(sel, n_full: int, n_groups: int) -> list:
+        """Split a resolved atom selection into contiguous index groups.
+
+        ``n_groups == 1`` returns ``[sel]`` unchanged (None / slice /
+        index array — the store reads slices cheaper than fancy indices).
+        """
+        if n_groups <= 1:
+            return [sel]
+        if sel is None:
+            base = np.arange(n_full, dtype=np.int64)
+        elif isinstance(sel, slice):
+            base = np.arange(n_full, dtype=np.int64)[sel]
+        else:
+            base = np.asarray(sel, dtype=np.int64)
+        return list(np.array_split(base, n_groups))
+
     def _fusible_unwrap(self, species: str) -> bool:
         """True when this calculator's unwrapped-positions stream should be
         computed on the fly from the wrapped positions.
@@ -447,7 +546,8 @@ class TrajectoryCalculator(Calculator):
         return device, dtype
 
     def _stream_unwrapped_fused(
-        self, species: str, data_range: int, correlation_time: int
+        self, species: str, data_range: int, correlation_time: int,
+        atoms=None, slabs: Optional[list] = None,
     ):
         """Stream ``Positions`` slabs and unwrap them on the fly.
 
@@ -473,14 +573,20 @@ class TrajectoryCalculator(Calculator):
 
         exp = self.experiment
         pos_path = join_path(species, mp.positions.name)
-        # moderate same-shaped slabs: the unwrap scan's XLA-CPU compile
-        # cost grows with the slab length (measured ~60-100 s for a
-        # 55k-frame slab vs seconds at 8k) and its execution rate drops
-        # ~2.7x; ~0.5 GB slabs keep one cached compile + peak throughput
-        slabs = self._window_slab_plan(
-            pos_path, data_range, correlation_time,
-            max_slab_bytes=1 << 29,
-        )
+        if slabs is None:
+            # moderate same-shaped slabs: the unwrap scan's XLA-CPU
+            # compile cost grows with the slab length (measured ~60-100 s
+            # for a 55k-frame slab vs seconds at 8k) and its execution
+            # rate drops ~2.7x; ~0.5 GB slabs keep one cached compile +
+            # peak throughput. Callers (``_stream_property``) pass the
+            # atom-minibatch-aware plan; standalone use re-derives it.
+            slabs = self._window_slab_plan(
+                pos_path, data_range, correlation_time,
+                max_slab_bytes=1 << 29,
+            )
+            atoms = self.resolve_atom_selection(
+                self.args.get("atom_selection"), species
+            )
         # (start, yield_stop, load_stop): load through the next slab's
         # start so the seam frame is always in range
         ext = [
@@ -491,9 +597,6 @@ class TrajectoryCalculator(Calculator):
             )
             for i, (start, stop) in enumerate(slabs)
         ]
-        atoms = self.resolve_atom_selection(
-            self.args.get("atom_selection"), species
-        )
         store = exp.store
         device, dtype = self._stream_placement()
 
@@ -541,6 +644,7 @@ class TrajectoryCalculator(Calculator):
         prop_name: str,
         data_range: int,
         correlation_time: int,
+        with_info: bool = False,
     ):
         """Yield ``{species: slab}`` dicts over window-aligned slabs.
 
@@ -548,38 +652,86 @@ class TrajectoryCalculator(Calculator):
         that correlate two species' series (the distinct diffusion
         family) — replaces their full-trajectory ``load_matrix`` loads
         with prefetched streaming (a 100k-frame pair is ~25 GB loaded
-        whole; slabs are bounded by the batch plan).
+        whole; slabs are bounded by the batch plan). Honors per-species
+        ``args['atom_selection']``.
+
+        Over-budget windows split the atom axis of EVERY species into the
+        same number of contiguous groups. Ordering is slab-major (outer
+        loop frames, inner loop atom groups) so consumers can finalise
+        each slab's windows as soon as its last group arrives — the
+        distinct calculators' bilinear cross terms only need the
+        per-slab particle sums, which accumulate across groups. Pass
+        ``with_info=True`` for ``(dict, StreamSlabInfo)`` pairs.
         """
         from ..pipeline.prefetch import prefetch_to_device
 
         store = self.experiment.store
+        # preserve order, load each distinct species once
+        uniq = list(dict.fromkeys(species_list))
         paths = {sp: join_path(sp, prop_name) for sp in species_list}
+        sels = {
+            sp: self.resolve_atom_selection(
+                self.args.get("atom_selection"), sp
+            )
+            for sp in uniq
+        }
+        n_full = {sp: store.get_data_size(paths[sp])[1] for sp in uniq}
+
+        def count(sp):
+            sel = sels[sp]
+            if sel is None:
+                return n_full[sp]
+            if isinstance(sel, slice):
+                return len(range(*sel.indices(n_full[sp])))
+            return len(sel)
+
+        n_sel_total = sum(count(sp) for sp in uniq)
         # same 512 MiB cap as _stream_property (the windowed kernels
         # degrade past the cache-friendly regime); each slab loads every
         # species, so the per-path budget is divided by the species count
-        slabs = self._window_slab_plan(
-            next(iter(paths.values())), data_range, correlation_time,
+        slabs, n_groups = self._window_stream_plan(
+            paths[uniq[0]], data_range, correlation_time,
             max_slab_bytes=(1 << 29) // max(len(set(paths.values())), 1),
+            n_selected=n_sel_total,
         )
+        groups = {
+            sp: self._atom_groups(sels[sp], n_full[sp], n_groups)
+            for sp in uniq
+        }
         device, dtype = self._stream_placement()
 
-        def load(slab):
-            start, stop = slab
-            data = store.load(
-                sorted(set(paths.values())),
-                frames=slice(start, stop),
-                dtype=dtype,
-            )
-            return {sp: data[p] for sp, p in paths.items()}
+        def load(item):
+            (start, stop), gi = item
+            data = {}
+            for sp in uniq:
+                data[sp] = store.load(
+                    [paths[sp]], frames=slice(start, stop),
+                    atoms=groups[sp][gi], dtype=dtype,
+                )[paths[sp]]
+            return {sp: data[sp] for sp in species_list}
 
-        yield from progress_iter(
-            prefetch_to_device(load, slabs, depth=2, device=device),
+        items = [
+            (slab, gi) for slab in slabs for gi in range(n_groups)
+        ]
+        stream = progress_iter(
+            prefetch_to_device(load, items, depth=2, device=device),
             desc=f"{self.name} {'+'.join(species_list)}/{prop_name}",
-            total=len(slabs), unit="slab",
+            total=len(items), unit="slab",
         )
+        for k, data in enumerate(stream):
+            if with_info:
+                si, gi = divmod(k, n_groups)
+                yield data, StreamSlabInfo(
+                    start=slabs[si][0], stop=slabs[si][1],
+                    slab_index=si, n_slabs=len(slabs),
+                    group=gi, n_groups=n_groups,
+                )
+            else:
+                yield data
 
     def _stream_property(
-        self, species: str, prop_name: str, data_range: int, correlation_time: int
+        self, species: str, prop_name: str, data_range: int,
+        correlation_time: int, with_info: bool = False,
     ):
         """Yield device-resident (T_slab, N, d) arrays, prefetched.
 
@@ -590,42 +742,79 @@ class TrajectoryCalculator(Calculator):
         With ``config.fuse_streaming`` an unwrapped-positions stream whose
         dataset is not materialised is derived on the fly from the wrapped
         positions (see :meth:`_stream_unwrapped_fused`).
+
+        When one ``data_range``-frame window of all (selected) atoms
+        exceeds the memory budget, the atom axis is split into contiguous
+        minibatches and the slab sequence repeats per group — outer loop
+        atoms, inner loop frames, exactly the reference's
+        ``atom_generator`` ordering (``data_manager.py:223-281``). Windowed
+        sums stay additive across groups; consumers needing per-window
+        reconstruction pass ``with_info=True`` to receive
+        ``(array, StreamSlabInfo)`` pairs.
         """
         from ..pipeline.prefetch import prefetch_to_device
 
         from ..database.properties import mdsuite_properties as _mp
 
-        if prop_name == _mp.unwrapped_positions.name and self._fusible_unwrap(
-            species
-        ):
-            yield from self._stream_unwrapped_fused(
-                species, data_range, correlation_time
-            )
-            return
-
-        path = join_path(species, prop_name)
+        fused = (
+            prop_name == _mp.unwrapped_positions.name
+            and self._fusible_unwrap(species)
+        )
+        plan_path = join_path(
+            species, _mp.positions.name if fused else prop_name
+        )
+        atoms = self.resolve_atom_selection(
+            self.args.get("atom_selection"), species
+        )
+        store = self.experiment.store
+        _, n_full, _ = store.get_data_size(plan_path)
+        if atoms is None:
+            n_sel = n_full
+        elif isinstance(atoms, slice):
+            n_sel = len(range(*atoms.indices(n_full)))
+        else:
+            n_sel = len(atoms)
         # cap slabs at 512 MiB even when the memory budget allows more:
         # the windowed kernels lose an order of magnitude past the
         # cache-friendly regime (comb MSD measured 128-143 M wfa/s on
         # <=1.2 GiB slabs vs 12.5 M on the planner's uncapped 3.2 GiB
         # slab at 10k atoms), XLA-CPU compile time grows with slab
         # length, and same-shaped moderate slabs reuse one compile
-        slabs = self._window_slab_plan(
-            path, data_range, correlation_time, max_slab_bytes=1 << 29
+        slabs, n_groups = self._window_stream_plan(
+            plan_path, data_range, correlation_time,
+            max_slab_bytes=1 << 29, n_selected=n_sel,
         )
-        atoms = self.resolve_atom_selection(
-            self.args.get("atom_selection"), species
-        )
-        store = self.experiment.store
+        groups = self._atom_groups(atoms, n_full, n_groups)
         device, dtype = self._stream_placement()
 
-        def load(slab):
-            start, stop = slab
-            return store.load(
-                [path], frames=slice(start, stop), atoms=atoms, dtype=dtype
-            )[path]
+        for gi, g_atoms in enumerate(groups):
+            if fused:
+                inner = self._stream_unwrapped_fused(
+                    species, data_range, correlation_time,
+                    atoms=g_atoms, slabs=slabs,
+                )
+            else:
+                path = join_path(species, prop_name)
 
-        yield from progress_iter(
-            prefetch_to_device(load, slabs, depth=2, device=device),
-            desc=f"{self.name} {path}", total=len(slabs), unit="slab",
-        )
+                def load(slab, _a=g_atoms):
+                    start, stop = slab
+                    return store.load(
+                        [path], frames=slice(start, stop), atoms=_a,
+                        dtype=dtype,
+                    )[path]
+
+                inner = progress_iter(
+                    prefetch_to_device(load, slabs, depth=2, device=device),
+                    desc=f"{self.name} {path}"
+                    + (f" [atoms {gi + 1}/{n_groups}]" if n_groups > 1 else ""),
+                    total=len(slabs), unit="slab",
+                )
+            for si, arr in enumerate(inner):
+                if with_info:
+                    yield arr, StreamSlabInfo(
+                        start=slabs[si][0], stop=slabs[si][1],
+                        slab_index=si, n_slabs=len(slabs),
+                        group=gi, n_groups=n_groups,
+                    )
+                else:
+                    yield arr

@@ -61,11 +61,6 @@ class EinsteinDistinctDiffusionCoefficients(TrajectoryCalculator):
     ) -> Dict[str, Any]:
         if species is None:
             species = list(self.experiment.species)
-        if atom_selection is not None:
-            raise NotImplementedError(
-                f"{self.name}: atom_selection is not supported for the "
-                "distinct (cross-particle) calculators."
-            )
         tau_enc = self.encode_tau_values(tau_values)
         if isinstance(tau_enc, list):
             data_range = tau_enc[-1] + 1
@@ -78,6 +73,7 @@ class EinsteinDistinctDiffusionCoefficients(TrajectoryCalculator):
             "fit_range": int(fit_range),
             "molecules": bool(molecules),
             "tau_values": tau_enc,
+            "atom_selection": self.encode_atom_selection(atom_selection),
         }
 
     def run_calculator(self) -> Dict[str, dict]:
@@ -88,32 +84,77 @@ class EinsteinDistinctDiffusionCoefficients(TrajectoryCalculator):
         w = a["data_range"]
         tau_idx = np.asarray(self.tau_values)
         results = {}
+        ct = a["correlation_time"]
         for sp_a, sp_b in itertools.combinations_with_replacement(a["species"], 2):
             msd_sum = np.zeros(self.data_resolution)
             n_windows = 0
+            pend = None  # per-slab accumulator for atom-minibatched slabs
             # streamed window-aligned slabs: the full pair is never
             # resident (a 100k-frame pair loaded whole is ~25 GB)
-            for slab in self._stream_properties_multi(
-                [sp_a, sp_b], self.loaded_property.name, w,
-                a["correlation_time"],
+            for slab, info in self._stream_properties_multi(
+                [sp_a, sp_b], self.loaded_property.name, w, ct,
+                with_info=True,
             ):
-                xa = np.asarray(slab[sp_a])
-                xb = np.asarray(slab[sp_b])
-                for seg_a, seg_b in zip(
-                    _window_slabs(xa, w, a["correlation_time"]),
-                    _window_slabs(xb, w, a["correlation_time"]),
-                ):
-                    da = seg_a[tau_idx] - seg_a[0]  # (R, Na, 3)
-                    db = seg_b[tau_idx] - seg_b[0]
-                    cross = np.mean(
-                        da.mean(axis=1) * db.mean(axis=1), axis=-1
-                    )  # (W,)
-                    if sp_a == sp_b:
-                        cross = cross - np.mean(
-                            np.mean(da * db, axis=-1), axis=1
+                if info.n_groups == 1:
+                    xa = np.asarray(slab[sp_a])
+                    xb = np.asarray(slab[sp_b])
+                    for seg_a, seg_b in zip(
+                        _window_slabs(xa, w, ct),
+                        _window_slabs(xb, w, ct),
+                    ):
+                        da = seg_a[tau_idx] - seg_a[0]  # (R, Na, 3)
+                        db = seg_b[tau_idx] - seg_b[0]
+                        cross = np.mean(
+                            da.mean(axis=1) * db.mean(axis=1), axis=-1
+                        )  # (W,)
+                        if sp_a == sp_b:
+                            cross = cross - np.mean(
+                                np.mean(da * db, axis=-1), axis=1
+                            )
+                        msd_sum += cross
+                        n_windows += 1
+                    continue
+                # atom-minibatched path: the bilinear cross term only
+                # needs the per-slab particle SUMS, which accumulate
+                # across groups; the same-species self term is additive
+                # over particles and accumulates per window per group
+                xa = np.asarray(slab[sp_a], dtype=np.float64)
+                if info.group == 0:
+                    pend = {"sa": 0.0, "sb": 0.0, "self": 0.0,
+                            "na": 0, "nb": 0}
+                pend["sa"] = pend["sa"] + xa.sum(axis=1)  # (T, 3)
+                pend["na"] += xa.shape[1]
+                if sp_a == sp_b:
+                    selfw = [
+                        np.sum(
+                            np.mean(
+                                (seg[tau_idx] - seg[0]) ** 2, axis=-1
+                            ),
+                            axis=1,
                         )
-                    msd_sum += cross
-                    n_windows += 1
+                        for seg in _window_slabs(xa, w, ct)
+                    ]
+                    pend["self"] = pend["self"] + np.asarray(selfw)
+                else:
+                    xb = np.asarray(slab[sp_b], dtype=np.float64)
+                    pend["sb"] = pend["sb"] + xb.sum(axis=1)
+                    pend["nb"] += xb.shape[1]
+                if info.group == info.n_groups - 1:
+                    na = pend["na"]
+                    sb = pend["sa"] if sp_a == sp_b else pend["sb"]
+                    nb = na if sp_a == sp_b else pend["nb"]
+                    for wi, (seg_a, seg_b) in enumerate(zip(
+                        _window_slabs(pend["sa"], w, ct),
+                        _window_slabs(sb, w, ct),
+                    )):
+                        da = (seg_a[tau_idx] - seg_a[0]) / na  # (R, 3)
+                        db = (seg_b[tau_idx] - seg_b[0]) / nb
+                        cross = np.mean(da * db, axis=-1)  # (R,)
+                        if sp_a == sp_b:
+                            cross = cross - pend["self"][wi] / na
+                        msd_sum += cross
+                        n_windows += 1
+                    pend = None
             if n_windows == 0:
                 raise ValueError(
                     f"{self.name}: data_range {w} exceeds the "
@@ -172,11 +213,6 @@ class GreenKuboDistinctDiffusionCoefficients(TrajectoryCalculator):
     ) -> Dict[str, Any]:
         if species is None:
             species = list(self.experiment.species)
-        if atom_selection is not None:
-            raise NotImplementedError(
-                f"{self.name}: atom_selection is not supported for the "
-                "distinct (cross-particle) calculators."
-            )
         tau_enc = self.encode_tau_values(tau_values)
         if isinstance(tau_enc, list):
             data_range = tau_enc[-1] + 1
@@ -189,6 +225,7 @@ class GreenKuboDistinctDiffusionCoefficients(TrajectoryCalculator):
             "integration_range": int(integration_range),
             "molecules": bool(molecules),
             "tau_values": tau_enc,
+            "atom_selection": self.encode_atom_selection(atom_selection),
         }
 
     @staticmethod
@@ -214,44 +251,97 @@ class GreenKuboDistinctDiffusionCoefficients(TrajectoryCalculator):
         tau_idx = np.asarray(self.tau_values)
         prefactor = exp.units.length**2 / (exp.units.time * (w - 1))
         results = {}
+        ct = a["correlation_time"]
         for sp_a, sp_b in itertools.combinations_with_replacement(a["species"], 2):
             vacf_sum = np.zeros(self.data_resolution)
             sigmas = []
+            pend = None  # per-slab accumulator for atom-minibatched slabs
             # streamed window-aligned slabs (the full pair is never
             # resident — see EinsteinDistinct)
-            for slab in self._stream_properties_multi(
-                [sp_a, sp_b], self.loaded_property.name, w,
-                a["correlation_time"],
+            for slab, info in self._stream_properties_multi(
+                [sp_a, sp_b], self.loaded_property.name, w, ct,
+                with_info=True,
             ):
-                xa = np.asarray(slab[sp_a])
-                xb = np.asarray(slab[sp_b])
-                for full_a, full_b in zip(
-                    _window_slabs(xa, w, a["correlation_time"]),
-                    _window_slabs(xb, w, a["correlation_time"]),
-                ):
-                    # gather the window at the requested lags before
-                    # correlating (reference gathers the ensemble at
-                    # tau_values)
-                    seg_a, seg_b = full_a[tau_idx], full_b[tau_idx]
-                    # bilinearity: mean_{ij} corr(a_i, b_j)
-                    #            = corr(mean a, mean b)
-                    cross = self._raw_cross_corr(
-                        seg_a.mean(axis=1), seg_b.mean(axis=1)
-                    )
-                    if sp_a == sp_b:
-                        # mean over particles of per-particle self
-                        # correlation — one batched FFT over the particle
-                        # axis (was a Python loop over particles)
-                        w_len = seg_a.shape[0]
-                        cc = cross_correlation_biased(
-                            jnp.asarray(seg_b), jnp.asarray(seg_a), axis=0
-                        )  # (W, N, 3)
-                        per_particle = (
-                            np.asarray(jnp.mean(cc, axis=(1, 2))) * w_len
+                if info.n_groups == 1:
+                    xa = np.asarray(slab[sp_a])
+                    xb = np.asarray(slab[sp_b])
+                    for full_a, full_b in zip(
+                        _window_slabs(xa, w, ct),
+                        _window_slabs(xb, w, ct),
+                    ):
+                        # gather the window at the requested lags before
+                        # correlating (reference gathers the ensemble at
+                        # tau_values)
+                        seg_a, seg_b = full_a[tau_idx], full_b[tau_idx]
+                        # bilinearity: mean_{ij} corr(a_i, b_j)
+                        #            = corr(mean a, mean b)
+                        cross = self._raw_cross_corr(
+                            seg_a.mean(axis=1), seg_b.mean(axis=1)
                         )
-                        cross = cross - per_particle
-                    vacf_sum += cross
-                    sigmas.append(prefactor * np.trapezoid(cross, x=times))
+                        if sp_a == sp_b:
+                            # mean over particles of per-particle self
+                            # correlation — one batched FFT over the
+                            # particle axis (was a Python loop)
+                            w_len = seg_a.shape[0]
+                            cc = cross_correlation_biased(
+                                jnp.asarray(seg_b), jnp.asarray(seg_a),
+                                axis=0,
+                            )  # (W, N, 3)
+                            per_particle = (
+                                np.asarray(jnp.mean(cc, axis=(1, 2)))
+                                * w_len
+                            )
+                            cross = cross - per_particle
+                        vacf_sum += cross
+                        sigmas.append(
+                            prefactor * np.trapezoid(cross, x=times)
+                        )
+                    continue
+                # atom-minibatched path: corr is bilinear, so the cross
+                # term only needs per-slab particle SUMS (accumulated
+                # across groups); the same-species self term is additive
+                # over particles
+                xa = np.asarray(slab[sp_a], dtype=np.float64)
+                if info.group == 0:
+                    pend = {"sa": 0.0, "sb": 0.0, "self": 0.0,
+                            "na": 0, "nb": 0}
+                pend["sa"] = pend["sa"] + xa.sum(axis=1)  # (T, 3)
+                pend["na"] += xa.shape[1]
+                if sp_a == sp_b:
+                    selfw = []
+                    for full in _window_slabs(xa, w, ct):
+                        seg = full[tau_idx]
+                        w_len = seg.shape[0]
+                        cc = cross_correlation_biased(
+                            jnp.asarray(seg), jnp.asarray(seg), axis=0
+                        )  # (W, n_g, 3)
+                        selfw.append(
+                            np.asarray(jnp.mean(cc, axis=2).sum(axis=1))
+                            * w_len
+                        )
+                    pend["self"] = pend["self"] + np.asarray(selfw)
+                else:
+                    xb = np.asarray(slab[sp_b], dtype=np.float64)
+                    pend["sb"] = pend["sb"] + xb.sum(axis=1)
+                    pend["nb"] += xb.shape[1]
+                if info.group == info.n_groups - 1:
+                    na = pend["na"]
+                    sb = pend["sa"] if sp_a == sp_b else pend["sb"]
+                    nb = na if sp_a == sp_b else pend["nb"]
+                    for wi, (full_a, full_b) in enumerate(zip(
+                        _window_slabs(pend["sa"], w, ct),
+                        _window_slabs(sb, w, ct),
+                    )):
+                        seg_a = full_a[tau_idx] / na  # (R, 3) mean series
+                        seg_b = full_b[tau_idx] / nb
+                        cross = self._raw_cross_corr(seg_a, seg_b)
+                        if sp_a == sp_b:
+                            cross = cross - pend["self"][wi] / na
+                        vacf_sum += cross
+                        sigmas.append(
+                            prefactor * np.trapezoid(cross, x=times)
+                        )
+                    pend = None
             if not sigmas:
                 raise ValueError(
                     f"{self.name}: data_range {w} exceeds the "

@@ -83,24 +83,34 @@ class EinsteinDiffusionCoefficients(TrajectoryCalculator):
             data_range = self.args["data_range"]
             tau = jnp.asarray(self.tau_values)
 
-            msd_sum = np.zeros(self.data_resolution)
-            count = 0
-            for slab in self._stream_property(
-                sp, self.loaded_property.name, data_range, a["correlation_time"]
-            ):
-                s, n_windows = sharded_windowed_msd(
-                    jnp.asarray(slab), tau, data_range, a["correlation_time"]
-                )
-                msd_sum += np.asarray(s, dtype=np.float64)
-                n_particles = slab.shape[1]
-                # reference counter: += n_particles per window, += 1 per window
-                count += int(n_windows) * (n_particles + 1)
+            # the reference counter increments by n_particles per window
+            # plus 1 per window; the window-aligned slab plan enumerates
+            # every window exactly once per atom group, and the squared
+            # displacements are additive over both frame slabs and atom
+            # minibatches — so the count is the analytic total, invariant
+            # under any split of the stream
+            from ..memory.planner import BatchPlanner
 
-            if count == 0:
+            n_windows_total = BatchPlanner.window_plan(
+                exp.number_of_configurations, data_range,
+                a["correlation_time"],
+            )
+            if n_windows_total == 0:
                 raise ValueError(
                     f"{self.name}: data_range {data_range} exceeds the "
                     f"{exp.number_of_configurations} available configurations."
                 )
+            n_particles = self.selected_counts([sp])[0]
+            count = n_windows_total * (n_particles + 1)
+
+            msd_sum = np.zeros(self.data_resolution)
+            for slab in self._stream_property(
+                sp, self.loaded_property.name, data_range, a["correlation_time"]
+            ):
+                s, _ = sharded_windowed_msd(
+                    jnp.asarray(slab), tau, data_range, a["correlation_time"]
+                )
+                msd_sum += np.asarray(s, dtype=np.float64)
             msd = msd_sum / count
             msd *= exp.units.length**2  # -> m^2 (:196)
             time_si = times * exp.units.time

@@ -76,36 +76,57 @@ class GreenKuboDiffusionCoefficients(TrajectoryCalculator):
                 else jnp.asarray(self.tau_values)
             )
 
+            # analytic reference counter (n_windows * (n_particles + 1)):
+            # additive ACF sums make it invariant under frame-slab AND
+            # atom-minibatch splits of the stream
+            from ..memory.planner import BatchPlanner
+
+            n_windows_total = BatchPlanner.window_plan(
+                exp.number_of_configurations, data_range,
+                a["correlation_time"],
+            )
+            if n_windows_total == 0:
+                raise ValueError(
+                    f"{self.name}: data_range {data_range} exceeds available "
+                    "configurations."
+                )
+            n_particles = self.selected_counts([sp])[0]
+            count = n_windows_total * (n_particles + 1)
+
             acf_sum = np.zeros(self.data_resolution)
-            sigmas = []
-            count = 0
-            for slab in self._stream_property(
-                sp, self.loaded_property.name, data_range, a["correlation_time"]
+            # per-slab per-window particle-mean ACFs; when the atom axis
+            # is minibatched, group g's particle-MEAN is re-weighted by
+            # its atom count and summed across groups (mean over N =
+            # sum_g n_g * mean_g / N), reconstructing the full-memory
+            # per-window series for the SEM (reference :199-206)
+            per_window_acc: list = []
+            for slab, info in self._stream_property(
+                sp, self.loaded_property.name, data_range,
+                a["correlation_time"], with_info=True,
             ):
                 s, per_window = sharded_windowed_acf(
                     jnp.asarray(slab), data_range, a["correlation_time"],
                     tau=tau,
                 )
                 acf_sum += vel_scale * np.asarray(s, dtype=np.float64)
-                n_particles = slab.shape[1]
-                n_windows = per_window.shape[0]
-                count += n_windows * (n_particles + 1)
-                # per-window integrals for the SEM (reference :199-206)
-                sigmas.append(
-                    cumulative_trapezoid(
-                        vel_scale * np.asarray(per_window, dtype=np.float64),
-                        x=times, axis=1,
-                    )
-                )
+                w = vel_scale * np.asarray(per_window, dtype=np.float64)
+                if info.n_groups > 1:
+                    w = w * (slab.shape[1] / n_particles)
+                if info.group == 0:
+                    per_window_acc.append(w)
+                else:
+                    per_window_acc[info.slab_index] += w
 
-            if count == 0:
-                raise ValueError(
-                    f"{self.name}: data_range {data_range} exceeds available "
-                    "configurations."
-                )
             acf = acf_sum / count
             sigma = cumulative_trapezoid(acf, x=times)
-            sigmas = np.concatenate(sigmas, axis=0)
+            # per-window integrals for the SEM (reference :199-206)
+            sigmas = np.concatenate(
+                [
+                    cumulative_trapezoid(w, x=times, axis=1)
+                    for w in per_window_acc
+                ],
+                axis=0,
+            )
             sigma_sem = np.std(sigmas, axis=0) / np.sqrt(len(sigmas))
 
             ir = min(a["integration_range"] - 1, len(sigma) - 1)

@@ -40,6 +40,12 @@ class BatchPlan:
     remainder: int  # frames in the final short slab (0 if exact)
     atom_block: int  # i-tile size for pairwise kernels
     total_frames: int
+    #: largest full-atom-width slab that fits the budget BEFORE the
+    #: data_range clamp — ``raw_frame_batch < data_range`` means one
+    #: window of all atoms exceeds the budget and the stream must split
+    #: the atom axis (reference ``_compute_atomwise_minibatch``,
+    #: ``memory_manager.py:257-340``). 0 = unrecorded (legacy callers).
+    raw_frame_batch: int = 0
 
     def slabs(self, offset: int = 0):
         """Yield (start, stop) frame ranges."""
@@ -96,7 +102,7 @@ class BatchPlanner:
                 lo = mid
             else:
                 hi = mid - 1
-        batch = lo
+        batch = raw = lo
         if data_range is not None:
             # windows must fit entirely inside a slab
             batch = max(batch, data_range)
@@ -115,9 +121,38 @@ class BatchPlanner:
             remainder=rem,
             atom_block=atom_block,
             total_frames=n_frames,
+            raw_frame_batch=raw,
         )
         log.debug("batch plan: %s (budget %.1f GB)", plan, budget / 2**30)
         return plan
+
+    def window_atoms_per_group(
+        self,
+        n_atoms: int,
+        data_range: int,
+        bytes_per_atom_frame: float,
+        scale_function: Optional[dict] = None,
+    ) -> int:
+        """Atoms per minibatch so ONE window of that many atoms fits.
+
+        TPU-native form of the reference's atom-wise minibatch fraction
+        ladder (``memory_manager.py:257-340``, fractions 1/2 ... 1/200 ->
+        single atom): instead of trying fixed fractions, bisect the exact
+        largest atom count whose ``data_range``-frame window fits the
+        budget. Floors at 1 atom (the reference's single-atom fallback) —
+        a window of one atom that still exceeds the budget streams anyway,
+        exactly as the reference would.
+        """
+        fn, kwargs = resolve_scale_function(scale_function)
+        budget = self.budget_bytes
+        lo, hi = 1, max(int(n_atoms), 1)
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if fn(data_range * mid * bytes_per_atom_frame, **kwargs) <= budget:
+                lo = mid
+            else:
+                hi = mid - 1
+        return lo
 
     @staticmethod
     def atom_block_for(bytes_per_frame: float, scale_function: Optional[dict]) -> int:
