@@ -15,14 +15,17 @@ Ports (file:line refer to ``/root/reference/mdsuite/calculators/``):
 * GreenKuboViscosity              — ``green_kubo_viscosity.py:55-275``
 * GreenKuboViscosityFlux          — ``green_kubo_viscosity_flux.py:55-273``
 
-Note on the GK thermal/viscosity family: the reference's versions of these
-accumulate the running *sum* of window ACFs into each window's integral and
-report the first two entries as value/uncertainty
-(``green_kubo_thermal_conductivity.py:200-233``) — their integration tests
-are disabled upstream. This build uses the window-averaged formulation
-(identical to the *tested* GK ionic-conductivity path) with the reference's
-exact prefactors: ACF averaged over windows, trapezoid-integrated to
-``integration_range``, SEM over per-window integrals.
+Note on the GK thermal/viscosity family: the reference's versions report
+the FIRST window's integral as the value and the SECOND window's as the
+"uncertainty" (``green_kubo_thermal_conductivity.py:199-233``; per-window
+``sigma.append(trapz(jacf_w))`` then ``result[0]/result[1]``) — their
+integration tests are disabled upstream. This build defaults to the
+window-averaged formulation (identical to the *tested* GK
+ionic-conductivity path) with the reference's exact prefactors: ACF
+averaged over windows, trapezoid-integrated to ``integration_range``,
+SEM over per-window integrals. Pass ``reference_estimator=True`` for the
+upstream first-window estimator, reproduced exactly
+(:meth:`_SystemWindowedCalculator._gk_flow_reference`).
 """
 
 from __future__ import annotations
@@ -57,6 +60,7 @@ class _SystemWindowedCalculator(TrajectoryCalculator):
         tau_values=None,
         integration_range: int = None,
         fit_range: int = -1,
+        reference_estimator: bool = False,
         **kwargs,
     ) -> Dict[str, Any]:
         tau_enc = self.encode_tau_values(tau_values)
@@ -77,9 +81,22 @@ class _SystemWindowedCalculator(TrajectoryCalculator):
             if fit_range == -1:
                 fit_range = int(data_range - 1)
             args["fit_range"] = int(fit_range)
+        if self._supports_reference_estimator:
+            args["reference_estimator"] = bool(reference_estimator)
+        elif reference_estimator:
+            raise ValueError(
+                f"{self.name}: reference_estimator applies only to the GK "
+                "thermal-conductivity/viscosity family (the reference's "
+                "other estimators are already reproduced exactly)."
+            )
         return args
 
     _uses_integration = True
+    #: True on the GK thermal/viscosity family, whose upstream estimator
+    #: reports the FIRST window's integral as the value and the SECOND
+    #: window's as the uncertainty (their integration tests are disabled
+    #: upstream); ``reference_estimator=True`` reproduces that exactly.
+    _supports_reference_estimator = False
 
     @staticmethod
     def _default_integration_range(data_range: int) -> int:
@@ -125,9 +142,58 @@ class _SystemWindowedCalculator(TrajectoryCalculator):
             )
 
     # -- common GK/EH flows ---------------------------------------------------
+    def _gk_flow_reference(
+        self, prefactor: float, acf_scale: float
+    ) -> Dict[str, dict]:
+        """The reference's exact GK thermal/viscosity estimator.
+
+        Per window w: ``jacf_w = data_range * sum_dims biased_acf`` and
+        ``sigma_w = trapz(jacf_w[:integration_range],
+        x=time[:integration_range])``; the reported value is
+        ``prefactor * sigma_0`` (the FIRST window's integral) and the
+        "uncertainty" is ``prefactor * sigma_1`` (the second window's) —
+        ``green_kubo_thermal_conductivity.py:199-233``,
+        ``green_kubo_viscosity.py:185-221``. The ``acf`` series is the
+        running SUM of window ACFs (not averaged), also as upstream.
+        """
+        a = self.args
+        times = self._handle_tau_values()
+        ir = a["integration_range"]
+        acf_running = np.zeros(self.data_resolution)
+        sigmas = []
+        for s, per_window in self._series_windows_acf():
+            w = acf_scale * np.asarray(per_window, dtype=np.float64)
+            acf_running += acf_scale * np.asarray(s, dtype=np.float64)
+            sigmas.extend(
+                np.trapezoid(w[:, :ir], x=times[:ir], axis=1).tolist()
+            )
+        if len(sigmas) < 2:
+            raise ValueError(
+                f"{self.name}: reference_estimator needs at least two "
+                "windows (value = first window, uncertainty = second)."
+            )
+        value = prefactor * sigmas[0]
+        value_sem = prefactor * sigmas[1]
+        log.info(
+            "%s = %.6e (+- %.2e) [reference estimator]",
+            self.name, value, value_sem,
+        )
+        return {
+            "System": {
+                self.result_keys[0]: [float(value)],
+                self.result_keys[1]: [float(value_sem)],
+                "time": times.tolist(),
+                "acf": acf_running.tolist(),
+                "integral": (prefactor * np.asarray(sigmas)).tolist(),
+                "integral_uncertainty": [],
+            }
+        }
+
     def _gk_flow(self, prefactor: float, acf_scale: float = 1.0) -> Dict[str, dict]:
         """Window-averaged ACF -> cumtrapz -> prefactor * integral + SEM."""
         a = self.args
+        if a.get("reference_estimator"):
+            return self._gk_flow_reference(prefactor, acf_scale)
         times = self._handle_tau_values()  # raw sim units (reference parity)
         acf_sum = np.zeros(self.data_resolution)
         sigmas = []
@@ -265,6 +331,7 @@ class GreenKuboThermalConductivity(_SystemWindowedCalculator):
     scale_function = {"linear": {"scale_factor": 5}}
     result_keys = ["thermal_conductivity", "uncertainty"]
     result_series_keys = ["time", "acf", "integral", "integral_uncertainty"]
+    _supports_reference_estimator = True
 
     @staticmethod
     def _default_integration_range(data_range: int) -> int:
@@ -348,6 +415,7 @@ class GreenKuboViscosity(_SystemWindowedCalculator):
     scale_function = {"linear": {"scale_factor": 5}}
     result_keys = ["viscosity", "uncertainty"]
     result_series_keys = ["time", "acf", "integral", "integral_uncertainty"]
+    _supports_reference_estimator = True
 
     @staticmethod
     def _default_integration_range(data_range: int) -> int:
@@ -385,6 +453,7 @@ class GreenKuboViscosityFlux(_SystemWindowedCalculator):
     scale_function = {"linear": {"scale_factor": 5}}
     result_keys = ["viscosity", "uncertainty"]
     result_series_keys = ["time", "acf", "integral", "integral_uncertainty"]
+    _supports_reference_estimator = True
 
     @staticmethod
     def _default_integration_range(data_range: int) -> int:

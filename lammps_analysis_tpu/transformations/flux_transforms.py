@@ -214,9 +214,14 @@ class KinaciIntegratedHeatCurrent(Transformation):
     cumulative sum and carried across batches; the current is
     ``sum_i r_i I_i + sum_i PE_i r_i``. NOTE: the reference accumulates the
     integrals of *all previously processed species* into each species' term
-    (``kinaci_integrated_heat_current.py:61-86``), which couples the result
-    to species iteration order; this implementation keeps each species'
-    integral separate, which is the order-independent formulation.
+    (``kinaci_integrated_heat_current.py:61-86``, ``tf.add_n(integrals)``
+    inside the species loop), which couples the result to species iteration
+    order and — because ``add_n`` requires equal shapes — only even runs
+    when every species has the same particle count. This implementation
+    defaults to keeping each species' integral separate (the
+    order-independent formulation); pass ``reference_accumulation=True``
+    to reproduce the upstream coupled accumulation exactly (species in
+    declaration order, total integral carried across batches).
     """
 
     input_properties = [
@@ -232,7 +237,52 @@ class KinaciIntegratedHeatCurrent(Transformation):
     multi_species = True
     requires_carryover = True
 
+    #: carry key for the reference-mode total integral (all species)
+    _TOTAL = "__reference_total__"
+
+    def __init__(self, reference_accumulation: bool = False):
+        self.reference_accumulation = bool(reference_accumulation)
+
+    def _check_reference_shapes(self, batch):
+        counts = {
+            sp: props[mp.unwrapped_positions.name].shape[1]
+            for sp, props in batch.items()
+        }
+        if len(set(counts.values())) > 1:
+            raise ValueError(
+                "reference_accumulation requires equal particle counts per "
+                f"species (got {counts}): the reference's tf.add_n over "
+                "per-species integrals only defines the coupled sum for "
+                "equal shapes (kinaci_integrated_heat_current.py:82)."
+            )
+
     def transform_batch(self, batch, carryover=None):
+        from ..ops.geometry import time_cumsum
+
+        if self.reference_accumulation:
+            # upstream semantics: each species' r.I term contracts with the
+            # RUNNING SUM of all previously processed species' integrals
+            # (plus the carried total), and the carry is that total
+            self._check_reference_shapes(batch)
+            out = None
+            running = None
+            if carryover is not None and self._TOTAL in carryover:
+                running = carryover[self._TOTAL][None]  # (1, N) -> bcast T
+            for sp, props in batch.items():
+                pos = props[mp.unwrapped_positions.name]  # (T, N, 3)
+                vel = props[mp.velocities.name]
+                force = props[mp.forces.name]
+                pe = props[mp.potential_energy.name]  # (T, N, 1)
+                dt = props[mp.time_step.name] * props[mp.sample_rate.name]
+                integrand = jnp.sum(force * vel, axis=-1)  # (T, N)
+                integral = time_cumsum(integrand, axis=0) * dt
+                running = integral if running is None else running + integral
+                r_k = jnp.sum(pos * running[..., None], axis=1)  # (T, 3)
+                r_p = jnp.sum(pe * pos, axis=1)
+                contrib = r_k + r_p
+                out = contrib if out is None else out + contrib
+            return out, {self._TOTAL: running[-1]}
+
         out = None
         new_carry = {}
         for sp, props in batch.items():
@@ -241,8 +291,6 @@ class KinaciIntegratedHeatCurrent(Transformation):
             force = props[mp.forces.name]
             pe = props[mp.potential_energy.name]  # (T, N, 1)
             dt = props[mp.time_step.name] * props[mp.sample_rate.name]
-
-            from ..ops.geometry import time_cumsum
 
             integrand = jnp.sum(force * vel, axis=-1)  # (T, N)
             integral = time_cumsum(integrand, axis=0) * dt
@@ -286,9 +334,42 @@ class KinaciIntegratedHeatCurrent(Transformation):
                     "tnd,tnd->n", force, vel, dtype=np.float64
                 )
             carry[sp] = total * dt
+        if self.reference_accumulation:
+            # upstream carries ONE total integral summed over species
+            vals = list(carry.values())
+            if len({v.shape for v in vals}) > 1:
+                raise ValueError(
+                    "reference_accumulation resume requires equal particle "
+                    "counts per species (see transform_batch)."
+                )
+            return {self._TOTAL: np.sum(vals, axis=0)}
         return carry
 
     def transform_batch_host(self, batch, carryover=None):
+        if self.reference_accumulation:
+            self._check_reference_shapes(batch)
+            out = None
+            running = None
+            if carryover is not None and self._TOTAL in carryover:
+                running = np.asarray(carryover[self._TOTAL])[None]
+            for sp, props in batch.items():
+                pos = np.asarray(props[mp.unwrapped_positions.name])
+                vel = np.asarray(props[mp.velocities.name])
+                force = np.asarray(props[mp.forces.name])
+                pe = np.asarray(props[mp.potential_energy.name])
+                dt = float(
+                    np.asarray(props[mp.time_step.name])
+                    * np.asarray(props[mp.sample_rate.name])
+                )
+                integrand = np.einsum("tnd,tnd->tn", force, vel)
+                integral = np.cumsum(integrand, axis=0) * dt
+                running = (
+                    integral if running is None else running + integral
+                )
+                r_k = np.matmul(running[:, None, :], pos)[:, 0, :]
+                contrib = r_k + _host_atom_sum(pos, pe)
+                out = contrib if out is None else out + contrib
+            return out, {self._TOTAL: running[-1]}
         out = None
         new_carry = {}
         for sp, props in batch.items():

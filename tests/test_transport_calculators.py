@@ -360,3 +360,134 @@ def test_nernst_einstein_corrected_flag(tmp_path, rng):
     assert np.isfinite(
         res["System"]["corrected_nernst_einstein_ionic_conductivity"]
     )
+
+
+def test_gk_thermal_reference_estimator(tmp_path, rng):
+    """reference_estimator=True must reproduce the upstream first-window
+    estimator exactly: value = prefactor * trapz of the FIRST window's
+    data_range-scaled ACF, "uncertainty" = the SECOND window's
+    (``green_kubo_thermal_conductivity.py:199-233``)."""
+    exp = _observables_experiment(tmp_path, rng, "Thermal_Flux", n_frames=600)
+    w, ct = 64, 32
+    res = exp.run.GreenKuboThermalConductivity(
+        data_range=w, correlation_time=ct, reference_estimator=True,
+        plot=False,
+    )
+    x = exp.store.load(["Observables/Thermal_Flux"])["Observables/Thermal_Flux"]
+    times = np.arange(w) * 0.1  # dt * sample_rate, raw sim units
+    ir = w  # reference default integration_range = data_range
+
+    def window_jacf(k):
+        seg = np.asarray(x[k * ct : k * ct + w, 0, :], dtype=np.float64)
+        acf = np.zeros(w)
+        for lag in range(w):
+            acf[lag] = np.sum(seg[: w - lag] * seg[lag:]) / w
+        return w * acf  # data_range * sum_dims biased acf
+
+    pref = 1.0 / (
+        3 * (w - 1) * 300.0**2 * exp.units.boltzmann * 1000.0
+    ) * (exp.units.energy / exp.units.length / exp.units.time)
+    sig0 = pref * np.trapezoid(window_jacf(0)[:ir], x=times[:ir])
+    sig1 = pref * np.trapezoid(window_jacf(1)[:ir], x=times[:ir])
+    np.testing.assert_allclose(
+        res["System"]["thermal_conductivity"][0], sig0, rtol=1e-8
+    )
+    np.testing.assert_allclose(
+        res["System"]["uncertainty"][0], sig1, rtol=1e-8
+    )
+    # the flag is part of the cache key: both variants coexist
+    res_avg = exp.run.GreenKuboThermalConductivity(
+        data_range=w, correlation_time=ct, plot=False
+    )
+    assert (
+        res_avg["System"]["thermal_conductivity"][0]
+        != res["System"]["thermal_conductivity"][0]
+    )
+
+
+def test_gk_viscosity_reference_estimator_runs(tmp_path, rng):
+    exp = _observables_experiment(tmp_path, rng, "Momentum_Flux", n_frames=400)
+    res = exp.run.GreenKuboViscosity(
+        data_range=64, correlation_time=64, reference_estimator=True,
+        plot=False,
+    )
+    assert np.isfinite(res["System"]["viscosity"][0])
+    # unsupported calculators must refuse rather than silently ignore
+    with pytest.raises(ValueError, match="reference_estimator"):
+        exp2 = _observables_experiment(
+            tmp_path / "ion", rng, "Ionic_Current", n_frames=300
+        )
+        exp2.run.GreenKuboIonicConductivity(
+            data_range=64, reference_estimator=True, plot=False
+        )
+
+
+def test_kinaci_reference_accumulation(tmp_path, rng):
+    """reference_accumulation=True reproduces the upstream coupled
+    cross-species accumulation (running add_n of per-atom force-work
+    integrals, ``kinaci_integrated_heat_current.py:61-86``) exactly."""
+    n_frames, n_each, dt = 300, 6, 0.1
+    props = [
+        PropertyInfo("Unwrapped_Positions", 3), PropertyInfo("Velocities", 3),
+        PropertyInfo("Forces", 3), PropertyInfo("Potential_Energy", 1),
+    ]
+    sp = [SpeciesInfo("Na", n_each, props), SpeciesInfo("Cl", n_each, props)]
+    meta = TrajectoryMetadata(
+        n_configurations=n_frames, species_list=sp, box_l=[10.0] * 3,
+        sample_rate=1, temperature=300.0,
+    )
+    data = {}
+    chunk = TrajectoryChunkData(sp, n_frames)
+    for name in ("Na", "Cl"):
+        d = {
+            "Unwrapped_Positions": np.cumsum(
+                rng.normal(scale=0.05, size=(n_frames, n_each, 3)), axis=0
+            ),
+            "Velocities": rng.normal(size=(n_frames, n_each, 3)),
+            "Forces": rng.normal(size=(n_frames, n_each, 3)),
+            "Potential_Energy": -rng.normal(size=(n_frames, n_each, 1)) ** 2,
+        }
+        data[name] = d
+        for k, v in d.items():
+            chunk.add_data(v, 0, name, k)
+
+    project = latpu.Project(name="proj", storage_path=tmp_path)
+    exp = project.add_experiment(
+        "kin", timestep=dt, temperature=300.0, units="si",
+        simulation_data=ScriptInput(chunk, meta, "k_data"),
+    )
+    exp.run.KinaciIntegratedHeatCurrent(reference_accumulation=True)
+    out = exp.store.load(["Observables/Kinaci_Heat_Current"])[
+        "Observables/Kinaci_Heat_Current"
+    ][:, 0, :]
+
+    # numpy oracle: upstream coupled accumulation over the whole series
+    running = np.zeros((n_frames, n_each))
+    expected = np.zeros((n_frames, 3))
+    for name in ("Na", "Cl"):  # declaration order
+        d = data[name]
+        integrand = np.einsum("tnd,tnd->tn", d["Forces"], d["Velocities"])
+        running = running + np.cumsum(integrand, axis=0) * dt
+        r_k = np.einsum("tn,tnd->td", running, d["Unwrapped_Positions"])
+        r_p = np.einsum(
+            "tn,tnd->td", d["Potential_Energy"][..., 0],
+            d["Unwrapped_Positions"],
+        )
+        expected += r_k + r_p
+    np.testing.assert_allclose(out, expected, rtol=1e-6, atol=1e-8)
+
+    # and it differs from the order-independent default formulation
+    project2 = latpu.Project(name="proj2", storage_path=tmp_path / "p2")
+    chunk2 = TrajectoryChunkData(sp, n_frames)
+    for name in ("Na", "Cl"):
+        for k, v in data[name].items():
+            chunk2.add_data(v, 0, name, k)
+    exp2 = project2.add_experiment(
+        "kin", timestep=dt, temperature=300.0, units="si",
+        simulation_data=ScriptInput(chunk2, meta, "k_data"),
+    )
+    exp2.run.KinaciIntegratedHeatCurrent()
+    out_default = exp2.store.load(["Observables/Kinaci_Heat_Current"])[
+        "Observables/Kinaci_Heat_Current"
+    ][:, 0, :]
+    assert not np.allclose(out, out_default)
