@@ -118,6 +118,14 @@ def adf_histogram_native(
     ttab = np.ascontiguousarray(np.asarray(triple_table, dtype=np.int32))
     if ttab.ndim != 3:
         raise RuntimeError("triple_table must be (S, S, S)")
+    if int(ttab.max(initial=0)) >= int(n_triples):
+        # the C++ kernel writes out[tid * n_bins + bin] unchecked — a
+        # table/count mismatch would corrupt the heap (the XLA route
+        # merely drops out-of-range scatter indices)
+        raise RuntimeError(
+            f"triple_table refers to triple id {int(ttab.max())} but only "
+            f"{n_triples} output rows were allocated"
+        )
     n_species = ttab.shape[0]
     lo, hi = bin_range if bin_range is not None else ADF_BIN_RANGE
     out = np.zeros((n_triples, n_bins), dtype=np.float64)

@@ -21,9 +21,12 @@
 //   - Neighbor gather has two strategies. Periodic boxes at least 3 cells
 //     wide use a counting-sorted CELL LIST with per-(cell, direction)
 //     precomputed image shifts — the shifted displacement (xj + s) - xi
-//     is bit-identical to the rintf minimum image for every in-cutoff
-//     pair (|dx| < box/2, and box*k is exact for k in {-1, 0, 1}), so the
-//     cell route changes candidates visited, never results. Open
+//     agrees with the rintf minimum image up to f32 rounding (different
+//     intermediates round differently: pre-wrap + shifted add here vs
+//     dx - bx*rintf(dx*ibx) there; measured <= ~1e-5 relative worst
+//     case, so pairs exactly at the cutoff or a bin edge can flip
+//     between routes — the same contract as the Python-side "f32
+//     rounding" caveat below). Open
 //     boundaries / thin boxes fall back to a branchless chunked O(N^2)
 //     r^2 sweep (the RDF kernel's stage-1 shape) whose scalar compact
 //     step only touches the ~0.1-1% of pairs inside the prefilter.
@@ -35,8 +38,10 @@
 //     agreement is to f32 rounding, not bit-exact).
 //
 // Measured at the 10240-atom / 500-bin / box-40 bench workload (one AVX
-// core): first-shell cutoff 3.6 = XXX ms/frame via cells (O(N^2) route:
+// core): first-shell cutoff 3.6 = 102 ms/frame via cells (O(N^2) route:
 // 200 ms) vs 3.66 s/frame for the jitted XLA-CPU neighbor route.
+// (cells number re-measured 2026-08-20 on this VM, steady-state over 5
+// frames after warmup.)
 
 #include <algorithm>
 #include <cmath>

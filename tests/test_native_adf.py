@@ -200,3 +200,52 @@ def test_batch_runner_uses_native(system, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(h), ref, rtol=1e-4, atol=1e-5 * ref.max()
     )
+
+
+def test_native_cell_route_large_system(rng):
+    """The counting-sort cell-list route (the production path at headline
+    scale) only engages at n_pad >= 1024 with a >= 3-cells-per-dim
+    periodic box — every other test system is 120 atoms and exercises
+    only the O(N^2) fallback. 1100 atoms, ~6 cells/dim, positions well
+    outside [0, box) to exercise the pre-wrap, compared to the f64
+    oracle (ADVICE r2)."""
+    n, box_l, cutoff, n_bins = 1100, 12.0, 2.0, 40
+    box = np.array([box_l] * 3, np.float32)
+    sid = np.concatenate(
+        [np.zeros(500, np.int32), np.ones(400, np.int32),
+         np.full(184, 2, np.int32), np.full(16, -1, np.int32)]
+    )
+    pos = np.zeros((1, n, 3), np.float32)
+    # spread across [-box, 2*box): images of every kind hit the wrap path
+    pos[:, :1084] = rng.uniform(-box_l, 2 * box_l, size=(1, 1084, 3)).astype(
+        np.float32
+    )
+    ttab, order = build_triple_table(3)
+    n_triples = len(order)
+
+    got = native_adf.adf_histogram_native(
+        pos, sid, ttab, box, cutoff, n_bins, n_triples, 4
+    )
+    ref = adf_oracle(pos, sid, ttab, box, cutoff, n_bins, n_triples, 4)
+    assert got.shape == (n_triples, n_bins)
+    assert got.sum() > 0, "degenerate test: no triples found"
+    # f32 kernel vs f64 oracle: per-bin boundary flips possible, totals
+    # and mass distribution must agree tightly
+    np.testing.assert_allclose(
+        got.sum(axis=1), ref.sum(axis=1), rtol=5e-4,
+        err_msg="cell route per-triple totals diverge from the f64 oracle",
+    )
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=ref.max() * 2e-3)
+
+
+def test_native_rejects_overflowing_triple_table(system):
+    """A triple_table id >= n_triples must be rejected up front: the C++
+    kernel writes out[tid * n_bins + bin] unchecked (ADVICE r2)."""
+    pos, sid, ttab, n_triples, box = system
+    bad = ttab.copy()
+    bad_flat = np.asarray(bad).copy()
+    bad_flat[0, 0, 0] = n_triples  # one past the allocated rows
+    with pytest.raises(RuntimeError, match="triple id"):
+        native_adf.adf_histogram_native(
+            pos, sid, bad_flat, box, 2.4, 40, n_triples, 4
+        )
