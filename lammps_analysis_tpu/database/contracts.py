@@ -104,6 +104,26 @@ class TrajectoryChunkData:
         n = data.shape[0]
         self._data[species_name][property_name][config_idx : config_idx + n] = data
 
+    def attach_data(
+        self, data: np.ndarray, species_name: str, property_name: str
+    ) -> None:
+        """Adopt ``data`` as the full chunk buffer for (species, property).
+
+        Zero-copy fast path for readers that already assembled the final
+        ``(chunk_size, n_particles, n_dims)`` array (the flat-gather path
+        in ``file_io/tabular.py`` — ``add_data`` would copy it a second
+        time). The array is adopted by reference; callers must not mutate
+        it afterwards.
+        """
+        data = np.asarray(data)
+        expected = self._data[species_name][property_name].shape
+        if data.shape != expected:
+            raise ValueError(
+                f"attach_data expects the full chunk shape {expected}, "
+                f"got {data.shape}"
+            )
+        self._data[species_name][property_name] = data
+
     def get_data(self, species_name: str, property_name: str) -> np.ndarray:
         return self._data[species_name][property_name]
 

@@ -388,10 +388,14 @@ class Experiment:
                 # cur > old_count: a crashed earlier attempt at this same
                 # append — rewind and rewrite its partial frames
                 self.store.set_cursor(path, old_count)
+        from ..pipeline.prefetch import iter_in_background
         from ..utils.progress import progress_iter
 
+        # parse/write overlap: the reader parses chunk k+1 in a worker
+        # thread while this thread writes chunk k to the HDF5 store
+        # (bounded lookahead — at most 2 parsed chunks in flight)
         for chunk in progress_iter(
-            processor.get_configurations_generator(),
+            iter_in_background(processor.get_configurations_generator()),
             desc=f"ingest {key}", unit="chunk",
         ):
             self.store.add_chunk(chunk)

@@ -183,16 +183,84 @@ class TabularTextReader(FileProcessor):
                     if spec.header_lines_for_each_config
                     else 0
                 )
-                data = native_parser.parse_table_block(
-                    block[:consumed], complete, n_header,
-                    spec.n_particles, spec.n_cols,
-                    id_col=spec.sort_by_column_idx,
+                chunk = self._native_scatter_chunk(
+                    block[:consumed], complete, n_header, species_list
                 )
+                if chunk is None:
+                    data = native_parser.parse_table_block(
+                        block[:consumed], complete, n_header,
+                        spec.n_particles, spec.n_cols,
+                        id_col=spec.sort_by_column_idx,
+                    )
+                    chunk = self._chunk_from_array(
+                        data, species_list, pre_sorted=True
+                    )
                 leftover = block[consumed:]
                 n_read += complete
-                yield self._chunk_from_array(
-                    data, species_list, pre_sorted=True
+                yield chunk
+
+    def _native_scatter_chunk(self, block, n_configs, n_header, species_list):
+        """Fused native parse straight into per-(species, property) f32
+        chunk buffers (one pass, one copy, store dtype — see
+        ``native/table_parser.cpp::parse_scatter_f32``). Returns ``None``
+        when the block's atom ids are not 1..N (fallback path sorts on
+        the host)."""
+        from . import native_parser
+
+        spec = self.spec
+        layout = getattr(self, "_scatter_layout", None)
+        if layout is None:
+            prop_names = [
+                p.name for sp in species_list for p in sp.properties
+            ]
+            # properties are spec-global: every species carries the same
+            # property -> column map, so one prop order serves all
+            prop_order = list(dict.fromkeys(prop_names))
+            layout = native_parser.ScatterLayout(
+                spec.species_to_line_idx,
+                spec.property_to_column_idx,
+                [sp.name for sp in species_list],
+                prop_order,
+            )
+            self._scatter_layout = layout
+        bufs = native_parser.parse_scatter_f32(
+            block, n_configs, n_header, spec.n_particles, spec.n_cols,
+            layout, id_col=spec.sort_by_column_idx,
+        )
+        if bufs is None:
+            return None
+        chunk = TrajectoryChunkData(species_list, n_configs)
+        for sp in species_list:
+            for prop in sp.properties:
+                chunk.attach_data(bufs[(sp.name, prop.name)], sp.name, prop.name)
+        return chunk
+
+    def _flat_gather_indices(self, species_list):
+        """Per-(species, property) flat indices into a ``(N * C,)`` plane.
+
+        One fancy gather per output array replaces the old
+        row-gather + column-slice + chunk-copy chain (3 passes over the
+        data; 6x slower measured at 4000 interleaved atoms). Cached on
+        the reader — the layout is fixed per spec.
+        """
+        if getattr(self, "_flat_idx_cache", None) is not None:
+            return self._flat_idx_cache
+        spec = self.spec
+        n_cols = spec.n_cols or max(
+            c for cols in spec.property_to_column_idx.values() for c in cols
+        ) + 1
+        cache = {}
+        for sp in species_list:
+            rows = np.asarray(spec.species_to_line_idx[sp.name], dtype=np.intp)
+            for prop in sp.properties:
+                cols = np.asarray(
+                    spec.property_to_column_idx[prop.name], dtype=np.intp
                 )
+                cache[(sp.name, prop.name)] = (
+                    rows[:, None] * n_cols + cols[None, :]
+                ).ravel()
+        self._flat_idx_cache = (cache, n_cols)
+        return self._flat_idx_cache
 
     def _chunk_from_array(self, data: np.ndarray, species_list, pre_sorted=False):
         spec = self.spec
@@ -200,7 +268,20 @@ class TabularTextReader(FileProcessor):
             ids = data[:, :, spec.sort_by_column_idx]
             order = np.argsort(ids, axis=1, kind="stable")
             data = np.take_along_axis(data, order[:, :, None], axis=1)
-        chunk = TrajectoryChunkData(species_list, data.shape[0])
+        idx_cache, n_cols = self._flat_gather_indices(species_list)
+        t, n, c = data.shape
+        chunk = TrajectoryChunkData(species_list, t)
+        if c == n_cols:
+            flat = data.reshape(t, n * c)
+            for sp in species_list:
+                for prop in sp.properties:
+                    idx = idx_cache[(sp.name, prop.name)]
+                    arr = flat[:, idx].reshape(t, -1, len(
+                        spec.property_to_column_idx[prop.name]
+                    ))
+                    chunk.attach_data(arr, sp.name, prop.name)
+            return chunk
+        # column count differs from the spec (defensive): legacy path
         for sp in species_list:
             rows = _as_slice(spec.species_to_line_idx[sp.name])
             sp_block = data[:, rows, :]

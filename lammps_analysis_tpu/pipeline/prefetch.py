@@ -95,3 +95,49 @@ class PrefetchingLoader:
             return self.store.load(paths, frames=slice(start, stop), **kwargs)
 
         return prefetch_to_device(load, list(slabs), self.depth, self.device)
+
+
+def iter_in_background(iterable, depth: int = 2):
+    """Run a (host-side) iterator in a worker thread with bounded lookahead.
+
+    Parse/write overlap for ingestion (VERDICT r2 item 7): the file
+    reader's parse of chunk k+1 proceeds while the caller writes chunk k
+    to the HDF5 store. ``depth`` bounds the number of parsed-but-unwritten
+    chunks held in memory. Exceptions from the producer re-raise at the
+    consumer's next pull; abandoning the iterator (``close``/GC) stops
+    the producer promptly.
+    """
+    import queue as queue_mod
+    import threading
+
+    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=max(int(depth), 1))
+    _END = object()
+    stop = threading.Event()
+
+    def produce():
+        try:
+            for item in iterable:
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except queue_mod.Full:
+                        continue
+                if stop.is_set():
+                    return
+            q.put(_END)
+        except BaseException as err:  # propagate to the consumer
+            q.put(err)
+
+    worker = threading.Thread(target=produce, daemon=True, name="ingest-parse")
+    worker.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()

@@ -155,6 +155,89 @@ long parse_table_block_by_id(const char* buf, long buf_len, long n_configs,
     return (long)n_configs * cfg_stride;
 }
 
+// Fused parse -> per-(species, property) float32 chunk buffers.
+//
+// The unfused pipeline on a single core pays three extra passes over the
+// parsed data (row gather + column slice + f64->f32 store conversion);
+// this variant scatters each parsed row straight into its destination
+// buffers in the one pass the tokenizer already makes, parses ONLY the
+// columns a property consumes (the element column costs a token skip,
+// not a from_chars), and emits f32 — the store dtype — directly. The
+// decimal -> f64 -> f32 double rounding is identical to what the h5py
+// write performed before, so stored values are bit-identical.
+//
+// Layout inputs (precomputed in Python from the reader spec):
+//   row_species[r], row_dest[r] : sorted row r -> species index + row
+//                                 within that species' buffer
+//   prop_cols / prop_off        : flattened per-property column lists
+//   sp_rows[s]                  : rows per species buffer
+//   bufs[s * n_props + p]       : base of the (n_configs, sp_rows[s],
+//                                 d_p) f32 buffer (nullptr = species
+//                                 lacks that property — never the case
+//                                 today, but kept defensive)
+//   id_col >= 0: rows land by integer id (1..n_particles, duplicates or
+//   out-of-range -> return -2, caller falls back); id_col < 0: file
+//   order IS the sorted order.
+// Returns bytes consumed on success, -1 on truncation, -2 on bad ids,
+// -3 on too many columns.
+long parse_scatter_f32(const char* buf, long buf_len, long n_configs,
+                       int n_header_lines, int n_particles, int n_cols,
+                       int id_col, const int32_t* row_species,
+                       const int32_t* row_dest, int n_props,
+                       const int32_t* prop_cols, const int32_t* prop_off,
+                       const int64_t* sp_rows, float** bufs) {
+    const char* p = buf;
+    const char* end = buf + buf_len;
+    double row[256];
+    bool used[256];
+    if (n_cols > 256) return -3;
+    for (int c = 0; c < n_cols; ++c) used[c] = false;
+    if (id_col >= 0) used[id_col] = true;
+    for (int pr = 0; pr < n_props; ++pr)
+        for (int32_t k = prop_off[pr]; k < prop_off[pr + 1]; ++k)
+            used[prop_cols[k]] = true;
+    std::vector<long> stamp((size_t)n_particles, 0);
+    for (long c = 0; c < n_configs; ++c) {
+        for (int h = 0; h < n_header_lines; ++h) p = skip_line(p, end);
+        for (int r = 0; r < n_particles; ++r) {
+            if (p >= end) return -1;
+            for (int col = 0; col < n_cols; ++col) {
+                p = skip_ws(p, end);
+                if (used[col]) {
+                    row[col] = parse_token(p, end);
+                } else {
+                    while (p < end && !is_delim(*p)) ++p;
+                }
+            }
+            p = skip_line(p, end);
+            long rs;  // sorted row index
+            if (id_col >= 0) {
+                long id = (long)row[id_col];
+                if (id < 1 || id > n_particles ||
+                    (double)id != row[id_col] ||
+                    stamp[(size_t)(id - 1)] == c + 1) {
+                    return -2;
+                }
+                stamp[(size_t)(id - 1)] = c + 1;
+                rs = id - 1;
+            } else {
+                rs = r;
+            }
+            const int32_t s = row_species[rs];
+            const long dest_row = row_dest[rs];
+            for (int pr = 0; pr < n_props; ++pr) {
+                float* base = bufs[s * n_props + pr];
+                if (base == nullptr) continue;
+                const int d = prop_off[pr + 1] - prop_off[pr];
+                float* dst = base + ((long)c * sp_rows[s] + dest_row) * d;
+                const int32_t* cols = prop_cols + prop_off[pr];
+                for (int k = 0; k < d; ++k) dst[k] = (float)row[cols[k]];
+            }
+        }
+    }
+    return p - buf;
+}
+
 // Byte offset just past the n-th (1-based) newline, or -1 if fewer exist.
 long offset_after_nth_newline(const char* buf, long buf_len, long n) {
     const char* p = buf;
