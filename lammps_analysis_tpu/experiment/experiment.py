@@ -33,18 +33,27 @@ def _processor_for_path(path: Union[str, pathlib.Path]) -> FileProcessor:
 
     Reference analog: ``experiment/experiment.py:62-86``.
     """
+    from ..file_io.dcd import DCDFile
     from ..file_io.extxyz import EXTXYZFile
+    from ..file_io.gro import GROFile
     from ..file_io.lammps_dump import LAMMPSDumpFile
+    from ..file_io.trr import TRRFile
 
     suffix = pathlib.Path(path).suffix.lower()
     if suffix in (".lammpstraj", ".dump", ".lammpstrj"):
         return LAMMPSDumpFile(path)
     if suffix in (".extxyz", ".xyz"):
         return EXTXYZFile(path)
+    if suffix == ".gro":
+        return GROFile(path)
+    if suffix == ".dcd":
+        return DCDFile(path)
+    if suffix == ".trr":
+        return TRRFile(path)
     raise ValueError(
         f"Cannot infer a reader for {path!r} (suffix {suffix!r}). Pass a "
         "FileProcessor instance (LAMMPSDumpFile, EXTXYZFile, LAMMPSFluxFile, "
-        "ChemfilesRead, ScriptInput) instead."
+        "GROFile, DCDFile, TRRFile, ChemfilesRead, ScriptInput) instead."
     )
 
 
