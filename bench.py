@@ -361,6 +361,22 @@ def main():
     except Exception as err:  # pragma: no cover
         extras["rdf_65k_error"] = str(err)[:120]
     extras.update(_CONSISTENCY)
+    try:
+        # roofline context (benchmarks/roofline.py): fraction of the
+        # modeled v5e VPU ceiling (30.1 Gpairs/s at 10240 atoms/500 bins;
+        # the kernel is VPU-bound, one-hot build = 78% of VPU work)
+        import importlib.util as _ilu
+
+        _spec = _ilu.spec_from_file_location(
+            "latpu_roofline",
+            pathlib.Path(__file__).parent / "benchmarks" / "roofline.py",
+        )
+        _roof = _ilu.module_from_spec(_spec)
+        _spec.loader.exec_module(_roof)
+        _ceiling = _roof.rdf_model()["ceiling_pairs_s"]["vpu"]
+        extras["rdf_vpu_roofline_frac"] = round(value / _ceiling, 3)
+    except Exception as err:  # pragma: no cover
+        extras["roofline_error"] = str(err)[:120]
     if health is not None:
         # chip-state context: this shared chip drifts +-35%; probe_s far
         # above ~0.1 s steady-state flags a degraded session
