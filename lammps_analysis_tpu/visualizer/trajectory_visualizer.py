@@ -13,6 +13,8 @@ import logging
 import pathlib
 from typing import List, Optional
 
+import numpy as np
+
 
 from ..database.trajectory_store import join_path
 
@@ -49,6 +51,7 @@ class TrajectoryVisualizer:
         import matplotlib.pyplot as plt
 
         exp = self.experiment
+        explicit_frames = frames
         if frames is None:
             n = exp.number_of_configurations
             frames = sorted({0, n // 2, n - 1})
@@ -78,25 +81,36 @@ class TrajectoryVisualizer:
         log.info("wrote %s", out)
 
         # interactive companion: drag/zoom/play point-cloud HTML
-        # (znvis-viewer parity, ``znvis_visualizer.py:41-140``)
+        # (znvis-viewer parity, ``znvis_visualizer.py:41-140``). The
+        # animation samples up to 60 frames across the trajectory when
+        # the caller did not pin an explicit frame list (the PNG keeps
+        # its three panels) — one batched load per species.
         from .html3d import write_html_3d
 
-        html_frames = []
-        for frame in frames:
-            groups = []
-            for sp in self.species:
-                path = join_path(sp, self.property_name)
-                if not exp.store.check_existence(path):
-                    continue
-                pos = exp.store.load(
-                    [path], frames=slice(frame, frame + 1)
-                )[path][0]
-                groups.append((sp, pos))
-            html_frames.append(groups)
+        anim = (
+            np.unique(
+                np.linspace(
+                    0, exp.number_of_configurations - 1,
+                    min(exp.number_of_configurations, 60), dtype=int,
+                )
+            )
+            if explicit_frames is None
+            else np.asarray(frames, dtype=int)
+        )
+        per_species = {}
+        for sp in self.species:
+            path = join_path(sp, self.property_name)
+            if not exp.store.check_existence(path):
+                continue
+            per_species[sp] = exp.store.load([path], frames=anim)[path]
+        html_frames = [
+            [(sp, data[i]) for sp, data in per_species.items()]
+            for i in range(len(anim))
+        ]
         write_html_3d(
             html_frames,
             exp.path / "figures" / "trajectory.html",
             title=f"{exp.name} trajectory",
-            frame_labels=[f"frame {f}" for f in frames],
+            frame_labels=[f"frame {int(f)}" for f in anim],
         )
         return out
