@@ -104,6 +104,8 @@ def _phase_ingest(results, phase, prop, make_chunk_arrays):
             )
         workdir = pathlib.Path(tempfile.mkdtemp(prefix=f"north_{phase}_"))
         results[key_dir] = str(workdir)
+        flush(results)  # BEFORE ingesting: an external kill (timeout/OOM)
+        # must leave the workdir discoverable for resume
         project = latpu.Project(name=phase, storage_path=workdir)
         exp = project.add_experiment(
             "big", timestep=DT, temperature=1400.0, units="metal"
