@@ -80,12 +80,18 @@ def install_reference_modules():
     vis.DataVisualizer2D = type("DataVisualizer2D", (), {})
     sys.modules["mdsuite.visualizer.d2_data_visualization"] = vis
 
-    # `from mdsuite.utils import config` expects the singleton re-exported
-    # by the real utils/__init__.py (bypassed here)
+    trafos = types.ModuleType("mdsuite.transformations")
+    trafos.__path__ = [f"{REF}/mdsuite/transformations"]
+    sys.modules["mdsuite.transformations"] = trafos
+
+    # `from mdsuite.utils import config` (and DatasetKeys) expect the
+    # singletons re-exported by the real utils/__init__.py (bypassed here)
     import importlib
 
     cfg = importlib.import_module("mdsuite.utils.config")
     sys.modules["mdsuite.utils"].config = cfg.config
+    consts = importlib.import_module("mdsuite.utils.constants")
+    sys.modules["mdsuite.utils"].DatasetKeys = consts.DatasetKeys
 
     mm = importlib.import_module("mdsuite.memory_management.memory_manager")
     sys.modules["mdsuite.memory_management"].MemoryManager = mm.MemoryManager
@@ -316,6 +322,202 @@ def gen_units_and_meta(units_mod, meta):
     return out
 
 
+def gen_transformations():
+    """Execute every reference transformation kernel on random batches.
+
+    ``transform_batch`` methods are pure (no instance state except
+    ``CoordinateWrapper.center_box``), so instances come from ``__new__``.
+    Reference layout is (atoms, time, dims); the consuming test
+    transposes for this build's time-leading layout.
+    """
+    import importlib
+
+    import tensorflow as tf
+
+    P = importlib.import_module("mdsuite.database.mdsuite_properties")
+    mpp = P.mdsuite_properties
+    rng = np.random.default_rng(46)
+    box = np.array([5.0, 6.0, 7.0])
+    n_a, n_b, t1, t2 = 6, 4, 9, 7
+    dt, sr = 0.05, 4.0
+
+    def arr(*shape, lo=-3.0, hi=3.0):
+        return rng.uniform(lo, hi, size=shape)
+
+    ins = {
+        "box": box.tolist(),
+        "time_step": dt,
+        "sample_rate": sr,
+        "pos_a_1": arr(n_a, t1, 3, lo=0.0, hi=5.0).tolist(),
+        "pos_a_2": arr(n_a, t2, 3, lo=0.0, hi=5.0).tolist(),
+        "upos_a": (arr(n_a, t1, 3, lo=-2.0, hi=9.0)).tolist(),
+        "spos_a": arr(n_a, t1, 3, lo=0.0, hi=1.0).tolist(),
+        "images_a": rng.integers(-3, 4, size=(n_a, t1, 3)).astype(float).tolist(),
+        "vel_a": arr(n_a, t1, 3).tolist(),
+        "vel_b": arr(n_b, t1, 3).tolist(),
+        "upos_b": (arr(n_b, t1, 3, lo=-2.0, hi=9.0)).tolist(),
+        "q_a": np.full((n_a, t1, 1), 1.0).tolist(),
+        "q_b": np.full((n_b, t1, 1), -1.0).tolist(),
+        "stress_a": arr(n_a, t1, 6).tolist(),
+        "stress_b": arr(n_b, t1, 6).tolist(),
+        "ke_a": (arr(n_a, t1, 1, lo=0.0, hi=2.0)).tolist(),
+        "ke_b": (arr(n_b, t1, 1, lo=0.0, hi=2.0)).tolist(),
+        "pe_a": (arr(n_a, t1, 1, lo=-2.0, hi=0.0)).tolist(),
+        "pe_b": (arr(n_b, t1, 1, lo=-2.0, hi=0.0)).tolist(),
+        "force_a": arr(n_a, t1, 3).tolist(),
+        # kinaci needs equal species sizes (upstream add_n)
+        "kin_pos_a": arr(n_a, t1, 3).tolist(),
+        "kin_pos_b": arr(n_a, t1, 3).tolist(),
+        "kin_vel_b": arr(n_a, t1, 3).tolist(),
+        "kin_force_b": arr(n_a, t1, 3).tolist(),
+        "kin_pe_b": (arr(n_a, t1, 1, lo=-2.0, hi=0.0)).tolist(),
+    }
+    T = lambda name: importlib.import_module(f"mdsuite.transformations.{name}")
+    c = lambda x: tf.constant(np.asarray(x), tf.float64)
+    out = {"inputs": ins}
+
+    # unwrap: two chained batches exercise the carryover
+    uw = T("unwrap_coordinates").CoordinateUnwrapper
+    self_uw = uw.__new__(uw)
+    o1, carry = self_uw.transform_batch(
+        {mpp.positions.name: c(ins["pos_a_1"]),
+         mpp.box_length.name: c(box)}, None,
+    )
+    o2, _ = self_uw.transform_batch(
+        {mpp.positions.name: c(ins["pos_a_2"]),
+         mpp.box_length.name: c(box)}, carry,
+    )
+    out["unwrap_batch1"] = np.asarray(o1).tolist()
+    out["unwrap_batch2"] = np.asarray(o2).tolist()
+
+    uvi = T("unwrap_via_indices").UnwrapViaIndices
+    out["unwrap_via_indices"] = np.asarray(
+        uvi.__new__(uvi).transform_batch(
+            {mpp.positions.name: c(ins["pos_a_1"]),
+             mpp.box_length.name: c(box),
+             mpp.box_images.name: c(ins["images_a"])}, None,
+        )
+    ).tolist()
+
+    wr = T("wrap_coordinates").CoordinateWrapper
+    for center in (False, True):
+        self_wr = wr.__new__(wr)
+        self_wr.center_box = center
+        out[f"wrap_center_{center}"] = np.asarray(
+            self_wr.transform_batch(
+                {mpp.unwrapped_positions.name: c(ins["upos_a"]),
+                 mpp.box_length.name: c(box)}, None,
+            )
+        ).tolist()
+
+    sc = T("scale_coordinates").ScaleCoordinates
+    out["scale"] = np.asarray(
+        sc.__new__(sc).transform_batch(
+            {mpp.scaled_positions.name: c(ins["spos_a"]),
+             mpp.box_length.name: c(box)}, None,
+        )
+    ).tolist()
+
+    vfp = T("velocity_from_positions").VelocityFromPositions
+    out["velocity_from_positions"] = np.asarray(
+        vfp.__new__(vfp).transform_batch(
+            {mpp.unwrapped_positions.name: c(ins["upos_a"]),
+             mpp.time_step.name: tf.constant(dt, tf.float64),
+             mpp.sample_rate.name: tf.constant(sr, tf.float64)}, None,
+        )
+    ).tolist()
+
+    ic = T("ionic_current").IonicCurrent
+    out["ionic_current"] = np.asarray(
+        ic.__new__(ic).transform_batch(
+            {"A": {mpp.velocities.name: c(ins["vel_a"]),
+                   mpp.charge.name: c(ins["q_a"])},
+             "B": {mpp.velocities.name: c(ins["vel_b"]),
+                   mpp.charge.name: c(ins["q_b"])}}, None,
+        )
+    ).tolist()
+
+    tdm = T("translational_dipole_moment").TranslationalDipoleMoment
+    out["translational_dipole_moment"] = np.asarray(
+        tdm.__new__(tdm).transform_batch(
+            {"A": {mpp.unwrapped_positions.name: c(ins["upos_a"]),
+                   mpp.charge.name: c(ins["q_a"])},
+             "B": {mpp.unwrapped_positions.name: c(ins["upos_b"]),
+                   mpp.charge.name: c(ins["q_b"])}}, None,
+        )
+    ).tolist()
+
+    tfx = T("thermal_flux").ThermalFlux
+    out["thermal_flux"] = np.asarray(
+        tfx.__new__(tfx).transform_batch(
+            {"A": {mpp.stress.name: c(ins["stress_a"]),
+                   mpp.velocities.name: c(ins["vel_a"]),
+                   mpp.kinetic_energy.name: c(ins["ke_a"]),
+                   mpp.potential_energy.name: c(ins["pe_a"])},
+             "B": {mpp.stress.name: c(ins["stress_b"]),
+                   mpp.velocities.name: c(ins["vel_b"]),
+                   mpp.kinetic_energy.name: c(ins["ke_b"]),
+                   mpp.potential_energy.name: c(ins["pe_b"])}}, None,
+        )
+    ).tolist()
+
+    ihc = T("integrated_heat_current").IntegratedHeatCurrent
+    out["integrated_heat_current"] = np.asarray(
+        ihc.__new__(ihc).transform_batch(
+            {"A": {mpp.unwrapped_positions.name: c(ins["upos_a"]),
+                   mpp.kinetic_energy.name: c(ins["ke_a"]),
+                   mpp.potential_energy.name: c(ins["pe_a"])},
+             "B": {mpp.unwrapped_positions.name: c(ins["upos_b"]),
+                   mpp.kinetic_energy.name: c(ins["ke_b"]),
+                   mpp.potential_energy.name: c(ins["pe_b"])}}, None,
+        )
+    ).tolist()
+
+    mf = T("momentum_flux").MomentumFlux
+    out["momentum_flux"] = np.asarray(
+        mf.__new__(mf).transform_batch(
+            {"A": {mpp.stress.name: c(ins["stress_a"])},
+             "B": {mpp.stress.name: c(ins["stress_b"])}}, None,
+        )
+    ).tolist()
+
+    kin = T("kinaci_integrated_heat_current").KinaciIntegratedHeatCurrent
+    kin_batch = {
+        "A": {mpp.unwrapped_positions.name: c(ins["kin_pos_a"]),
+              mpp.velocities.name: c(ins["vel_a"]),
+              mpp.forces.name: c(ins["force_a"]),
+              mpp.potential_energy.name: c(ins["pe_a"]),
+              mpp.time_step.name: tf.constant(dt, tf.float64),
+              mpp.sample_rate.name: tf.constant(sr, tf.float64)},
+        "B": {mpp.unwrapped_positions.name: c(ins["kin_pos_b"]),
+              mpp.velocities.name: c(ins["kin_vel_b"]),
+              mpp.forces.name: c(ins["kin_force_b"]),
+              mpp.potential_energy.name: c(ins["kin_pe_b"]),
+              mpp.time_step.name: tf.constant(dt, tf.float64),
+              mpp.sample_rate.name: tf.constant(sr, tf.float64)},
+    }
+    k1, k_carry = kin.__new__(kin).transform_batch(kin_batch, None)
+    out["kinaci_batch1"] = np.asarray(k1).tolist()
+    # upstream's cross-batch resume is broken: transform_batch returns a
+    # 1-D per-atom carry (``add_n(integrals)[:, -1]``) but the next call
+    # tiles it with 2-D multiples (``tf.tile(carryover, (1, batch_size))``,
+    # kinaci_integrated_heat_current.py:66) — InvalidArgumentError on
+    # every multi-batch run. Record the crash, then the intended
+    # semantics with the carry reshaped to the (n, 1) the tile expects.
+    try:
+        kin.__new__(kin).transform_batch(kin_batch, k_carry)
+        out["kinaci_carry_crashes_upstream"] = False
+    except Exception as err:
+        out["kinaci_carry_crashes_upstream"] = (
+            f"{type(err).__name__}: {str(err)[:160]}"
+        )
+    k2, _ = kin.__new__(kin).transform_batch(
+        kin_batch, tf.reshape(k_carry, (-1, 1))
+    )
+    out["kinaci_batch2_same_inputs_with_carry"] = np.asarray(k2).tolist()
+    return out
+
+
 def main():
     install_reference_modules()
     import importlib
@@ -338,6 +540,7 @@ def main():
         "golden_linalg.json": gen_linalg(linalg),
         "golden_fit_helpers.json": gen_fit_and_helpers(chm),
         "golden_units_meta.json": gen_units_and_meta(units_mod, meta),
+        "golden_transformations.json": gen_transformations(),
     }
     for fname, data in goldens.items():
         path = OUT / fname
