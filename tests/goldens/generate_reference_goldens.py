@@ -62,6 +62,14 @@ def install_reference_modules():
     gputil.getGPUs = lambda: []
     sys.modules["GPUtil"] = gputil
 
+    if "pkg_resources" not in sys.modules:
+        try:
+            import pkg_resources  # noqa: F401
+        except ImportError:  # absent from this venv; only __init__ uses it
+            pr = types.ModuleType("pkg_resources")
+            pr.resource_stream = None
+            sys.modules["pkg_resources"] = pr
+
     scheme = types.ModuleType("mdsuite.database.scheme")
     scheme.Computation = type("Computation", (), {})
     scheme.ComputationResult = type("ComputationResult", (), {})
@@ -83,6 +91,22 @@ def install_reference_modules():
     trafos = types.ModuleType("mdsuite.transformations")
     trafos.__path__ = [f"{REF}/mdsuite/transformations"]
     sys.modules["mdsuite.transformations"] = trafos
+
+    # structure_factor.py pulls bokeh plotting symbols and the top-level
+    # `from mdsuite import data, utils`
+    bokeh = types.ModuleType("bokeh")
+    bokeh_models = types.ModuleType("bokeh.models")
+    bokeh_models.HoverTool = type("HoverTool", (), {})
+    bokeh_plotting = types.ModuleType("bokeh.plotting")
+    bokeh_plotting.figure = lambda *a, **k: None
+    sys.modules["bokeh"] = bokeh
+    sys.modules["bokeh.models"] = bokeh_models
+    sys.modules["bokeh.plotting"] = bokeh_plotting
+    data_mod = types.ModuleType("mdsuite.data")
+    data_mod.__path__ = [f"{REF}/mdsuite/data"]
+    sys.modules["mdsuite.data"] = data_mod
+    sys.modules["mdsuite"].data = data_mod
+    sys.modules["mdsuite"].utils = sys.modules["mdsuite.utils"]
 
     # `from mdsuite.utils import config` (and DatasetKeys) expect the
     # singletons re-exported by the real utils/__init__.py (bypassed here)
@@ -518,6 +542,128 @@ def gen_transformations():
     return out
 
 
+def gen_structure_factor():
+    """Execute the reference's (upstream-disabled) StructureFactor math.
+
+    The class is instantiated via ``__new__`` with the form-factor CSV
+    read directly; every numerical method below is reference code. A
+    synthetic 2-species RDF with Gaussian bumps feeds the partial-SF /
+    weight / total pipeline. The proper Cromer-Mann factor computed from
+    the SAME CSV row is recorded alongside so the consuming test can pin
+    each upstream divergence (unsquared q/4pi exponent, '+c' added once
+    per a-term, per-q Faber-Ziman denominator collapsed by np.mean, the
+    same-species factor 2, the 0.5 scale, the missing density).
+    """
+    import importlib
+
+    import pandas as pd
+
+    sf_mod = importlib.import_module("mdsuite.calculators.structure_factor")
+    SF = sf_mod.StructureFactor
+    self = SF.__new__(SF)
+
+    # pandas 2 removed float(<1-row Series>), which the reference's
+    # _compute_form_factors relies on (written for pandas 1 — the
+    # upstream code crashes outright on modern pandas). This shim
+    # restores the pandas-1 access pattern without touching the math:
+    # column access on a .loc[mask] single-row result yields a scalar.
+    class _FFShim:
+        def __init__(self, df):
+            self._df = df
+
+        def __getitem__(self, key):
+            return self._df[key]
+
+        @property
+        def loc(self):
+            df = self._df
+
+            class _Loc:
+                def __getitem__(_, mask):
+                    row = df[mask]
+                    assert len(row) == 1
+                    return {
+                        c: (
+                            row[c].iloc[0]
+                            if c == "Element"
+                            else float(row[c].iloc[0])
+                        )
+                        for c in row.columns
+                    }
+
+            return _Loc()
+
+    self.form_factor_data = _FFShim(
+        pd.read_csv(f"{REF}/mdsuite/data/form_fac_coeffs.csv")
+    )
+    resolution = 40
+    self.args = types.SimpleNamespace(resolution=resolution)
+    self.q_values = np.linspace(0.5, 12, resolution)
+
+    # synthetic RDF computation: g(r) = 1 + gaussian bump, x stored in nm
+    r_ang = np.linspace(0.02, 9.0, 120)
+    rng = np.random.default_rng(47)
+    rdf_dict = {}
+    for pair, (center, height) in {
+        "Na_Na": (3.2, 0.8), "Na_Cl": (2.6, 1.6), "Cl_Cl": (3.8, 0.6),
+    }.items():
+        g = 1.0 + height * np.exp(-((r_ang - center) ** 2) / 0.18)
+        rdf_dict[pair] = {"x": (r_ang / 10.0).tolist(), "y": g.tolist()}
+    self.rdf_data = types.SimpleNamespace(
+        data_dict={
+            k: {"x": np.array(v["x"]), "y": np.array(v["y"])}
+            for k, v in rdf_dict.items()
+        }
+    )
+    self.species_dict = {
+        "Na": types.SimpleNamespace(molar_fraction=0.5, form_factor=None),
+        "Cl": types.SimpleNamespace(molar_fraction=0.5, form_factor=None),
+    }
+    self._compute_form_factors()
+    partial = self._compute_partial_structure_factors()
+    weights = self._compute_weight_factors()
+    total = self._compute_total_structure_factor(partial, weights)
+
+    # proper Cromer-Mann from the SAME CSV rows, for the consuming test
+    proper = {}
+    csv_coeffs = {}
+    for name in ("Na", "Cl"):
+        row = self.form_factor_data.loc[
+            self.form_factor_data["Element"] == name
+        ]
+        f = np.zeros(resolution)
+        for i in range(4):
+            f += float(row[f"a{i + 1}"]) * np.exp(
+                -float(row[f"b{i + 1}"]) * (self.q_values / (4 * np.pi)) ** 2
+            )
+        f += float(row["c"])
+        proper[name] = f.tolist()
+        csv_coeffs[name] = {
+            **{f"a{i + 1}": float(row[f"a{i + 1}"]) for i in range(4)},
+            **{f"b{i + 1}": float(row[f"b{i + 1}"]) for i in range(4)},
+            "c": float(row["c"]),
+        }
+    return {
+        "q": self.q_values.tolist(),
+        "resolution": resolution,
+        "rdf": rdf_dict,
+        "molar_fractions": {"Na": 0.5, "Cl": 0.5},
+        "reference_form_factors": {
+            n: np.asarray(s.form_factor).tolist()
+            for n, s in self.species_dict.items()
+        },
+        "proper_cromer_mann": proper,
+        "csv_coefficients": csv_coeffs,
+        "reference_partial_sf": {
+            k: np.asarray(v).tolist() for k, v in partial.items()
+        },
+        "reference_weights": {
+            k: np.asarray(v).tolist() for k, v in weights.items()
+        },
+        "reference_total_sf": np.asarray(total).tolist(),
+    }
+
+
 def main():
     install_reference_modules()
     import importlib
@@ -541,6 +687,7 @@ def main():
         "golden_fit_helpers.json": gen_fit_and_helpers(chm),
         "golden_units_meta.json": gen_units_and_meta(units_mod, meta),
         "golden_transformations.json": gen_transformations(),
+        "golden_structure_factor.json": gen_structure_factor(),
     }
     for fname, data in goldens.items():
         path = OUT / fname
