@@ -92,8 +92,8 @@ class DCDFile(FileProcessor):
             icntrl = struct.unpack(bo + "20i", hdr[4:])
             if icntrl[8] != 0:
                 raise ValueError(
-                    f"{self.file_path}: fixed-atom DCD files (icntrl[9] = "
-                    f"{icntrl[8]}) are not supported"
+                    f"{self.file_path}: fixed-atom DCD files (NAMNF = "
+                    f"icntrl[8] = {icntrl[8]}) are not supported"
                 )
             has_cell = icntrl[10] != 0
             charmm = icntrl[19] != 0
