@@ -92,6 +92,15 @@ def install_reference_modules():
     trafos.__path__ = [f"{REF}/mdsuite/transformations"]
     sys.modules["mdsuite.transformations"] = trafos
 
+    fio = types.ModuleType("mdsuite.file_io")
+    fio.__path__ = [f"{REF}/mdsuite/file_io"]
+    sys.modules["mdsuite.file_io"] = fio
+    # `mdsuite.file_io.file_read.FileProcessor` is referenced through the
+    # ATTRIBUTE chain (tabular_text_files.py:57); pre-existing fake
+    # modules suppress the import system's parent-attr wiring
+    sys.modules["mdsuite"].file_io = fio
+    sys.modules["mdsuite"].database = sys.modules["mdsuite.database"]
+
     # structure_factor.py pulls bokeh plotting symbols and the top-level
     # `from mdsuite import data, utils`
     bokeh = types.ModuleType("bokeh")
@@ -664,6 +673,79 @@ def gen_structure_factor():
     }
 
 
+def gen_lammps_reader():
+    """Run the REFERENCE LAMMPS dump reader end-to-end on a synthetic file.
+
+    Shuffled atom ids, two species, positions + velocities + charge
+    columns: exercises the column map, species discovery, the id sort,
+    and chunk assembly. The golden records the file text plus every
+    chunk array in the reference layout (atoms, time, dims); the
+    consuming test feeds the same text to this build's reader.
+    """
+    import importlib
+    import tempfile
+
+    ltf = importlib.import_module("mdsuite.file_io.lammps_trajectory_files")
+
+    rng = np.random.default_rng(48)
+    n_atoms, n_frames, box = 20, 3, 9.0
+    species_of = ["Na" if i % 3 else "Cl" for i in range(n_atoms)]
+    pos = rng.uniform(0, box, size=(n_frames, n_atoms, 3))
+    vel = rng.normal(size=(n_frames, n_atoms, 3))
+    q = np.where(np.array([s == "Na" for s in species_of]), 1.0, -1.0)
+    lines = []
+    for t in range(n_frames):
+        lines += [
+            "ITEM: TIMESTEP", str(t * 7), "ITEM: NUMBER OF ATOMS",
+            str(n_atoms), "ITEM: BOX BOUNDS pp pp pp",
+            f"0 {box}", f"0 {box}", f"0 {box}",
+            "ITEM: ATOMS id element x y z vx vy vz q",
+        ]
+        for i in rng.permutation(n_atoms):
+            lines.append(
+                f"{i + 1} {species_of[i]} "
+                f"{pos[t, i, 0]:.8f} {pos[t, i, 1]:.8f} {pos[t, i, 2]:.8f} "
+                f"{vel[t, i, 0]:.8f} {vel[t, i, 1]:.8f} {vel[t, i, 2]:.8f} "
+                f"{q[i]:.3f}"
+            )
+    text = "\n".join(lines) + "\n"
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".lammpstraj", delete=False
+    ) as f:
+        f.write(text)
+        path = f.name
+
+    reader = ltf.LAMMPSTrajectoryFile(path)
+    meta = reader.metadata
+    chunks = list(reader.get_configurations_generator())
+    data = {}
+    for sp in meta.species_list:
+        for prop in sp.properties:
+            # reference chunk storage: get_data() -> {species: {prop:
+            # (n_configs, n_particles, dims) array}} (simulation_database
+            # .py:226-227)
+            arrs = [
+                np.asarray(c.get_data()[sp.name][prop.name]) for c in chunks
+            ]
+            data[f"{sp.name}/{prop.name}"] = np.concatenate(
+                arrs, axis=0
+            ).tolist()
+    return {
+        "file_text": text,
+        "n_configurations": int(meta.n_configurations),
+        "box_l": [float(b) for b in meta.box_l],
+        "sample_rate": int(meta.sample_rate),
+        "species": {
+            sp.name: {
+                "n_particles": int(sp.n_particles),
+                "properties": [p.name for p in sp.properties],
+            }
+            for sp in meta.species_list
+        },
+        "data": data,
+    }
+
+
 def main():
     install_reference_modules()
     import importlib
@@ -688,6 +770,7 @@ def main():
         "golden_units_meta.json": gen_units_and_meta(units_mod, meta),
         "golden_transformations.json": gen_transformations(),
         "golden_structure_factor.json": gen_structure_factor(),
+        "golden_lammps_reader.json": gen_lammps_reader(),
     }
     for fname, data in goldens.items():
         path = OUT / fname
