@@ -746,6 +746,63 @@ def gen_lammps_reader():
     }
 
 
+def gen_extxyz_reader():
+    """Reference EXTXYZ reader end-to-end (same pattern as gen_lammps_reader)."""
+    import importlib
+    import tempfile
+
+    exf = importlib.import_module("mdsuite.file_io.extxyz_files")
+
+    rng = np.random.default_rng(49)
+    n_atoms, n_frames, box = 14, 3, 8.5
+    species_of = ["O" if i % 3 == 0 else "H" for i in range(n_atoms)]
+    pos = rng.uniform(0, box, size=(n_frames, n_atoms, 3))
+    force = rng.normal(size=(n_frames, n_atoms, 3))
+    lines = []
+    for t in range(n_frames):
+        lines.append(str(n_atoms))
+        lines.append(
+            f'Lattice="{box} 0.0 0.0 0.0 {box} 0.0 0.0 0.0 {box}" '
+            f"Properties=species:S:1:pos:R:3:force:R:3 time={t * 0.5}"
+        )
+        for i in range(n_atoms):
+            lines.append(
+                f"{species_of[i]} "
+                f"{pos[t, i, 0]:.8f} {pos[t, i, 1]:.8f} {pos[t, i, 2]:.8f} "
+                f"{force[t, i, 0]:.8f} {force[t, i, 1]:.8f} {force[t, i, 2]:.8f}"
+            )
+    text = "\n".join(lines) + "\n"
+    with tempfile.NamedTemporaryFile("w", suffix=".extxyz", delete=False) as f:
+        f.write(text)
+        path = f.name
+    reader = exf.EXTXYZFile(path)
+    meta = reader.metadata
+    chunks = list(reader.get_configurations_generator())
+    data = {}
+    for sp in meta.species_list:
+        for prop in sp.properties:
+            arrs = [
+                np.asarray(c.get_data()[sp.name][prop.name]) for c in chunks
+            ]
+            data[f"{sp.name}/{prop.name}"] = np.concatenate(
+                arrs, axis=0
+            ).tolist()
+    return {
+        "file_text": text,
+        "n_configurations": int(meta.n_configurations),
+        "box_l": [float(b) for b in meta.box_l],
+        "sample_rate": None if meta.sample_rate is None else int(meta.sample_rate),
+        "species": {
+            sp.name: {
+                "n_particles": int(sp.n_particles),
+                "properties": [p.name for p in sp.properties],
+            }
+            for sp in meta.species_list
+        },
+        "data": data,
+    }
+
+
 def main():
     install_reference_modules()
     import importlib
@@ -771,6 +828,7 @@ def main():
         "golden_transformations.json": gen_transformations(),
         "golden_structure_factor.json": gen_structure_factor(),
         "golden_lammps_reader.json": gen_lammps_reader(),
+        "golden_extxyz_reader.json": gen_extxyz_reader(),
     }
     for fname, data in goldens.items():
         path = OUT / fname
