@@ -93,9 +93,37 @@ def measure_rdf_pairs_per_s(n_atoms, n_frames, n_bins, repeats=3,
 _CONSISTENCY = {}
 
 
+def _best_of(run_once, work_units, trials=3):
+    """Drift-immune rate measurement: best-of-``trials`` wall-clock rate
+    plus a ``process_time`` companion.
+
+    This VM's wall clock is 2-4x noisy run-to-run (steal on the shared
+    core, page-cache state) and the shared chip drifts +-35% across
+    hours; a single mean-of-repeats measurement is indistinguishable
+    from a regression.  The best trial is the steady-state capability;
+    the process-time rate strips host steal entirely (only meaningful
+    for host-executed work — on TPU it reflects dispatch cost, not the
+    kernel).  Returns ``(best_wall_rate, best_pt_rate)``.
+    """
+    best_wall = 0.0
+    best_pt = 0.0
+    for _ in range(trials):
+        w0 = time.perf_counter()
+        p0 = time.process_time()
+        run_once()
+        wall = time.perf_counter() - w0
+        pt = time.process_time() - p0
+        best_wall = max(best_wall, work_units / wall)
+        if pt > 0:
+            best_pt = max(best_pt, work_units / pt)
+    return best_wall, best_pt
+
+
 def measure_gk_corr_frames_per_s(t=16384, n=256, window=512, stride=256,
                                  repeats=3):
-    """Green-Kubo windowed-ACF throughput (particle-window-frames/s)."""
+    """Green-Kubo windowed-ACF throughput (particle-window-frames/s).
+
+    Best-of-3 batches of ``repeats`` dispatches (see ``_best_of``)."""
     import jax
     import jax.numpy as jnp
 
@@ -105,18 +133,23 @@ def measure_gk_corr_frames_per_s(t=16384, n=256, window=512, stride=256,
     vel = jnp.asarray(rng.normal(size=(t, n, 3)).astype(np.float32))
     out = windowed_acf_sum(vel, window, stride)
     np.asarray(out[0])  # compile + execute + fetch
-    t0 = time.perf_counter()
-    for _ in range(repeats):
-        out = windowed_acf_sum(vel, window, stride)
-    jax.block_until_ready(out)
-    elapsed = (time.perf_counter() - t0) / repeats
+
+    def run_once():
+        out = None
+        for _ in range(repeats):
+            out = windowed_acf_sum(vel, window, stride)
+        jax.block_until_ready(out)
+
     n_windows = (t - window) // stride + 1
-    return n_windows * window * n / elapsed
+    work = repeats * n_windows * window * n
+    return _best_of(run_once, work)
 
 
 def measure_msd_wfa_per_s(t=16384, n=1024, window=512, stride=256,
                           repeats=3):
-    """Windowed-MSD throughput (window-frame-atoms/s), comb formulation."""
+    """Windowed-MSD throughput (window-frame-atoms/s), comb formulation.
+
+    Best-of-3 batches of ``repeats`` dispatches (see ``_best_of``)."""
     import jax
     import jax.numpy as jnp
 
@@ -129,25 +162,35 @@ def measure_msd_wfa_per_s(t=16384, n=1024, window=512, stride=256,
     tau = jnp.arange(window)
     out = windowed_msd_sum(x, tau, window, stride)
     np.asarray(out[0])  # compile + execute + fetch
-    t0 = time.perf_counter()
-    for _ in range(repeats):
-        out = windowed_msd_sum(x, tau, window, stride)
-    jax.block_until_ready(out)
-    elapsed = (time.perf_counter() - t0) / repeats
+
+    def run_once():
+        out = None
+        for _ in range(repeats):
+            out = windowed_msd_sum(x, tau, window, stride)
+        jax.block_until_ready(out)
+
     n_windows = (t - window) // stride + 1
-    return n_windows * window * n / elapsed
+    work = repeats * n_windows * window * n
+    return _best_of(run_once, work)
 
 
 def measure_adf_ms_per_frame(n_atoms=10240, n_frames=2, n_bins=500,
-                             cutoff=3.6, repeats=3, n_species=2):
+                             cutoff=3.6, repeats=3, n_species=2,
+                             stage_split=False):
     """Production ADF pipeline (z-sorted window extract + folded angle
     stage) — exactly the route the calculator runs. ``n_species`` splits
     the atoms into that many equal species (the stage-2 one-hot space
-    grows with the triple count: 4 triples at 2 species, 10 at 3)."""
+    grows with the triple count: 4 triples at 2 species, 10 at 3).
+
+    With ``stage_split=True`` additionally times stage 1 (sort + window
+    extract) alone and returns a dict — stage2+overhead = pipeline −
+    stage1, the number the roofline MFU fraction is defined against
+    (``benchmarks/roofline.py::adf_stage2_model``)."""
     import jax
     import jax.numpy as jnp
 
     from lammps_analysis_tpu.ops.adf import build_triple_table
+    from lammps_analysis_tpu.ops import pallas_adf as _pk
     from lammps_analysis_tpu.parallel.sharded_ops import (
         _AdfPlan,
         _adf_pipeline,
@@ -173,14 +216,39 @@ def measure_adf_ms_per_frame(n_atoms=10240, n_frames=2, n_bins=500,
     def run():
         return pipe(pos, sid, ttab_j, box_j)[0]
 
-    np.asarray(run())  # compile + execute + fetch
-    t0 = time.perf_counter()
-    h = None
-    for _ in range(repeats):
-        h = run()
-    jax.block_until_ready(h)
-    np.asarray(h)
-    return (time.perf_counter() - t0) / repeats / n_frames * 1000
+    def time_ms_per_frame(fn):
+        fn()  # compile + execute
+        t0 = time.perf_counter()
+        h = None
+        for _ in range(repeats):
+            h = fn()
+        jax.block_until_ready(h)
+        np.asarray(h) if not isinstance(h, tuple) else np.asarray(h[0])
+        return (time.perf_counter() - t0) / repeats / n_frames * 1000
+
+    pipeline_ms = time_ms_per_frame(lambda: run())
+    if not stage_split:
+        return pipeline_ms
+
+    # stage 1 alone: the exact extract call the pipeline issues (same
+    # plan parameters); only valid on the sorted Pallas route
+    assert plan.use_sorted and plan.use_pallas_run and not plan.use_cells
+
+    def run_stage1():
+        return _pk.sorted_neighbor_extract(
+            pos, sid, box_j, cutoff, k_n=plan.k_n, e_fixed=plan.extract_e,
+            w_chunks=plan.w_chunks, sort=plan.sort,
+            n_arcs=plan.n_arcs if plan.sort in ("brick", "brick3") else 1,
+        )
+
+    stage1_ms = time_ms_per_frame(run_stage1)
+    return {
+        "pipeline_ms": pipeline_ms,
+        "stage1_ms": stage1_ms,
+        "stage2_plus_overhead_ms": max(pipeline_ms - stage1_ms, 1e-9),
+        "pack": plan.pack,
+        "k_n": plan.k_n,
+    }
 
 
 def measure_ingest_mb_per_s(n_frames=400, n_atoms=4000):
@@ -222,8 +290,11 @@ def measure_ingest_mb_per_s(n_frames=400, n_atoms=4000):
 
     # best of 3 fresh ingests: this VM's single shared core shows 2-4x
     # run-to-run noise (page-cache state, writeback, steal); the best run
-    # is the steady-state capability the e2e pipeline sees on warm cache
+    # is the steady-state capability the e2e pipeline sees on warm cache.
+    # The process_time companion strips host steal (ingest is pure host
+    # work, so it is the drift-immune number).
     best = 0.0
+    best_pt = 0.0
     for trial in range(3):
         with tempfile.TemporaryDirectory() as proj_dir:
             project = latpu.Project(
@@ -233,11 +304,15 @@ def measure_ingest_mb_per_s(n_frames=400, n_atoms=4000):
             reader = LAMMPSDumpFile(path)
             reader.spec  # metadata scan excluded from the timing
             t0 = time.perf_counter()
+            p0 = time.process_time()
             exp.add_data(reader, update_with_pubchempy=False)
             elapsed = time.perf_counter() - t0
+            pt = time.process_time() - p0
         best = max(best, size_mb / elapsed)
+        if pt > 0:
+            best_pt = max(best_pt, size_mb / pt)
     pathlib.Path(path).unlink()
-    return best
+    return best, best_pt
 
 
 def tf_baseline_value():
@@ -287,22 +362,86 @@ def _chip_health(timeout_s: float = 420.0):
     return None
 
 
+def _last_rebaseline():
+    """The most recent one-session on-chip baseline, for context when the
+    current session is degraded or fell back to CPU
+    (``benchmarks/rebaseline.py`` re-measures all headline numbers with
+    the health probe recorded alongside)."""
+    try:
+        reb = json.loads(
+            (pathlib.Path(__file__).parent / "benchmarks"
+             / "rebaseline.json").read_text()
+        )
+    except Exception:
+        return None
+    return {
+        "measured": reb.get("measured"),
+        "probe_s": reb.get("probe_s"),
+        "rdf_pairs_per_s": reb.get("rdf_pairs_per_s"),
+        "rdf_65536_gpairs_per_s": reb.get("rdf_65536_gpairs_per_s"),
+        "adf_firstshell_ms_per_frame": reb.get(
+            "adf_firstshell_ms_per_frame"
+        ),
+    }
+
+
+# healthy steady-state probe is ~0.1-0.5 s; r3's official record was
+# captured at probe 2.53 s and understated the build by ~36%. Anything
+# above ~3x steady state is chip weather, not capability.
+DEGRADED_PROBE_S = 1.5
+WEDGED_PROBE_S = 20.0
+
+
+def _chip_health_retry(max_attempts=3, backoff_s=(120.0, 300.0)):
+    """Probe, and on a degraded (but alive) reading re-probe with bounded
+    backoff — outages heal on hour scales, so a couple of spaced retries
+    catch the 'elevated for minutes' tail without stalling the driver.
+
+    Returns ``(health_or_None, attempts)`` where ``attempts`` is the list
+    of observed probe_s (-1 for a timeout)."""
+    attempts = []
+    best = None
+    for i in range(max_attempts):
+        h = _chip_health()
+        attempts.append(-1.0 if h is None else h["probe_s"])
+        if h is not None and (best is None or h["probe_s"] < best["probe_s"]):
+            best = h
+        if h is not None and h["probe_s"] <= DEGRADED_PROBE_S and (
+            h["init_first_s"] <= 300.0
+        ):
+            return h, attempts
+        if i + 1 < max_attempts:
+            time.sleep(backoff_s[min(i, len(backoff_s) - 1)])
+    return best, attempts
+
+
 def main():
     import os
     import sys
 
     forced_cpu = os.environ.get("BENCH_FORCED_CPU") == "1"
     health = None
+    probe_attempts = []
+    degraded = False
     if not forced_cpu:
-        health = _chip_health()
+        health, probe_attempts = _chip_health_retry()
         # probe_s > ~20 s means the tunnel is wedged-but-crawling (healthy
         # steady state is ~0.1 s; a 135 s probe was measured mid-outage):
         # a full measurement there takes hours and reports garbage. Treat
-        # degraded like dead — an honest CPU number beats both.
-        degraded = health is not None and (
-            health["probe_s"] > 20.0 or health["init_first_s"] > 300.0
+        # wedged like dead — an honest CPU number beats both.  Between
+        # DEGRADED_PROBE_S and WEDGED_PROBE_S the chip is measurable but
+        # drifting: measure anyway, but stamp the record as degraded and
+        # embed the last healthy rebaseline so the reader can tell
+        # capability from weather.
+        wedged = health is not None and (
+            health["probe_s"] > WEDGED_PROBE_S
+            or health["init_first_s"] > 300.0
         )
-        if health is None or degraded:
+        degraded = (
+            health is not None and not wedged
+            and health["probe_s"] > DEGRADED_PROBE_S
+        )
+        if health is None or wedged:
             # wedged tunnel: a TPU measurement would hang forever. Re-exec
             # on CPU so the driver still gets its one JSON line — an honest
             # (slower) number with the failure annotated beats a hang.
@@ -312,7 +451,7 @@ def main():
                 JAX_PLATFORMS="cpu",
                 BENCH_FORCED_CPU="1",
             )
-            if degraded:
+            if health is not None:
                 env["BENCH_DEGRADED_PROBE_S"] = str(health["probe_s"])
             os.execve(sys.executable, [sys.executable, __file__], env)
 
@@ -321,28 +460,48 @@ def main():
     vs = value / baseline if baseline else None
     extras = {}
     try:
-        extras["gk_corr_frames_per_s"] = round(measure_gk_corr_frames_per_s())
+        import jax
+
+        _host_backend = jax.default_backend() == "cpu"
+    except Exception:  # pragma: no cover
+        _host_backend = True
+    try:
+        gk_wall, gk_pt = measure_gk_corr_frames_per_s()
+        extras["gk_corr_frames_per_s"] = round(gk_wall)
+        if _host_backend and gk_pt:
+            extras["gk_corr_frames_per_s_pt"] = round(gk_pt)
     except Exception as err:  # pragma: no cover
         extras["gk_error"] = str(err)[:120]
     try:
-        extras["msd_window_frame_atoms_per_s"] = round(
-            measure_msd_wfa_per_s()
-        )
+        msd_wall, msd_pt = measure_msd_wfa_per_s()
+        extras["msd_window_frame_atoms_per_s"] = round(msd_wall)
+        if _host_backend and msd_pt:
+            extras["msd_window_frame_atoms_per_s_pt"] = round(msd_pt)
     except Exception as err:  # pragma: no cover
         extras["msd_error"] = str(err)[:120]
     try:
-        extras["ingest_mb_per_s"] = round(measure_ingest_mb_per_s(), 1)
+        ing_wall, ing_pt = measure_ingest_mb_per_s()
+        extras["ingest_mb_per_s"] = round(ing_wall, 1)
+        if ing_pt:
+            # ingest is always host work: the process-time rate is the
+            # steal-immune companion
+            extras["ingest_mb_per_s_pt"] = round(ing_pt, 1)
     except Exception as err:  # pragma: no cover
         extras["ingest_error"] = str(err)[:120]
+    adf = None
     try:
         import jax
 
         if jax.default_backend() == "tpu":
-            # production call height (adf_frames_per_call picks f=16)
+            # production call height (adf_frames_per_call picks f=16);
+            # stage split makes the stage-2 MFU fraction reportable
+            adf = measure_adf_ms_per_frame(n_frames=16, stage_split=True)
             extras["adf_firstshell_ms_per_frame"] = round(
-                measure_adf_ms_per_frame(n_frames=16), 1
+                adf["pipeline_ms"], 1
             )
+            extras["adf_stage1_ms_per_frame"] = round(adf["stage1_ms"], 2)
     except Exception as err:  # pragma: no cover
+        adf = None
         extras["adf_error"] = str(err)[:120]
     try:
         import jax
@@ -375,13 +534,36 @@ def main():
         _spec.loader.exec_module(_roof)
         _ceiling = _roof.rdf_model()["ceiling_pairs_s"]["vpu"]
         extras["rdf_vpu_roofline_frac"] = round(value / _ceiling, 3)
+        if isinstance(adf, dict):
+            # ADF MFU: stage-2 fraction of its modeled VPU ceiling (the
+            # angle/histogram stage the roofline models) + the modeled
+            # extraction efficiency of stage 1's fixed-depth window sweep
+            _adf_model = _roof.adf_stage2_model(pack=adf["pack"])
+            extras["adf_vpu_roofline_frac"] = round(
+                _adf_model["ceiling_ms_per_frame"]["vpu"]
+                / adf["stage2_plus_overhead_ms"],
+                3,
+            )
+            extras["adf_extraction_efficiency"] = round(
+                _adf_model["extraction_efficiency"], 3
+            )
     except Exception as err:  # pragma: no cover
         extras["roofline_error"] = str(err)[:120]
     if health is not None:
         # chip-state context: this shared chip drifts +-35%; probe_s far
-        # above ~0.1 s steady-state flags a degraded session
+        # above ~0.1-0.5 s steady-state flags a degraded session
         extras["chip_probe_s"] = health["probe_s"]
         extras["chip_init_first_s"] = health["init_first_s"]
+    if probe_attempts and len(probe_attempts) > 1:
+        extras["chip_probe_attempts_s"] = probe_attempts
+    if degraded:
+        # measurable-but-drifting chip (probe above ~3x steady state):
+        # the numbers below are weather-contaminated — the embedded
+        # rebaseline is the last known-healthy capability
+        extras["degraded"] = True
+        reb = _last_rebaseline()
+        if reb is not None:
+            extras["last_onchip_rebaseline"] = reb
     if forced_cpu:
         degraded_s = os.environ.get("BENCH_DEGRADED_PROBE_S")
         extras["backend_note"] = (
@@ -393,25 +575,9 @@ def main():
             )
             + "; CPU fallback measurement"
         )
-        # honest context: the most recent one-session on-chip baseline
-        # (benchmarks/rebaseline.py re-measures all headline numbers with
-        # the health probe recorded alongside)
-        try:
-            reb = json.loads(
-                (pathlib.Path(__file__).parent / "benchmarks"
-                 / "rebaseline.json").read_text()
-            )
-            extras["last_onchip_rebaseline"] = {
-                "measured": reb.get("measured"),
-                "probe_s": reb.get("probe_s"),
-                "rdf_pairs_per_s": reb.get("rdf_pairs_per_s"),
-                "rdf_65536_gpairs_per_s": reb.get("rdf_65536_gpairs_per_s"),
-                "adf_firstshell_ms_per_frame": reb.get(
-                    "adf_firstshell_ms_per_frame"
-                ),
-            }
-        except Exception:
-            pass
+        reb = _last_rebaseline()
+        if reb is not None:
+            extras["last_onchip_rebaseline"] = reb
     print(
         json.dumps(
             {

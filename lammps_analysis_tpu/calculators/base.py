@@ -459,7 +459,11 @@ class TrajectoryCalculator(Calculator):
         slab = gplan.frame_batch
         if max_slab_bytes is not None:
             per_frame = max(m * n_dims * 4, 1)
-            slab = max(min(slab, max_slab_bytes // per_frame), data_range)
+            # same 2*data_range floor as _window_slab_plan: a one-window
+            # slab would double the slab count and seam-overlap I/O
+            slab = max(
+                min(slab, max_slab_bytes // per_frame), 2 * data_range
+            )
         log.info(
             "%s %s: one %d-frame window of %d atoms exceeds the memory "
             "budget; splitting the atom axis into %d minibatches of <= %d "

@@ -97,6 +97,15 @@ class DCDFile(FileProcessor):
                 )
             has_cell = icntrl[10] != 0
             charmm = icntrl[19] != 0
+            if charmm and icntrl[11] != 0:
+                # CHARMM 4D flag: such files carry a per-frame fourth
+                # coordinate record, so frame_bytes below would be wrong
+                # and every frame would mis-parse into garbage — fail
+                # loudly like the NAMNF check above
+                raise ValueError(
+                    f"{self.file_path}: CHARMM 4D-coordinate DCD files "
+                    f"(icntrl[11] = {icntrl[11]}) are not supported"
+                )
             if charmm:
                 (delta,) = struct.unpack(bo + "f", hdr[4 + 9 * 4:4 + 10 * 4])
             else:

@@ -203,6 +203,17 @@ class TRRFile(FileProcessor):
                 fsize = h0["fsize"]
                 dt = np.dtype(">f8" if fsize == 8 else ">f4")
                 box = np.frombuffer(f.read(9 * fsize), dtype=dt).reshape(3, 3)
+                off_diag = box - np.diag(np.diag(box))
+                diag_scale = max(float(np.max(np.abs(np.diag(box)))), 1e-30)
+                if float(np.max(np.abs(off_diag))) > 1e-6 * diag_scale:
+                    # a triclinic box silently reduced to its diagonal
+                    # would skew every minimum-image analysis downstream;
+                    # fail loudly (orthorhombic-only, like the DCD reader)
+                    raise ValueError(
+                        f"{self.file_path}: triclinic TRR box (non-zero "
+                        f"off-diagonal elements {off_diag.tolist()}) — only "
+                        "orthorhombic boxes are supported"
+                    )
                 box_l = [float(box[i, i]) * NM_TO_ANGSTROM for i in range(3)]
         sample_rate = self._sample_rate
         if sample_rate is None and len(index) > 1:

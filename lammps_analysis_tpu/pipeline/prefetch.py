@@ -114,20 +114,26 @@ def iter_in_background(iterable, depth: int = 2):
     _END = object()
     stop = threading.Event()
 
+    def _put_until_stopped(item) -> bool:
+        """Bounded put that gives up once the consumer signals stop —
+        an abandoned consumer must not leave this thread blocked forever
+        holding ``depth`` parsed chunks."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
+
     def produce():
         try:
             for item in iterable:
-                while not stop.is_set():
-                    try:
-                        q.put(item, timeout=0.2)
-                        break
-                    except queue_mod.Full:
-                        continue
-                if stop.is_set():
+                if not _put_until_stopped(item):
                     return
-            q.put(_END)
+            _put_until_stopped(_END)
         except BaseException as err:  # propagate to the consumer
-            q.put(err)
+            _put_until_stopped(err)
 
     worker = threading.Thread(target=produce, daemon=True, name="ingest-parse")
     worker.start()

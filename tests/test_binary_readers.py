@@ -28,7 +28,7 @@ def rec(payload: bytes, bo: str) -> bytes:
 
 def build_dcd(
     pos, box=(12.0, 13.0, 14.0), bo="<", nsavc=5, with_cell=True,
-    header_nset=None, fixed_atoms=0,
+    header_nset=None, fixed_atoms=0, flag_4d=0,
 ):
     """CHARMM-format DCD: 84-byte CORD header, title, natoms, frames."""
     n_frames, natoms, _ = pos.shape
@@ -40,7 +40,8 @@ def build_dcd(
         + struct.pack(bo + "i", fixed_atoms)  # icntrl[8] = NAMNF
         + struct.pack(bo + "f", 0.001)  # icntrl[9] = DELTA (f32, CHARMM)
         + struct.pack(bo + "i", 1 if with_cell else 0)  # icntrl[10]
-        + struct.pack(bo + "8i", 0, 0, 0, 0, 0, 0, 0, 0)  # icntrl[11:19]
+        + struct.pack(bo + "i", flag_4d)  # icntrl[11]: CHARMM 4D flag
+        + struct.pack(bo + "7i", 0, 0, 0, 0, 0, 0, 0)  # icntrl[12:19]
         + struct.pack(bo + "i", 24)  # icntrl[19]: CHARMM version
     )
     assert len(hdr) == 84
@@ -60,7 +61,8 @@ def build_dcd(
 
 
 def build_trr(
-    x=None, v=None, f=None, box=(1.2, 1.3, 1.4), double=False, steps=None
+    x=None, v=None, f=None, box=(1.2, 1.3, 1.4), double=False, steps=None,
+    box_matrix=None,
 ):
     """GROMACS TRR frames (XDR big-endian, xdrfile_trr.c layout)."""
     arrs = [a for a in (x, v, f) if a is not None]
@@ -86,7 +88,11 @@ def build_trr(
         )
         out.append(hdr)
         if box is not None:
-            mat = np.diag(box).astype(dt)
+            mat = (
+                np.asarray(box_matrix, dtype=dt)
+                if box_matrix is not None
+                else np.diag(box).astype(dt)
+            )
             out.append(mat.tobytes())
         for a in (x, v, f):
             if a is not None:
@@ -124,6 +130,17 @@ def test_dcd_rejects_fixed_atoms(tmp_path, rng):
     path = tmp_path / "t.dcd"
     path.write_bytes(build_dcd(pos, fixed_atoms=2))
     with pytest.raises(ValueError, match="fixed-atom"):
+        DCDFile(path).metadata
+
+
+def test_dcd_rejects_charmm_4d(tmp_path, rng):
+    """A CHARMM 4D file carries a per-frame 4th coordinate record, so
+    frame_bytes would be wrong and frames would silently mis-parse —
+    it must fail loudly like the NAMNF check (advisor r3)."""
+    pos = rng.uniform(0, 12, size=(2, 5, 3))
+    path = tmp_path / "t.dcd"
+    path.write_bytes(build_dcd(pos, flag_4d=1))
+    with pytest.raises(ValueError, match="4D"):
         DCDFile(path).metadata
 
 
@@ -202,6 +219,18 @@ def test_trr_positions_only(tmp_path, rng):
     meta = TRRFile(path).metadata
     props = {p.name for sp in meta.species_list for p in sp.properties}
     assert props == {"Positions"}
+
+
+def test_trr_rejects_triclinic_box(tmp_path, rng):
+    """Non-zero off-diagonal box elements must raise instead of being
+    silently reduced to the diagonal (advisor r3): downstream
+    minimum-image analysis would be skewed."""
+    x = rng.uniform(0, 1.2, size=(2, 4, 3))
+    tri = [[1.2, 0.0, 0.0], [0.3, 1.3, 0.0], [0.0, 0.1, 1.4]]
+    path = tmp_path / "t.trr"
+    path.write_bytes(build_trr(x=x, box_matrix=tri))
+    with pytest.raises(ValueError, match="triclinic"):
+        TRRFile(path).metadata
 
 
 def test_trr_bad_magic(tmp_path):

@@ -616,3 +616,68 @@ def test_results_db_preserves_arg_order(tmp_path):
     found = db.find_computation("e", "Calc", args, 1)
     assert list(found.args) == list(args), "stored args lost call order"
     assert found.args["species"] == ["Na", "Cl"]
+
+
+# ------------------------------------------------- round-4 advisor findings
+def test_iter_in_background_abandoned_consumer_unblocks_producer():
+    """An abandoned consumer must not leave the producer thread blocked
+    on the sentinel put forever (advisor r3): with the queue full when
+    the generator is closed, the stop event has to unblock the _END /
+    exception puts too."""
+    import threading
+    import time as _time
+
+    from lammps_analysis_tpu.pipeline.prefetch import iter_in_background
+
+    def gen():
+        yield 0
+        yield 1  # fills the depth-1 queue after the consumer took 0
+
+    before = {t for t in threading.enumerate()}
+    it = iter_in_background(gen(), depth=1)
+    assert next(it) == 0
+    # give the producer time to enqueue item 1 and move on to the _END put
+    _time.sleep(0.3)
+    it.close()  # sets the stop event
+    workers = [
+        t for t in threading.enumerate()
+        if t.name == "ingest-parse" and t not in before
+    ]
+    for t in workers:
+        t.join(timeout=5.0)
+        assert not t.is_alive(), "producer thread leaked after consumer close"
+
+
+def test_grouped_window_slabs_keep_two_window_floor(tmp_path, rng):
+    """In the atom-split regime the max_slab_bytes clamp must keep the
+    same 2*data_range slab floor as the single-group path (advisor r3):
+    a one-window slab doubles slab count and seam-overlap I/O."""
+    import psutil
+
+    from lammps_analysis_tpu.calculators import EinsteinDiffusionCoefficients
+    from lammps_analysis_tpu.utils.config import change_memory_fraction
+
+    n_frames, n_atoms = 400, 14
+    pos = np.cumsum(rng.normal(scale=0.1, size=(n_frames, n_atoms, 3)), axis=0)
+    exp = _experiment(
+        tmp_path, "slabfloor",
+        [SpeciesInfo("X", n_atoms, [UNWRAPPED])],
+        [("X", "Unwrapped_Positions", pos)],
+        n_frames,
+    )
+    data_range, correlation_time = 64, 8
+    with change_memory_fraction(3_000 / psutil.virtual_memory().total):
+        probe = EinsteinDiffusionCoefficients(exp)
+        probe.args = probe.prepare_args(
+            data_range=data_range, correlation_time=correlation_time,
+        )
+        slabs, n_groups = probe._window_stream_plan(
+            "X/Unwrapped_Positions", data_range, correlation_time,
+            max_slab_bytes=1,  # cap below even one window: floor must hold
+        )
+    assert n_groups > 1, "budget did not force the atom-axis split"
+    starts_stops = list(slabs)
+    for start, stop in starts_stops[:-1]:
+        assert stop - start >= 2 * data_range, (
+            f"slab ({start}, {stop}) below the 2*data_range floor"
+        )
