@@ -554,3 +554,81 @@ def test_adf_plan_statistical_k_and_chunk_gate():
     # saturation doubling keeps the gate consistent with the new K
     p.escalate(p.k_n, 0)  # max_count == k_n means clipped
     assert p.k_n == 512 and p.fold_chunk  # expected 145 < 512 - 128
+
+
+# ------------------------------------------- calculator-level equality
+def _nacl_experiment(tmp_path, name):
+    """A small two-species experiment streamed from the store."""
+    import lammps_analysis_tpu as latpu
+    from lammps_analysis_tpu.database import (
+        PropertyInfo,
+        SpeciesInfo,
+        TrajectoryChunkData,
+        TrajectoryMetadata,
+    )
+    from lammps_analysis_tpu.file_io import ScriptInput
+
+    rng_ = np.random.default_rng(77)
+    n_frames, box = 120, 8.0
+    pos = rng_.uniform(0, box, size=(n_frames, 20, 3))
+    unwrapped = np.cumsum(
+        rng_.normal(scale=0.05, size=(n_frames, 20, 3)), axis=0
+    )
+    POS = PropertyInfo("Positions", 3)
+    UNW = PropertyInfo("Unwrapped_Positions", 3)
+    sp = [SpeciesInfo("Na", 12, [POS, UNW]), SpeciesInfo("Cl", 8, [POS, UNW])]
+    meta = TrajectoryMetadata(
+        n_configurations=n_frames, species_list=sp, box_l=[box] * 3,
+        sample_rate=1, temperature=300.0,
+    )
+    chunk = TrajectoryChunkData(sp, n_frames)
+    chunk.add_data(pos[:, :12], 0, "Na", "Positions")
+    chunk.add_data(pos[:, 12:], 0, "Cl", "Positions")
+    chunk.add_data(unwrapped[:, :12], 0, "Na", "Unwrapped_Positions")
+    chunk.add_data(unwrapped[:, 12:], 0, "Cl", "Unwrapped_Positions")
+    project = latpu.Project(name=name, storage_path=tmp_path)
+    return project.add_experiment(
+        "e", timestep=0.1, units="si",
+        simulation_data=ScriptInput(chunk, meta, "d"),
+    )
+
+
+def test_full_rdf_calculator_1_vs_8_devices(tmp_path):
+    """The FULL streamed calculator path (store -> RDF -> Computation)
+    must agree between a 1-device and the 8-device mesh — the multi-chip
+    analog of the reference's batched-vs-whole equivalence discipline
+    (``CI/integration_tests/.../test_einstein_diffusion_coefficients.py:45-99``).
+    Kernel-level 1-vs-8 tests above don't cover the calculator's own
+    sampling/minibatch/prefactor plumbing; this does."""
+    exp = _nacl_experiment(tmp_path, "rdfmesh")
+    kw = dict(number_of_configurations=24, cutoff=3.9, number_of_bins=80,
+              plot=False)
+    with use_mesh(make_data_mesh(1)):
+        res1 = exp.run.RadialDistributionFunction(**kw)
+    with use_mesh(make_data_mesh(8)):
+        res8 = exp.run.RadialDistributionFunction(force=True, **kw)
+    assert sorted(res1.data_dict) == sorted(res8.data_dict)
+    for pair in res1.data_dict:
+        np.testing.assert_array_equal(
+            np.asarray(res1.data_dict[pair]["y"]),
+            np.asarray(res8.data_dict[pair]["y"]),
+            err_msg=f"RDF[{pair}] diverges between 1- and 8-device meshes",
+        )
+
+
+def test_full_einstein_calculator_1_vs_8_devices(tmp_path):
+    """Same discipline for the windowed-dynamics family: the streamed
+    Einstein diffusion calculator end-to-end on both meshes."""
+    exp = _nacl_experiment(tmp_path, "msdmesh")
+    kw = dict(data_range=32, correlation_time=8, plot=False)
+    with use_mesh(make_data_mesh(1)):
+        res1 = exp.run.EinsteinDiffusionCoefficients(**kw)
+    with use_mesh(make_data_mesh(8)):
+        res8 = exp.run.EinsteinDiffusionCoefficients(force=True, **kw)
+    for key in res1.data_dict:
+        np.testing.assert_allclose(
+            np.asarray(res1.data_dict[key]["msd"]),
+            np.asarray(res8.data_dict[key]["msd"]),
+            rtol=1e-7, atol=1e-12,
+            err_msg=f"MSD[{key}] diverges between 1- and 8-device meshes",
+        )
