@@ -40,14 +40,29 @@ import os
 
 TINY = os.environ.get("RDF_GAP_TINY") == "1"  # CPU interpret smoke test
 N_ATOMS = 256 if TINY else 10240
-N_FRAMES = 1 if TINY else 4  # per pallas call; chained calls below
-N_CALLS = 1 if TINY else 16  # total 64 frames = the bench headline workload
+# default 4 frames/call isolates per-tile costs; the production wrapper
+# picks 32 at 10k atoms (RDF_GAP_F=32 measures at that height)
+N_FRAMES = 1 if TINY else int(os.environ.get("RDF_GAP_F", "4"))
+N_CALLS = 1 if TINY else max(64 // N_FRAMES, 1)  # 64 frames = bench workload
 N_BINS = 100 if TINY else 500
 N_SPECIES = 2
 BOX = 40.0
 CUTOFF = 19.9
 
-ARMS = ("empty", "loads", "geom", "relayout", "full", "prod")
+ARMS = (
+    "empty", "geom", "relayout", "full", "prod",
+    # structural variants attacking the two measured overheads (correct
+    # histograms, verifiable against the XLA reference):
+    "rowwise",   # per-row one-hots + 8 small matmuls — zero relayout stores
+    "combflat",  # store the combined id only — 8 relayout stores, not 16
+)
+# a loads-only arm was attempted twice and REFUTED as unmeasurable: any
+# consume of the raw loads/pick outputs (direct reduce, broadcast-sum
+# reduce, store-then-flat-reduce) lowers to a vector.multi_reduction
+# with a non-constant accumulator, which Mosaic rejects ("only constant
+# accumulators supported"). loads+geometry are attributed jointly as
+# geom - empty.
+EXTRA_ARMS = ("loads",)
 
 
 def build_variant(arm: str):
@@ -165,16 +180,18 @@ def build_variant(arm: str):
                 yi = pick(pyf_ref[pl.ds(rwin, 1), :])
                 zi = pick(pzf_ref[pl.ds(rwin, 1), :])
                 if arm == "loads":
-                    # consume every load via scalar reduces (value-level
-                    # lane slices of loaded rows risk offset-layout
-                    # broadcast rejections; scalar adds are always legal).
-                    # The reduces add ~4 passes over the tile — small vs
-                    # the later arms' work, so attribution differences
-                    # are conservative.
-                    acc_ref[0:1, 0:128] += (
-                        jnp.sum(xj) + jnp.sum(yj) + jnp.sum(zj)
-                        + jnp.sum(sb)
-                        + jnp.sum(xi + yi + zi + sid_i)
+                    # consume every load via the proven store-then-
+                    # reduce-flat pattern (direct reduces of broadcast
+                    # sums of (M, 1) pick outputs hit a Mosaic
+                    # multi_reduction rejection): one row of the
+                    # broadcast sum through the scratch, then a
+                    # single-sublane flat reduce.
+                    s_row = xj + yj + zj + sb  # (1, TJ), 3 adds
+                    t_col = xi + yi + zi + sid_i  # (TI, 1), 3 adds
+                    s = t_col + s_row  # (TI, TJ) broadcast add
+                    hi_buf_ref[0:1, pl.ds(0, j_block)] = s[0:1, :]
+                    acc_ref[0:1, 0:128] += jnp.sum(
+                        hi_buf_ref[0:1, pl.ds(0, j_block)]
                     )
                     return 0
                 dx = xi - xj
@@ -203,11 +220,62 @@ def build_variant(arm: str):
                     & (sb >= 0)
                     & (d < cutoff_v)
                 )
+                if arm == "combflat":
+                    # fold the mask into an out-of-range COMBINED id and
+                    # relayout only it (8 stores, not 16); the hi/lo
+                    # split runs on the flat row instead (same element
+                    # count). Masked pairs land at hi == hi_pad — no
+                    # one-hot row matches, zero contribution (lo row 0
+                    # matches but the hi column is all-zero).
+                    comb_m = jnp.where(
+                        mask, combined, float(hi_pad * k)
+                    )
+                    for r in range(_TI):
+                        lanes = pl.ds(r * j_block, j_block)
+                        hi_buf_ref[0:1, lanes] = comb_m[r : r + 1, :]
+                    cflat = hi_buf_ref[...]
+                    hi_flat = jnp.floor(cflat * (1.0 / k))
+                    lo_flat = cflat - hi_flat * k
+                    oh_hi = jnp.where(hi_flat == hi_ids, 1.0, 0.0).astype(
+                        jnp.bfloat16
+                    )
+                    oh_lo = jnp.where(lo_flat == lo_ids, 1.0, 0.0).astype(
+                        jnp.bfloat16
+                    )
+                    acc_ref[:, 0:k] += jax.lax.dot_general(
+                        oh_hi, oh_lo,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    return 0
                 hi_id = jnp.floor(combined * (1.0 / k))
                 lo_id = combined - hi_id * k
                 hi_id = jnp.where(mask, hi_id, float(hi_pad))
                 if arm == "geom":
                     acc_ref[0:1, 0:128] += jnp.sum(hi_id) + jnp.sum(lo_id)
+                    return 0
+                if arm == "rowwise":
+                    # no relayout at all: one-hot each (1, TJ) row and
+                    # contract per row; the 8 partial products stay in
+                    # registers (ONE acc RMW per tile — per-row RMWs
+                    # would round-trip VMEM, the fifth-pass trap)
+                    tile_acc = None
+                    for r in range(_TI):
+                        hi_r = hi_id[r : r + 1, :]
+                        lo_r = lo_id[r : r + 1, :]
+                        oh_hi = jnp.where(
+                            hi_r == hi_ids, 1.0, 0.0
+                        ).astype(jnp.bfloat16)
+                        oh_lo = jnp.where(
+                            lo_r == lo_ids, 1.0, 0.0
+                        ).astype(jnp.bfloat16)
+                        p = jax.lax.dot_general(
+                            oh_hi, oh_lo,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        tile_acc = p if tile_acc is None else tile_acc + p
+                    acc_ref[:, 0:k] += tile_acc
                     return 0
                 for r in range(_TI):
                     lanes = pl.ds(r * j_block, j_block)
@@ -292,8 +360,35 @@ def run_arm(arm: str) -> dict:
             return variant(pos_j, sid_j, CUTOFF, N_BINS, N_SPECIES, box_j)
 
     t0 = time.perf_counter()
-    np.asarray(call())  # compile + execute + fetch
+    first = np.asarray(call())  # compile + execute + fetch
     compile_s = time.perf_counter() - t0
+    check = {}
+    if arm in ("rowwise", "combflat", "full", "prod"):
+        # the correct-histogram arms must match the independent XLA
+        # reference (equal total counts — per-bin f32 boundary rounding
+        # may differ between kernels, bench.py discipline)
+        from lammps_analysis_tpu.ops.rdf import rdf_histogram
+
+        ref = np.asarray(
+            rdf_histogram(
+                pos_j, sid_j, jnp.asarray(ptab), box_j, CUTOFF, N_BINS,
+                n_pairs, i_block=256, strategy="outer",
+            )
+        )
+        if arm in ("prod",):
+            got = first
+        else:
+            k = min(
+                128,
+                -(-int(np.ceil(np.sqrt(n_pairs * N_BINS))) // 16) * 16,
+            )
+            got = (
+                first[:, :k].reshape(-1)[: n_pairs * N_BINS]
+                .reshape(n_pairs, N_BINS)
+            )
+        check["rel_count_err_vs_xla"] = float(
+            abs(got.sum() - ref.sum()) / max(ref.sum(), 1.0)
+        )
     # steady state: chained calls, block+fetch once at the end
     t0 = time.perf_counter()
     h = None
@@ -309,6 +404,7 @@ def run_arm(arm: str) -> dict:
         "compile_s": round(compile_s, 1),
         "ms_per_frame": round(elapsed / total_frames * 1e3, 3),
         "gpairs_per_s": round(pairs / elapsed / 1e9, 3),
+        **check,
     }
 
 
@@ -352,17 +448,21 @@ def driver():
     out["probe_s_after"] = probe()
     # successive-difference attribution (ms/frame)
     try:
-        chain = ["empty", "loads", "geom", "relayout", "full"]
+        chain = ["empty", "geom", "relayout", "full"]
         ms = {a: out[a]["ms_per_frame"] for a in chain}
         out["attribution_ms_per_frame"] = {
             "loop_grid_overhead": ms["empty"],
-            "dma_loads_picks": round(ms["loads"] - ms["empty"], 3),
-            "geometry_ids_masks": round(ms["geom"] - ms["loads"], 3),
+            "loads_geometry_ids": round(ms["geom"] - ms["empty"], 3),
             "relayout_stores": round(ms["relayout"] - ms["geom"], 3),
             "onehot_mxu": round(ms["full"] - ms["relayout"], 3),
             "full_local": ms["full"],
             "prod_package": out.get("prod", {}).get("ms_per_frame"),
         }
+        for v in ("rowwise", "combflat"):
+            if v in out and "ms_per_frame" in out[v]:
+                out["attribution_ms_per_frame"][f"{v}_speedup_x"] = round(
+                    out["prod"]["ms_per_frame"] / out[v]["ms_per_frame"], 3
+                )
     except Exception as err:
         out["attribution_error"] = str(err)[:200]
     (HERE / "rdf_gap_bounds.json").write_text(json.dumps(out, indent=1))
@@ -370,7 +470,7 @@ def driver():
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] in ARMS:
+    if len(sys.argv) > 1 and sys.argv[1] in ARMS + EXTRA_ARMS:
         print(json.dumps(run_arm(sys.argv[1])))
     else:
         driver()

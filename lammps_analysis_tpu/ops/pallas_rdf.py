@@ -149,7 +149,7 @@ def rdf_histogram_pallas(
         px_ref, py_ref, pz_ref,
         pxf_ref, pyf_ref, pzf_ref,
         sid_row_ref, sidf_ref, params_ref, out_ref, acc_ref,
-        hi_buf_ref, lo_buf_ref,
+        hi_buf_ref,
     ):
         i = pl.program_id(0)
         # scalar runtime parameters from SMEM
@@ -250,21 +250,26 @@ def rdf_histogram_pallas(
                 & (d < cutoff_v)
             )
 
-            hi_id = jnp.floor(combined * (1.0 / k))
-            lo_id = combined - hi_id * k
-            # fold the mask into an out-of-range hi id: masked pairs then
-            # produce all-zero one-hot columns, no weight multiply needed
-            hi_id = jnp.where(mask, hi_id, float(hi_pad))
+            # fold the mask into an out-of-range COMBINED id: masked
+            # pairs land at hi == hi_pad, so no hi one-hot row matches
+            # and the contribution is zero (their lo row 0 matches, but
+            # the hi column is all-zero) — no weight multiply needed
+            comb_m = jnp.where(mask, combined, float(hi_pad * k))
 
             # flatten the tile's rows along lanes through a VMEM scratch
             # (stores at 128-aligned lane offsets handle the relayout;
-            # reshape/concat of live vectors would be illegal relayouts)
+            # reshape/concat of live vectors would be illegal relayouts).
+            # Only the combined id is relayouted — the hi/lo split runs
+            # on the flat row afterwards (same element count, HALF the
+            # relayout stores): measured 1.19x whole-kernel at the
+            # production 32-frame call height, bit-identical histograms
+            # (benchmarks/rdf_gap_bounds.json, combflat arm)
             for r in range(_TI):
                 lanes = pl.ds(r * j_block, j_block)
-                hi_buf_ref[0:1, lanes] = hi_id[r : r + 1, :]
-                lo_buf_ref[0:1, lanes] = lo_id[r : r + 1, :]
-            hi_flat = hi_buf_ref[...]  # (1, TI*TJ)
-            lo_flat = lo_buf_ref[...]
+                hi_buf_ref[0:1, lanes] = comb_m[r : r + 1, :]
+            cflat = hi_buf_ref[...]  # (1, TI*TJ)
+            hi_flat = jnp.floor(cflat * (1.0 / k))
+            lo_flat = cflat - hi_flat * k
             oh_hi = jnp.where(hi_flat == hi_ids, 1.0, 0.0).astype(
                 jnp.bfloat16
             )  # (HI, TI*TJ)
@@ -296,7 +301,6 @@ def rdf_histogram_pallas(
         out_shape=jax.ShapeDtypeStruct((hi_pad, k_pad), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((hi_pad, k_pad), jnp.float32),
-            pltpu.VMEM((1, _TI * j_block), jnp.float32),
             pltpu.VMEM((1, _TI * j_block), jnp.float32),
         ],
         interpret=interpret,
