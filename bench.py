@@ -231,17 +231,22 @@ def measure_adf_ms_per_frame(n_atoms=10240, n_frames=2, n_bins=500,
         return pipeline_ms
 
     # stage 1 alone: the exact extract call the pipeline issues (same
-    # plan parameters); only valid on the sorted Pallas route
+    # plan parameters); only valid on the sorted Pallas route. Outputs
+    # reduce to ONE scalar on device — the (F, Npad, K) tensors would
+    # otherwise be fetched through the ~30 MB/s tunnel (~84 MB) and bury
+    # the few-ms compute, exactly as the pipeline keeps them on-device.
     assert plan.use_sorted and plan.use_pallas_run and not plan.use_cells
 
-    def run_stage1():
-        return _pk.sorted_neighbor_extract(
-            pos, sid, box_j, cutoff, k_n=plan.k_n, e_fixed=plan.extract_e,
-            w_chunks=plan.w_chunks, sort=plan.sort,
+    @jax.jit
+    def run_stage1(p, s):
+        r = _pk.sorted_neighbor_extract(
+            p, s, box_j, cutoff, k_n=plan.k_n, e_fixed=plan.extract_e,
+            w_chunks=getattr(plan, "w_chunks", None), sort=plan.sort,
             n_arcs=plan.n_arcs if plan.sort in ("brick", "brick3") else 1,
         )
+        return jnp.sum(r[3]) + jnp.sum(r[5])
 
-    stage1_ms = time_ms_per_frame(run_stage1)
+    stage1_ms = time_ms_per_frame(lambda: run_stage1(pos, sid))
     return {
         "pipeline_ms": pipeline_ms,
         "stage1_ms": stage1_ms,

@@ -340,19 +340,25 @@ class _AdfPlan:
                 extract_e_for(n_avail, box_np, float(cutoff), sort="z")
                 if self.use_sorted else 4
             )
-        # per-process A/B override (kernel variants must never share a
-        # process — see the env-flag aliasing note in the design docs)
-        e_env = os.environ.get("LATPU_ADF_EXTRACT_E")
-        if e_env and self.use_sorted:
-            self.extract_e = max(1, int(e_env))
             # static scratch bound for the window-relative extract; a
             # block in a z-sparse region can exceed it — the overflow
             # reports via occ and escalate() falls back to the unsorted
-            # route
+            # route. NOTE: this assignment was accidentally nested under
+            # the env override below by commit 22c7a27 — the z route then
+            # ran with full-width scratches (tc 32 instead of 128-tall
+            # blocks): measured 7.3 vs 4.4 ms/frame stage 1 at 10k
+            # (benchmarks/adf_stage1_bounds.json before/after the fix).
             self.w_chunks = (
                 window_chunk_bound(n_avail, box_np, float(cutoff))
                 if self.use_sorted else None
             )
+        # per-process A/B override (kernel variants must never share a
+        # process — see the env-flag aliasing note in the design docs).
+        # extract_e only: w_chunks keeps the bound of the chosen sort
+        # (overwriting the brick bound with the z bound would be wrong).
+        e_env = os.environ.get("LATPU_ADF_EXTRACT_E")
+        if e_env and self.use_sorted:
+            self.extract_e = max(1, int(e_env))
         self._normalise()
 
     def _normalise(self):

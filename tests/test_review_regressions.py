@@ -681,3 +681,26 @@ def test_grouped_window_slabs_keep_two_window_floor(tmp_path, rng):
         assert stop - start >= 2 * data_range, (
             f"slab ({start}, {stop}) below the 2*data_range floor"
         )
+
+
+def test_adf_plan_z_route_keeps_window_scratch_bound():
+    """The z-sorted ADF route must carry its window-relative scratch
+    bound WITHOUT the LATPU_ADF_EXTRACT_E override: commit 22c7a27
+    accidentally nested the w_chunks assignment under the env-override
+    branch, silently dropping production to full-width scratches
+    (measured 11.8 -> 9.0 ms/frame pipeline at 10k after the fix)."""
+    import os
+
+    from lammps_analysis_tpu.parallel.sharded_ops import _AdfPlan
+
+    assert "LATPU_ADF_EXTRACT_E" not in os.environ
+    box = np.array([40.0] * 3, np.float32)
+    plan = _AdfPlan(10240, box, 3.6, use_pallas=True)
+    assert plan.use_sorted and plan.sort == "z"
+    assert getattr(plan, "w_chunks", None), (
+        "z route lost its window_chunk_bound (the 22c7a27 nesting bug)"
+    )
+    # and the env override must NOT clobber the brick route's bound
+    plan_b = _AdfPlan(65536, np.array([74.2] * 3, np.float32), 3.6,
+                      use_pallas=True)
+    assert plan_b.sort == "brick" and plan_b.w_chunks
