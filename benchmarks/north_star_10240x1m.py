@@ -143,6 +143,13 @@ def _phase_ingest(results, phase, prop, make_chunk_arrays):
             print(f"{phase}: simulated crash at {done} frames", flush=True)
             os._exit(17)
         if done % 100_000 == 0:
+            # flush the running ingest timer: an EXTERNAL kill (timeout,
+            # OOM) must not silently drop the pre-kill ingest seconds —
+            # resume picks the partial up and the total stays honest
+            # (the replay to the resume point is deterministic and
+            # untimed, exactly as for the simulated crash)
+            results[f"{phase}_ingest_partial_s"] = round(ingest_s, 1)
+            flush(results)
             print(f"{phase}: ingested {done}/{N_FRAMES} "
                   f"({_free_gib():.1f} GiB free)", flush=True)
     gb = exp.store.path.stat().st_size / 2**30
