@@ -55,6 +55,7 @@ ARMS = (
     # histograms, verifiable against the XLA reference):
     "rowwise",   # per-row one-hots + 8 small matmuls — zero relayout stores
     "combflat",  # store the combined id only — 8 relayout stores, not 16
+    "ti16",      # combflat + 16-row i-tiles (halved per-tile j-loads/overhead)
 )
 # a loads-only arm was attempted twice and REFUTED as unmeasurable: any
 # consume of the raw loads/pick outputs (direct reduce, broadcast-sum
@@ -78,6 +79,8 @@ def build_variant(arm: str):
         padded_atom_count,
     )
 
+    ti = 16 if arm == "ti16" else _TI
+
     @functools.partial(jax.jit, static_argnames=("n_bins", "n_species"))
     def rdf_variant(positions, species_id, cutoff, n_bins, n_species, box):
         f, n, _ = positions.shape
@@ -94,7 +97,7 @@ def build_variant(arm: str):
             species_id = jnp.pad(
                 species_id, (0, n_pad - n), constant_values=-1
             )
-        n_blocks = n_pad // _TI
+        n_blocks = n_pad // ti
         n_j_blocks = n_pad // j_block
         px = positions[..., 0]
         py = positions[..., 1]
@@ -131,11 +134,11 @@ def build_variant(arm: str):
             def _():
                 acc_ref[...] = jnp.zeros_like(acc_ref)
 
-            i0 = pl.multiple_of(i * _TI, _TI)
-            iwin = i // (128 // _TI)
+            i0 = pl.multiple_of(i * ti, ti)
+            iwin = i // (128 // ti)
             off = i0 - iwin * 128
             sel = jnp.where(
-                (off + jax.lax.broadcasted_iota(jnp.int32, (_TI, 1), 0))
+                (off + jax.lax.broadcasted_iota(jnp.int32, (ti, 1), 0))
                 == jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1),
                 1.0, 0.0,
             )
@@ -211,8 +214,8 @@ def build_variant(arm: str):
                 )
                 bin_f = jnp.minimum(jnp.floor(d * inv_bin), n_bins - 1.0)
                 combined = pair_id * n_bins + bin_f
-                i_ids = i * _TI + jax.lax.broadcasted_iota(
-                    jnp.int32, (_TI, 1), 0
+                i_ids = i * ti + jax.lax.broadcasted_iota(
+                    jnp.int32, (ti, 1), 0
                 )
                 mask = (
                     (j_ids > i_ids)
@@ -220,7 +223,7 @@ def build_variant(arm: str):
                     & (sb >= 0)
                     & (d < cutoff_v)
                 )
-                if arm == "combflat":
+                if arm in ("combflat", "ti16"):
                     # fold the mask into an out-of-range COMBINED id and
                     # relayout only it (8 stores, not 16); the hi/lo
                     # split runs on the flat row instead (same element
@@ -230,7 +233,7 @@ def build_variant(arm: str):
                     comb_m = jnp.where(
                         mask, combined, float(hi_pad * k)
                     )
-                    for r in range(_TI):
+                    for r in range(ti):
                         lanes = pl.ds(r * j_block, j_block)
                         hi_buf_ref[0:1, lanes] = comb_m[r : r + 1, :]
                     cflat = hi_buf_ref[...]
@@ -260,7 +263,7 @@ def build_variant(arm: str):
                     # registers (ONE acc RMW per tile — per-row RMWs
                     # would round-trip VMEM, the fifth-pass trap)
                     tile_acc = None
-                    for r in range(_TI):
+                    for r in range(ti):
                         hi_r = hi_id[r : r + 1, :]
                         lo_r = lo_id[r : r + 1, :]
                         oh_hi = jnp.where(
@@ -277,7 +280,7 @@ def build_variant(arm: str):
                         tile_acc = p if tile_acc is None else tile_acc + p
                     acc_ref[:, 0:k] += tile_acc
                     return 0
-                for r in range(_TI):
+                for r in range(ti):
                     lanes = pl.ds(r * j_block, j_block)
                     hi_buf_ref[0:1, lanes] = hi_id[r : r + 1, :]
                     lo_buf_ref[0:1, lanes] = lo_id[r : r + 1, :]
@@ -318,8 +321,8 @@ def build_variant(arm: str):
             out_shape=jax.ShapeDtypeStruct((hi_pad, k_pad), jnp.float32),
             scratch_shapes=[
                 pltpu.VMEM((hi_pad, k_pad), jnp.float32),
-                pltpu.VMEM((1, _TI * j_block), jnp.float32),
-                pltpu.VMEM((1, _TI * j_block), jnp.float32),
+                pltpu.VMEM((1, ti * j_block), jnp.float32),
+                pltpu.VMEM((1, ti * j_block), jnp.float32),
             ],
             interpret=TINY,
         )(px, py, pz, pxf, pyf, pzf, sid_row, sidf, params)
@@ -363,7 +366,7 @@ def run_arm(arm: str) -> dict:
     first = np.asarray(call())  # compile + execute + fetch
     compile_s = time.perf_counter() - t0
     check = {}
-    if arm in ("rowwise", "combflat", "full", "prod"):
+    if arm in ("rowwise", "combflat", "ti16", "full", "prod"):
         # the correct-histogram arms must match the independent XLA
         # reference (equal total counts — per-bin f32 boundary rounding
         # may differ between kernels, bench.py discipline)

@@ -36,7 +36,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TI = 8  # i-rows per grid step (sublane granularity)
+# i-rows per grid step. 16 (two sublane groups) halves the per-tile
+# j-row loads and loop/index overhead vs 8: measured 1.11-1.12x
+# whole-kernel at the production call height on top of the combined-id
+# relayout, bit-identical histograms (benchmarks/rdf_gap_bounds.json,
+# ti16 arm; interleaved same-run A/B). Scoped-VMEM cost is ~1.3 MB of
+# (16, TJ) tile temporaries — far under the 16 MB limit at every shape
+# this kernel accepts.
+_TI = 16
 _TJ_MAX = 2048  # j-tile lanes
 
 
@@ -56,8 +63,13 @@ def _j_block_for(n: int) -> int:
 def padded_atom_count(n: int) -> int:
     """The atom count the kernel actually pads to — callers sizing VMEM
     (frames per call) must use THIS, not the raw count: the lane-padded
-    column operands scale with the padded value."""
-    return _round_up(n, max(_j_block_for(n), _TI * 16))
+    column operands scale with the padded value.
+
+    The pad must divide into 128-lane windows (the folded i-side reads)
+    and ``_TI``-row tiles; 128 is a multiple of ``_TI``, and
+    ``_j_block_for`` always returns a multiple of 128, so the j-block is
+    the only other constraint."""
+    return _round_up(n, max(_j_block_for(n), 128))
 
 
 @functools.partial(
