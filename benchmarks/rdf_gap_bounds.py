@@ -56,6 +56,7 @@ ARMS = (
     "rowwise",   # per-row one-hots + 8 small matmuls — zero relayout stores
     "combflat",  # store the combined id only — 8 relayout stores, not 16
     "ti16",      # combflat + 16-row i-tiles (halved per-tile j-loads/overhead)
+    "ti32",      # combflat + 32-row i-tiles
 )
 # a loads-only arm was attempted twice and REFUTED as unmeasurable: any
 # consume of the raw loads/pick outputs (direct reduce, broadcast-sum
@@ -79,7 +80,7 @@ def build_variant(arm: str):
         padded_atom_count,
     )
 
-    ti = 16 if arm == "ti16" else _TI
+    ti = {"ti16": 16, "ti32": 32}.get(arm, _TI)
 
     @functools.partial(jax.jit, static_argnames=("n_bins", "n_species"))
     def rdf_variant(positions, species_id, cutoff, n_bins, n_species, box):
@@ -223,7 +224,7 @@ def build_variant(arm: str):
                     & (sb >= 0)
                     & (d < cutoff_v)
                 )
-                if arm in ("combflat", "ti16"):
+                if arm in ("combflat", "ti16", "ti32"):
                     # fold the mask into an out-of-range COMBINED id and
                     # relayout only it (8 stores, not 16); the hi/lo
                     # split runs on the flat row instead (same element
@@ -366,7 +367,7 @@ def run_arm(arm: str) -> dict:
     first = np.asarray(call())  # compile + execute + fetch
     compile_s = time.perf_counter() - t0
     check = {}
-    if arm in ("rowwise", "combflat", "ti16", "full", "prod"):
+    if arm in ("rowwise", "combflat", "ti16", "ti32", "full", "prod"):
         # the correct-histogram arms must match the independent XLA
         # reference (equal total counts — per-bin f32 boundary rounding
         # may differ between kernels, bench.py discipline)

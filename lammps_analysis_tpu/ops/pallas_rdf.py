@@ -36,14 +36,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# i-rows per grid step. 16 (two sublane groups) halves the per-tile
-# j-row loads and loop/index overhead vs 8: measured 1.11-1.12x
-# whole-kernel at the production call height on top of the combined-id
-# relayout, bit-identical histograms (benchmarks/rdf_gap_bounds.json,
-# ti16 arm; interleaved same-run A/B). Scoped-VMEM cost is ~1.3 MB of
-# (16, TJ) tile temporaries — far under the 16 MB limit at every shape
-# this kernel accepts.
-_TI = 16
+# i-rows per grid step. Taller tiles amortise the per-tile j-row loads
+# and loop/index overhead: 8 -> 16 measured 1.11-1.12x, 16 -> 32 a
+# further 1.07-1.08x (benchmarks/rdf_gap_bounds.json ti16/ti32 arms;
+# interleaved same-run A/Bs, bit-identical histograms). 32 is the
+# scoped-VMEM ceiling: the flat one-hot pair (hi_pad + k, TI*TJ) bf16
+# is ~10 MB at TJ=2048 — 64 rows would need ~20 MB (> the 16 MB limit).
+_TI = 32
 _TJ_MAX = 2048  # j-tile lanes
 
 
