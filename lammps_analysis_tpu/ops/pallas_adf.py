@@ -1371,7 +1371,7 @@ def pallas_neighbor_components(
     jax.jit,
     static_argnames=(
         "n_bins", "n_species", "norm_power", "pack", "fold", "fold_chunk",
-        "interpret",
+        "interpret", "tc",
     ),
 )
 def adf_pairs_histogram_pallas(
@@ -1387,6 +1387,7 @@ def adf_pairs_histogram_pallas(
     fold: bool = False,
     fold_chunk: bool | None = None,
     interpret: bool = False,
+    tc: int | None = None,
 ) -> jnp.ndarray:
     """Fused ordered-pair angle histogram from neighbor lists.
 
@@ -1458,7 +1459,11 @@ def adf_pairs_histogram_pallas(
     k_pad = _round_up(k_lo, 128)
 
     rows = f * n
-    rows_pad = _round_up(rows, _TC)
+    # centers per grid step: taller blocks amortise per-program fixed
+    # costs over more centers (the r4 tile lesson from the RDF kernel);
+    # per-program VMEM is only 6 x (tc, K) f32 input blocks
+    tc = _TC if tc is None else int(tc)
+    rows_pad = _round_up(rows, tc)
     lo_r, hi_r = ADF_BIN_RANGE
     inv_bw = n_bins / (hi_r - lo_r)
 
@@ -1495,7 +1500,7 @@ def adf_pairs_histogram_pallas(
             cnts = jnp.pad(cnts, ((0, rows_pad - rows), (0, 0)))
 
     n_chunks = k // _CR
-    n_blocks = rows_pad // _TC
+    n_blocks = rows_pad // tc
     s_f = float(n_species)
     sub = k // pack
     # Dense-packed path (pack > 1): in the generic chunk layout only the
@@ -1896,22 +1901,22 @@ def adf_pairs_histogram_pallas(
             )
 
         if fold:
-            jax.lax.fori_loop(0, _TC * n_fslices, fold_body, 0)
+            jax.lax.fori_loop(0, tc * n_fslices, fold_body, 0)
         elif dense:
-            jax.lax.fori_loop(0, _TC * n_slices, dense_body, 0)
+            jax.lax.fori_loop(0, tc * n_slices, dense_body, 0)
         else:
-            jax.lax.fori_loop(0, _TC * n_chunks, chunk_body, 0)
+            jax.lax.fori_loop(0, tc * n_chunks, chunk_body, 0)
 
         @pl.when(i == pl.num_programs(0) - 1)
         def _():
             out_ref[...] = acc_ref[...]
 
     row_spec = pl.BlockSpec(
-        (_TC, k), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (tc, k), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
 
     cnts_spec = pl.BlockSpec(
-        (_TC, pack), lambda i: (i, 0), memory_space=pltpu.SMEM
+        (tc, pack), lambda i: (i, 0), memory_space=pltpu.SMEM
     )
     out = pl.pallas_call(
         kernel,
@@ -2008,6 +2013,7 @@ def adf_stage2_auto(
     fold: bool = True,
     fold_chunk: bool | None = None,
     interpret: bool = False,
+    tc: int | None = None,
 ) -> jnp.ndarray:
     """Angle stage with the center-packing plumbing shared by callers.
 
@@ -2055,7 +2061,7 @@ def adf_stage2_auto(
     return adf_pairs_histogram_pallas(
         r_n, d_n, sid_n, sid_arg, n_bins, n_species,
         norm_power=norm_power, pack=eff_pack, counts=counts, fold=fold,
-        fold_chunk=fold_chunk, interpret=interpret,
+        fold_chunk=fold_chunk, interpret=interpret, tc=tc,
     )
 
 
