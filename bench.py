@@ -216,14 +216,20 @@ def measure_adf_ms_per_frame(n_atoms=10240, n_frames=2, n_bins=500,
     def run():
         return pipe(pos, sid, ttab_j, box_j)[0]
 
+    def _fetch(h):
+        np.asarray(h) if not isinstance(h, tuple) else np.asarray(h[0])
+
     def time_ms_per_frame(fn):
-        fn()  # compile + execute
+        warm = fn()  # compile + execute
+        jax.block_until_ready(warm)
+        _fetch(warm)  # the warmup must fully DRAIN before t0: an async
+        # leftover execution would bleed into the timed window
         t0 = time.perf_counter()
         h = None
         for _ in range(repeats):
             h = fn()
         jax.block_until_ready(h)
-        np.asarray(h) if not isinstance(h, tuple) else np.asarray(h[0])
+        _fetch(h)
         return (time.perf_counter() - t0) / repeats / n_frames * 1000
 
     pipeline_ms = time_ms_per_frame(lambda: run())
@@ -247,13 +253,19 @@ def measure_adf_ms_per_frame(n_atoms=10240, n_frames=2, n_bins=500,
         return jnp.sum(r[3]) + jnp.sum(r[5])
 
     stage1_ms = time_ms_per_frame(lambda: run_stage1(pos, sid))
-    return {
+    out = {
         "pipeline_ms": pipeline_ms,
         "stage1_ms": stage1_ms,
-        "stage2_plus_overhead_ms": max(pipeline_ms - stage1_ms, 1e-9),
         "pack": plan.pack,
         "k_n": plan.k_n,
     }
+    # the two timings come from separate measurements on a drifting chip:
+    # when stage 1 reads at/above ~95% of the pipeline the split is
+    # drift-contaminated — omit stage2 (and with it the MFU fraction)
+    # rather than stamping a nonsense number
+    if stage1_ms < 0.95 * pipeline_ms:
+        out["stage2_plus_overhead_ms"] = pipeline_ms - stage1_ms
+    return out
 
 
 def measure_ingest_mb_per_s(n_frames=400, n_atoms=4000):
@@ -409,11 +421,15 @@ def _chip_health_retry(max_attempts=3, backoff_s=(120.0, 300.0)):
     for i in range(max_attempts):
         h = _chip_health()
         attempts.append(-1.0 if h is None else h["probe_s"])
-        if h is not None and (best is None or h["probe_s"] < best["probe_s"]):
+        if h is None:
+            # the probe subprocess TIMED OUT and was killed: a killed TPU
+            # job can wedge the tunnel further (~30 min, CLAUDE.md), so
+            # re-probing is near-guaranteed to fail AND may prolong the
+            # outage — go straight to the CPU fallback
+            return best, attempts
+        if best is None or h["probe_s"] < best["probe_s"]:
             best = h
-        if h is not None and h["probe_s"] <= DEGRADED_PROBE_S and (
-            h["init_first_s"] <= 300.0
-        ):
+        if h["probe_s"] <= DEGRADED_PROBE_S and h["init_first_s"] <= 300.0:
             return h, attempts
         if i + 1 < max_attempts:
             time.sleep(backoff_s[min(i, len(backoff_s) - 1)])
@@ -542,13 +558,20 @@ def main():
         if isinstance(adf, dict):
             # ADF MFU: stage-2 fraction of its modeled VPU ceiling (the
             # angle/histogram stage the roofline models) + the modeled
-            # extraction efficiency of stage 1's fixed-depth window sweep
+            # extraction efficiency of stage 1's fixed-depth window sweep.
+            # stage2 is absent when the split was drift-contaminated.
             _adf_model = _roof.adf_stage2_model(pack=adf["pack"])
-            extras["adf_vpu_roofline_frac"] = round(
-                _adf_model["ceiling_ms_per_frame"]["vpu"]
-                / adf["stage2_plus_overhead_ms"],
-                3,
-            )
+            if "stage2_plus_overhead_ms" in adf:
+                extras["adf_vpu_roofline_frac"] = round(
+                    _adf_model["ceiling_ms_per_frame"]["vpu"]
+                    / adf["stage2_plus_overhead_ms"],
+                    3,
+                )
+            else:
+                extras["adf_split_note"] = (
+                    "stage1 >= 95% of pipeline in separate timings — "
+                    "drift-contaminated split, MFU fraction omitted"
+                )
             extras["adf_extraction_efficiency"] = round(
                 _adf_model["extraction_efficiency"], 3
             )
