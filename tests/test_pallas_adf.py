@@ -865,3 +865,29 @@ def test_arcs_from_flags_properties(rng):
             runs = 1
         if 0 < runs <= n_arcs:
             assert covered.sum() == flags[r].sum(), (r, flags[r], arcs[r])
+
+
+def test_stage2_tc_parameter_equality(rng):
+    """The centers-per-grid-step parameter (r4, swept on hardware) must
+    be result-invariant: tc only re-blocks the grid."""
+    from lammps_analysis_tpu.ops.pallas_adf import (
+        adf_pairs_histogram_pallas,
+        pallas_neighbor_lists,
+    )
+
+    f, n, box_l, cutoff, n_bins = 2, 256, 9.0, 2.0, 73
+    pos = rng.uniform(0, box_l, (f, n, 3)).astype(np.float32)
+    sid = np.repeat(np.arange(2), n // 2).astype(np.int32)
+    box = jnp.asarray([box_l] * 3, jnp.float32)
+    r_n, d_n, sid_n, sid_pad, _ = pallas_neighbor_lists(
+        jnp.asarray(pos), jnp.asarray(sid), box, cutoff,
+        k_n=128, interpret=True,
+    )
+    base = np.asarray(adf_pairs_histogram_pallas(
+        r_n, d_n, sid_n, sid_pad, n_bins, 2, interpret=True
+    ))
+    for tc in (16, 64):
+        got = np.asarray(adf_pairs_histogram_pallas(
+            r_n, d_n, sid_n, sid_pad, n_bins, 2, interpret=True, tc=tc
+        ))
+        np.testing.assert_array_equal(got, base)
