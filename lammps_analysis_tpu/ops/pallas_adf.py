@@ -1061,12 +1061,17 @@ def extract_e_for(n_atoms: int, box, cutoff, sort: str = "z") -> int:
     width (``w_chunks`` chunks wide), and with the old uniform-spread
     estimate the cleanup dominated the extract (op-count model share
     0.5-0.96 across 10k-131k atoms; see
-    ``benchmarks/extract_e_model.py``). The cost-optimal depth tracked
-    ``~2.8x the mean nonzero per-chunk count`` within ~12% across all
-    measured configs; the mean-nonzero estimate below (geometry of the
-    sort's chunk extents, x1.25 edge-bias factor) matched the simulated
-    distributions within ~25%. Overshooting is cheap (sweep-1 cost is
-    linear in ``e``); undershooting pays ``w_chunks``-wide sweeps.
+    ``benchmarks/extract_e_model.py``). The op-count SIMULATION said the
+    cost-optimal depth tracks ``~2.8x the mean nonzero per-chunk count``;
+    interleaved HARDWARE curves (r4, healthy chip) put the optimum at
+    ``~1.8x`` instead — 10k/3.6: e5 optimal (4.53 ms/frame) vs the old
+    e8 (4.65-4.49), 65k brick: e9 (34.74) vs the old e15 (37.2, 1.07x),
+    wide 10k/5.5: flat within noise across e10-e17. The mean-nonzero
+    estimate below (geometry of the sort's chunk extents, x1.25
+    edge-bias factor) matched the simulated distributions within ~25%.
+    Overshooting is cheap (sweep-1 cost is linear in ``e``);
+    undershooting pays ``w_chunks``-wide sweeps — the x1.8 point keeps
+    ~2 extractions of margin over the densest-chunk mean.
 
     Needs STATIC (host) box/cutoff values — callers with traced values
     keep the default. ``sort`` must match the caller's spatial order
@@ -1101,7 +1106,7 @@ def extract_e_for(n_atoms: int, box, cutoff, sort: str = "z") -> int:
         # z-sort: chunks overlapping the 2*cutoff z-window
         n_nz = 2.0 * rc / max(box_np[2], 1e-30) * n_chunks + 1.0
     mean_nz = 1.25 * expected / max(min(n_nz, n_chunks), 1.0)
-    return int(np.clip(np.ceil(2.8 * mean_nz), 4, 48))
+    return int(np.clip(np.ceil(1.8 * mean_nz), 4, 48))
 
 
 @functools.partial(

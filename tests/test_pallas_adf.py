@@ -642,14 +642,15 @@ def test_static_window_heuristics():
     es = [extract_e_for(10240, box, c) for c in (2.0, 3.6, 5.5, 8.0)]
     assert es == sorted(es) and es[0] >= 4 and es[-1] <= 48
     # concentration model: depth tracks the densest chunk, not the
-    # window mean — simulated cost-optimal depths (extract_e_model.py)
-    # were 8 / 14 at 10240 atoms cutoffs 3.6 / 5.5 (z) and 16 / 24 at
-    # 65536 in a 74.3 box (brick); the model must land within ~±40%
-    assert 6 <= extract_e_for(10240, box, 3.6, sort="z") <= 11
-    assert 11 <= extract_e_for(10240, box, 5.5, sort="z") <= 20
+    # window mean. r4 re-fit the depth factor to interleaved HARDWARE
+    # curves (2.8x sim -> 1.8x measured; optima e5 at 10240/3.6 z and
+    # e9-11 at 65536/3.6 brick, wide cutoffs flat) — the model must land
+    # within ~±40% of those optima
+    assert 4 <= extract_e_for(10240, box, 3.6, sort="z") <= 8
+    assert 8 <= extract_e_for(10240, box, 5.5, sort="z") <= 15
     box65 = [74.3, 74.3, 74.3]
-    assert 12 <= extract_e_for(65536, box65, 3.6, sort="brick") <= 22
-    assert 18 <= extract_e_for(65536, box65, 5.5, sort="brick") <= 33
+    assert 7 <= extract_e_for(65536, box65, 3.6, sort="brick") <= 14
+    assert 11 <= extract_e_for(65536, box65, 5.5, sort="brick") <= 21
     # brick3 concentrates harder (x-runs inside cells): depth must not
     # drop below the brick depth at the wide cutoff where brick3 engages
     assert extract_e_for(65536, box65, 5.5, sort="brick3") >= \
