@@ -17,7 +17,8 @@ REPO = pathlib.Path(__file__).resolve().parents[1]
 @pytest.mark.parametrize(
     "script",
     ["molten_nacl_analysis.py", "water_molecule_study.py",
-     "flux_transport_analysis.py", "binary_trajectory_analysis.py"],
+     "flux_transport_analysis.py", "binary_trajectory_analysis.py",
+     "multi_device_scaling.py"],
 )
 def test_example_runs(script, tmp_path):
     env = {
