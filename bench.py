@@ -174,6 +174,21 @@ def measure_msd_wfa_per_s(t=16384, n=1024, window=512, stride=256,
     return _best_of(run_once, work)
 
 
+def adf_firstshell_key(n_frames: int, suffix: str = "") -> str:
+    """Canonical artifact key for the 10k-atom first-shell ADF pipeline
+    at a given call height. One key = one workload: the call height is
+    part of the name because the sort+window stage carries ~2.5 ms/frame
+    of per-call cost — f2 and f16 differ ~2x and must never share a key
+    (cross-artifact trap pinned by ``tests/test_bench_keys.py``)."""
+    return f"adf_firstshell_ms_per_frame_f{int(n_frames)}{suffix}"
+
+
+#: call height of the headline extras row (the production wrapper picks
+#: f=16 at 10240 atoms — ``adf_frames_per_call``)
+ADF_FIRSTSHELL_F = 16
+ADF_FIRSTSHELL_KEY = adf_firstshell_key(ADF_FIRSTSHELL_F)
+
+
 def measure_adf_ms_per_frame(n_atoms=10240, n_frames=2, n_bins=500,
                              cutoff=3.6, repeats=3, n_species=2,
                              stage_split=False):
@@ -396,8 +411,10 @@ def _last_rebaseline():
         "probe_s": reb.get("probe_s"),
         "rdf_pairs_per_s": reb.get("rdf_pairs_per_s"),
         "rdf_65536_gpairs_per_s": reb.get("rdf_65536_gpairs_per_s"),
-        "adf_firstshell_ms_per_frame": reb.get(
-            "adf_firstshell_ms_per_frame"
+        # pre-r5 rebaseline artifacts carried the f16 workload under
+        # "adf_ms_per_frame_f16" (the bare key was the f2 workload)
+        ADF_FIRSTSHELL_KEY: reb.get(
+            ADF_FIRSTSHELL_KEY, reb.get("adf_ms_per_frame_f16")
         ),
     }
 
@@ -516,10 +533,10 @@ def main():
         if jax.default_backend() == "tpu":
             # production call height (adf_frames_per_call picks f=16);
             # stage split makes the stage-2 MFU fraction reportable
-            adf = measure_adf_ms_per_frame(n_frames=16, stage_split=True)
-            extras["adf_firstshell_ms_per_frame"] = round(
-                adf["pipeline_ms"], 1
+            adf = measure_adf_ms_per_frame(
+                n_frames=ADF_FIRSTSHELL_F, stage_split=True
             )
+            extras[ADF_FIRSTSHELL_KEY] = round(adf["pipeline_ms"], 1)
             extras["adf_stage1_ms_per_frame"] = round(adf["stage1_ms"], 2)
     except Exception as err:  # pragma: no cover
         adf = None

@@ -80,11 +80,21 @@ def main():
 
         return run
 
+    def firstshell(n_frames, suffix="", **kw):
+        """Key and workload built from the SAME ``n_frames`` — the key
+        carries the call height (``bench.adf_firstshell_key``; one key =
+        one workload, tests/test_bench_keys.py)."""
+        return (
+            bench.adf_firstshell_key(n_frames, suffix),
+            lambda: round(
+                bench.measure_adf_ms_per_frame(n_frames=n_frames, **kw), 1
+            ),
+        )
+
     stages = [
         ("rdf_pairs_per_s",
          lambda: round(bench.measure_rdf_pairs_per_s(**bench.WORKLOAD))),
-        ("adf_firstshell_ms_per_frame",
-         lambda: round(bench.measure_adf_ms_per_frame(), 1)),
+        firstshell(2),
         ("adf_wide_ms_per_frame",
          lambda: round(bench.measure_adf_ms_per_frame(cutoff=5.5), 1)),
         # reference-default ADF cutoff (6.0): statistical K bound + the
@@ -102,12 +112,12 @@ def main():
         # frames-per-call A/B: the sort+window stage carries ~2.5 ms/frame
         # of per-call cost at n_frames=2 — taller batches amortise it.
         # Same-session ratios are the only trustworthy comparison here.
-        ("adf_ms_per_frame_f8",
-         lambda: round(bench.measure_adf_ms_per_frame(n_frames=8), 1)),
-        ("adf_ms_per_frame_f16",
-         lambda: round(bench.measure_adf_ms_per_frame(n_frames=16), 1)),
+        # f16 is the production call height — the SAME workload as
+        # BENCH extras' ADF_FIRSTSHELL_KEY row.
+        firstshell(8),
+        firstshell(bench.ADF_FIRSTSHELL_F),
         # serpentine brick sort A/B (production default >= 16384 atoms)
-        ("adf_firstshell_ms_per_frame_brick",
+        (bench.adf_firstshell_key(2, "_brick"),
          brick_env(lambda: round(bench.measure_adf_ms_per_frame(), 1))),
         ("adf_65536_ms_per_frame_brick",
          brick_env(lambda: round(bench.measure_adf_ms_per_frame(

@@ -143,7 +143,12 @@ def main():
         r = json.loads(reb.read_text())
         measured = {
             "rdf_pairs_per_s": r.get("rdf_pairs_per_s"),
-            "adf_ms_per_frame_f16": r.get("adf_ms_per_frame_f16"),
+            # key renamed in r5 (adf_firstshell_key); old artifacts
+            # carried the f16 workload under adf_ms_per_frame_f16
+            "adf_firstshell_ms_per_frame_f16": r.get(
+                "adf_firstshell_ms_per_frame_f16",
+                r.get("adf_ms_per_frame_f16"),
+            ),
             "probe_s": r.get("probe_s"),
             "measured": r.get("measured"),
         }

@@ -22,6 +22,7 @@ Run:  python examples/multi_device_scaling.py
 
 import os
 import pathlib
+import shutil
 import sys
 import tempfile
 
@@ -64,6 +65,8 @@ def main():
     import jax
 
     assert len(jax.devices()) >= N_DEVICES
+    # cleaned up at the end of main() — mkdtemp alone leaked a store
+    # directory per run (incl. every examples smoke-test invocation)
     workdir = pathlib.Path(tempfile.mkdtemp(prefix="mesh_example_"))
 
     # -- a small synthetic two-species system, ingested through the store
@@ -130,7 +133,9 @@ def main():
           "the single-device kernel")
 
     figures = workdir / "mesh_demo" / "figures"
-    print(f"done; figures directory: {figures}")
+    print(f"done; figures were written under {figures} "
+          "(temporary workdir removed)")
+    shutil.rmtree(workdir, ignore_errors=True)
 
 
 if __name__ == "__main__":

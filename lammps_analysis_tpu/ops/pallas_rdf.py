@@ -261,10 +261,15 @@ def rdf_histogram_pallas(
                 & (d < cutoff_v)
             )
 
-            # fold the mask into an out-of-range COMBINED id: masked
-            # pairs land at hi == hi_pad, so no hi one-hot row matches
-            # and the contribution is zero (their lo row 0 matches, but
-            # the hi column is all-zero) — no weight multiply needed
+            # fold the mask into an out-of-range COMBINED id. The park
+            # value hi_pad*k rejects the pair through EITHER of two
+            # invariants, depending on how fl(1/k) rounds: (a) exact
+            # floor -> hi == hi_pad, out of the hi one-hot's [0, hi_pad)
+            # rows; (b) floor rounded DOWN (non-power-of-two k) ->
+            # hi == hi_pad-1 (a REAL row) but lo == k, out of the lo
+            # one-hot's [0, k) rows. A change that widens/pads the lo
+            # one-hot axis past k, or reorders the hi/lo split, must
+            # re-establish one of the two or masked pairs unmask.
             comb_m = jnp.where(mask, combined, float(hi_pad * k))
 
             # flatten the tile's rows along lanes through a VMEM scratch
