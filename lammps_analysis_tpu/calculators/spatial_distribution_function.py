@@ -115,12 +115,15 @@ class SpatialDistributionFunction(TrajectoryCalculator):
                 mask = mask & (a_ids[None, :, None] != b_ids[None, None, :])
             theta_idx = bin_indices(rtp[..., 1], 0.0, math.pi, n_bins)
             phi_idx = bin_indices(rtp[..., 2], -math.pi, math.pi, n_bins)
-            # "outer": the 2-D histogram is n_bins^2 wide — the MXU
-            # outer-product path compiles and runs well on TPU where the
-            # scatter lowering is pathologically slow to compile
+            # "auto" = backend-appropriate: the 2-D histogram is n_bins^2
+            # wide — on TPU the MXU outer-product path compiles and runs
+            # well where the scatter lowering is pathologically slow to
+            # compile; on host CPU scatter is native-fast and the forced
+            # "outer" ran the 10k-atom SDF 6.1x slower (13.8 s/frame vs
+            # 2.26, benchmarks/distinct_sdf_perf.json)
             return histogram2d_masked(
                 theta_idx, phi_idx, mask.astype(jnp.float32), n_bins, n_bins,
-                strategy="outer",
+                strategy="auto",
             )
 
         hist = np.zeros((n_bins, n_bins), dtype=np.float64)
