@@ -186,6 +186,12 @@ def adf_neighbor_lists(
 #: count this kernel accepts is far below 2^24) or _EMPTY for out-of-cutoff
 #: lanes; extraction is order-free set compaction (the angle histogram is
 #: order-invariant), so no distance sorting is needed at all.
+#: default for the jrow extract variant (j-value rows instead of
+#: per-center value scratches — see ``_neighbor_extract_pallas``); a
+#: module constant so the A/B harness can flip arms per process and the
+#: production default is set in exactly one place once measured.
+_JROW_DEFAULT = False
+
 _JCAP = 16384  #: max padded atom count routed to this kernel (VMEM keys row)
 #: cap for the WINDOW-relative-scratch variant: the scratches scale with
 #: the window bound (not N), so only the (1, N) j-rows grow with N.
@@ -200,7 +206,7 @@ _TAKEN = 6.0e7  # key for already-extracted lanes
 @functools.partial(
     jax.jit,
     static_argnames=("k_n", "interpret", "tc", "e_fixed", "w_chunks",
-                     "lean"),
+                     "lean", "jrow"),
 )
 def _neighbor_extract_pallas(
     positions: jnp.ndarray,  # (F, N, 3) float32
@@ -215,6 +221,7 @@ def _neighbor_extract_pallas(
     w_chunks: int | None = None,
     centers: tuple | None = None,  # (pos_c (F,Nc,3), sid_c, i_offset)
     lean: bool = False,
+    jrow: bool = False,
 ):
     """Per-center in-cutoff neighbor indices, no ``top_k``, no HBM gathers.
 
@@ -278,8 +285,20 @@ def _neighbor_extract_pallas(
     float non-associativity only, i.e. ~1 ulp). Cuts the extraction
     inner loop from 5 picked values / 6 slot accumulators to 4 / 4 and
     drops one of the six VMEM scratch rows. Returns ``idx=None``.
+
+    ``jrow`` (static, requires ``lean``): replace the four per-center
+    (tc, 128) value-scratch stores per chunk (dx/dy/dz/sid — the r4
+    e-curves proved the extract is bound by per-chunk stores/loads, not
+    extraction arithmetic) with four (1, 128) stores of the RAW j-side
+    values; the cleanup sweep picks the selected lane's j values
+    through the same one-hot mask and recomputes displacement +
+    minimum image on (tc, 1) vectors. Same formula on the same f32
+    inputs in the same order -> bit-identical outputs (pinned by
+    ``tests/test_pallas_adf.py``); per-chunk store traffic drops ~tc x
+    and the cleanup sweep reads 1 full-width scratch instead of 5.
     """
     f, n, _ = positions.shape
+    assert lean or not jrow, "jrow requires lean mode (production path)"
     n_pad = _round_up(n, 128)
     cap = _JCAP_WINDOWED if (window is not None and w_chunks) else _JCAP
     assert n_pad <= cap, (
@@ -375,7 +394,13 @@ def _neighbor_extract_pallas(
     ):
         if has_window:
             win_ref, *rest = rest
-        if lean:
+        if jrow:
+            out_idx_ref = ds_ref = None
+            dxs_ref = dys_ref = dzs_ref = sids_ref = None
+            (out_rx_ref, out_ry_ref, out_rz_ref,
+             out_d_ref, out_sid_ref, out_cnt_ref,
+             keys_ref, jv_ref) = rest
+        elif lean:
             out_idx_ref = ds_ref = None
             (out_rx_ref, out_ry_ref, out_rz_ref,
              out_d_ref, out_sid_ref, out_cnt_ref,
@@ -496,13 +521,26 @@ def _neighbor_extract_pallas(
             )
             sidc = sjc + 0.0 * i_ids  # (TC, 128) broadcast copy
             chunk = jnp.where(validc, jc + 0.0 * i_ids, _EMPTY)
-            dxs_ref[:, slanes] = dxc
-            dys_ref[:, slanes] = dyc
-            dzs_ref[:, slanes] = dzc
-            sids_ref[:, slanes] = sidc
-            if lean:
+            if jrow:
+                # store only the RAW j-side rows — (1, 128) each, tc x
+                # cheaper than the per-center value scratches; cleanup
+                # recomputes displacement from the picked j values
+                jv_ref[0:1, slanes] = xjc
+                jv_ref[1:2, slanes] = yjc
+                jv_ref[2:3, slanes] = zjc
+                jv_ref[3:4, slanes] = sjc
+                vals = (dxc, dyc, dzc, sidc)
+            elif lean:
+                dxs_ref[:, slanes] = dxc
+                dys_ref[:, slanes] = dyc
+                dzs_ref[:, slanes] = dzc
+                sids_ref[:, slanes] = sidc
                 vals = (dxc, dyc, dzc, sidc)
             else:
+                dxs_ref[:, slanes] = dxc
+                dys_ref[:, slanes] = dyc
+                dzs_ref[:, slanes] = dzc
+                sids_ref[:, slanes] = sidc
                 ds_ref[:, slanes] = dc
                 vals = (dxc, dyc, dzc, dc, sidc)
             for _ in range(e_fixed):
@@ -555,6 +593,42 @@ def _neighbor_extract_pallas(
         ).astype(jnp.int32)
 
         def cleanup(_, carry):
+            if jrow:
+                # pick the selected lane's RAW j values through the same
+                # one-hot, then recompute displacement + minimum image on
+                # (tc, 1) vectors — identical formula on identical f32
+                # inputs in identical order as the sweep-1 register path,
+                # so the emitted values are bit-identical. Exhausted rows
+                # (cur == _EMPTY matches every empty lane) may sum stale
+                # jv lanes into garbage — the where(ohb, ...) SELECT
+                # never lets it reach the accumulators (sixth-pass rule:
+                # select, never multiply, around unwritten scratch).
+                rxa, rya, rza, sa, slot = carry
+                keys_w = keys_ref[...]
+                cur = jnp.min(keys_w, axis=1, keepdims=True)
+                m_sel = keys_w == cur
+                keys_ref[...] = jnp.where(m_sel, _TAKEN, keys_w)
+                ok = (cur < _EMPTY) & (slot < float(k_n))
+                ohb = (slot_iota == slot) & ok
+
+                def pickj(r):
+                    return jnp.sum(
+                        jnp.where(m_sel, jv_ref[r : r + 1, :], 0.0),
+                        axis=1, keepdims=True,
+                    )  # (TC, 1)
+
+                dxv = xi - pickj(0)
+                dyv = yi - pickj(1)
+                dzv = zi - pickj(2)
+                dxv = dxv - mic * bx * jnp.round(dxv * ibx)
+                dyv = dyv - mic * by * jnp.round(dyv * iby)
+                dzv = dzv - mic * bz * jnp.round(dzv * ibz)
+                rxa = rxa + jnp.where(ohb, dxv, 0.0)
+                rya = rya + jnp.where(ohb, dyv, 0.0)
+                rza = rza + jnp.where(ohb, dzv, 0.0)
+                sa = sa + jnp.where(ohb, pickj(3) + 1.0, 0.0)
+                slot = slot + jnp.where(ok, 1.0, 0.0)
+                return (rxa, rya, rza, sa, slot)
             if lean:
                 vals = (
                     dxs_ref[...], dys_ref[...], dzs_ref[...],
@@ -637,7 +711,17 @@ def _neighbor_extract_pallas(
             window.astype(jnp.int32).reshape(f * n_blocks, 1, 2 * n_arcs)
         )
     n_out = 5 if lean else 6
-    n_scratch = 5 if lean else 6
+    if jrow:
+        # keys stay per-center; the four value rows collapse into one
+        # (8, W) j-value scratch (rows 0-3 used; 8 = sublane tile)
+        scratch_shapes = [
+            pltpu.VMEM((tc, sw * 128), jnp.float32),
+            pltpu.VMEM((8, sw * 128), jnp.float32),
+        ]
+    else:
+        scratch_shapes = [
+            pltpu.VMEM((tc, sw * 128), jnp.float32)
+        ] * (5 if lean else 6)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -645,7 +729,7 @@ def _neighbor_extract_pallas(
         out_specs=[k_spec] * n_out + [cnt_spec],
         out_shape=[k_shape] * n_out
         + [jax.ShapeDtypeStruct((f * nc_pad, 1), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((tc, sw * 128), jnp.float32)] * n_scratch,
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(*inputs)
     if lean:
@@ -1112,7 +1196,7 @@ def extract_e_for(n_atoms: int, box, cutoff, sort: str = "z") -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("k_n", "interpret", "e_fixed", "w_chunks", "sort",
-                     "n_arcs", "tc"),
+                     "n_arcs", "tc", "jrow"),
 )
 def sorted_neighbor_extract(
     positions: jnp.ndarray,  # (F, N, 3)
@@ -1126,6 +1210,7 @@ def sorted_neighbor_extract(
     sort: str = "z",
     n_arcs: int = 1,
     tc: int | None = None,
+    jrow: bool = _JROW_DEFAULT,
 ):
     """Spatially sorted extract: z-sort + per-block circular chunk window.
 
@@ -1198,6 +1283,7 @@ def sorted_neighbor_extract(
     _, rx, ry, rz, d_n, sid_n, cnt = _neighbor_extract_pallas(
         pos_s, sid_s, box, cutoff, k_n=k_n, interpret=interpret,
         tc=tc, window=win, e_fixed=e_fixed, w_chunks=w_chunks, lean=True,
+        jrow=jrow,
     )
     return rx, ry, rz, d_n, sid_n, cnt, sid_s, overflow
 
@@ -1205,7 +1291,7 @@ def sorted_neighbor_extract(
 @functools.partial(
     jax.jit,
     static_argnames=("k_n", "interpret", "e_fixed", "w_chunks", "n_shards",
-                     "sort", "n_arcs"),
+                     "sort", "n_arcs", "jrow"),
 )
 def sorted_neighbor_extract_stripe(
     positions: jnp.ndarray,  # (F, N, 3) — the FULL atom set
@@ -1220,6 +1306,7 @@ def sorted_neighbor_extract_stripe(
     w_chunks: int | None = None,
     sort: str = "z",
     n_arcs: int = 1,
+    jrow: bool = _JROW_DEFAULT,
 ):
     """Center-STRIPE sorted extract for tensor-parallel ADF.
 
@@ -1286,7 +1373,7 @@ def sorted_neighbor_extract_stripe(
     _, rx, ry, rz, d_n, sid_n, cnt = _neighbor_extract_pallas(
         pos_s, sid_s, box, cutoff, k_n=k_n, interpret=interpret,
         tc=tc, window=win, e_fixed=e_fixed, w_chunks=w_chunks, lean=True,
-        centers=(pos_c, sid_c, lo),
+        centers=(pos_c, sid_c, lo), jrow=jrow,
     )
     return rx, ry, rz, d_n, sid_n, cnt, sid_c, overflow
 

@@ -4,9 +4,10 @@ The XLA path (``ops.rdf.rdf_histogram``) materialises per-tile one-hot
 matrices in HBM between the compare and the matmul, making wide-histogram
 binning HBM-bandwidth-bound. This kernel keeps the whole tile pipeline in
 VMEM: displacement -> minimum image -> distance -> combined (pair, bin)
-index -> hardware-shaped one-hot split -> MXU contraction into a resident
-histogram scratch. One grid pass over 8-row i-tiles; frames and j-tiles
-sweep inside.
+index -> per-row hardware-shaped one-hot split -> MXU contraction into a
+resident histogram scratch (rowwise — zero relayout stores; the r4
+scratch-flatten variant is superseded, see the tile body). One grid pass
+over ``_TI``-row i-tiles; frames and j-tiles sweep inside.
 
 Design notes
 ------------
@@ -39,9 +40,10 @@ from jax.experimental.pallas import tpu as pltpu
 # i-rows per grid step. Taller tiles amortise the per-tile j-row loads
 # and loop/index overhead: 8 -> 16 measured 1.11-1.12x, 16 -> 32 a
 # further 1.07-1.08x (benchmarks/rdf_gap_bounds.json ti16/ti32 arms;
-# interleaved same-run A/Bs, bit-identical histograms). 32 is the
-# scoped-VMEM ceiling: the flat one-hot pair (hi_pad + k, TI*TJ) bf16
-# is ~10 MB at TJ=2048 — 64 rows would need ~20 MB (> the 16 MB limit).
+# interleaved same-run A/Bs, bit-identical histograms). The old flat
+# variant's 32-row scoped-VMEM ceiling (its (hi_pad + k, TI*TJ) bf16
+# one-hot pair) no longer binds under the rowwise tile body; see
+# benchmarks/rdf_rowwise_ti_ab.py for the taller-tile sweep.
 _TI = 32
 _TJ_MAX = 2048  # j-tile lanes
 
@@ -160,7 +162,6 @@ def rdf_histogram_pallas(
         px_ref, py_ref, pz_ref,
         pxf_ref, pyf_ref, pzf_ref,
         sid_row_ref, sidf_ref, params_ref, out_ref, acc_ref,
-        hi_buf_ref,
     ):
         i = pl.program_id(0)
         # scalar runtime parameters from SMEM
@@ -261,42 +262,37 @@ def rdf_histogram_pallas(
                 & (d < cutoff_v)
             )
 
-            # fold the mask into an out-of-range COMBINED id. The park
-            # value hi_pad*k rejects the pair through EITHER of two
-            # invariants, depending on how fl(1/k) rounds: (a) exact
-            # floor -> hi == hi_pad, out of the hi one-hot's [0, hi_pad)
-            # rows; (b) floor rounded DOWN (non-power-of-two k) ->
-            # hi == hi_pad-1 (a REAL row) but lo == k, out of the lo
-            # one-hot's [0, k) rows. A change that widens/pads the lo
-            # one-hot axis past k, or reorders the hi/lo split, must
-            # re-establish one of the two or masked pairs unmask.
-            comb_m = jnp.where(mask, combined, float(hi_pad * k))
-
-            # flatten the tile's rows along lanes through a VMEM scratch
-            # (stores at 128-aligned lane offsets handle the relayout;
-            # reshape/concat of live vectors would be illegal relayouts).
-            # Only the combined id is relayouted — the hi/lo split runs
-            # on the flat row afterwards (same element count, HALF the
-            # relayout stores): measured 1.19x whole-kernel at the
-            # production 32-frame call height, bit-identical histograms
-            # (benchmarks/rdf_gap_bounds.json, combflat arm)
+            # rowwise contraction — NO relayout at all (r5; supersedes
+            # the r4 combflat scratch-flatten, whose stores carried ~30%
+            # of the kernel once TI=32 amortised the one-hot;
+            # benchmarks/rdf_rowwise_ab.json: 1.04-1.06x at all three
+            # production shapes, interleaved, bit-identical). Each row's
+            # (1, TJ) ids one-hot against the id columns and contract on
+            # the MXU; the TI partial products stay in registers with
+            # ONE acc RMW per tile (per-row RMWs would round-trip VMEM —
+            # the fifth-pass trap). Masked pairs park at hi == hi_pad:
+            # out of the hi one-hot's [0, hi_pad) rows, so they match no
+            # row and contribute zero (their real lo row does match, but
+            # the hi column is all-zero — invariant required by any
+            # future reorder of the split).
+            hi_id = jnp.floor(combined * (1.0 / k))
+            lo_id = combined - hi_id * k
+            hi_id = jnp.where(mask, hi_id, float(hi_pad))
+            tile_acc = None
             for r in range(_TI):
-                lanes = pl.ds(r * j_block, j_block)
-                hi_buf_ref[0:1, lanes] = comb_m[r : r + 1, :]
-            cflat = hi_buf_ref[...]  # (1, TI*TJ)
-            hi_flat = jnp.floor(cflat * (1.0 / k))
-            lo_flat = cflat - hi_flat * k
-            oh_hi = jnp.where(hi_flat == hi_ids, 1.0, 0.0).astype(
-                jnp.bfloat16
-            )  # (HI, TI*TJ)
-            oh_lo = jnp.where(lo_flat == lo_ids, 1.0, 0.0).astype(
-                jnp.bfloat16
-            )  # (LO, TI*TJ)
-            acc_ref[:, 0:k] += jax.lax.dot_general(
-                oh_hi, oh_lo,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+                oh_hi = jnp.where(
+                    hi_id[r : r + 1, :] == hi_ids, 1.0, 0.0
+                ).astype(jnp.bfloat16)  # (HI, TJ)
+                oh_lo = jnp.where(
+                    lo_id[r : r + 1, :] == lo_ids, 1.0, 0.0
+                ).astype(jnp.bfloat16)  # (LO, TJ)
+                p = jax.lax.dot_general(
+                    oh_hi, oh_lo,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                tile_acc = p if tile_acc is None else tile_acc + p
+            acc_ref[:, 0:k] += tile_acc
             return 0
 
         # dynamic trip count: padded frames beyond n_valid never execute
@@ -317,7 +313,6 @@ def rdf_histogram_pallas(
         out_shape=jax.ShapeDtypeStruct((hi_pad, k_pad), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((hi_pad, k_pad), jnp.float32),
-            pltpu.VMEM((1, _TI * j_block), jnp.float32),
         ],
         interpret=interpret,
     )(px, py, pz, pxf, pyf, pzf, sid_row, sidf, params)

@@ -359,6 +359,14 @@ class _AdfPlan:
         e_env = os.environ.get("LATPU_ADF_EXTRACT_E")
         if e_env and self.use_sorted:
             self.extract_e = max(1, int(e_env))
+        # jrow extract variant (j-value rows, see _neighbor_extract_pallas):
+        # production default lives in pallas_adf._JROW_DEFAULT; the env
+        # var is the one-process-per-arm A/B hook. Kept OUTSIDE any other
+        # override branch (the 22c7a27 lesson above).
+        from ..ops.pallas_adf import _JROW_DEFAULT
+
+        j_env = os.environ.get("LATPU_ADF_JROW")
+        self.jrow = bool(int(j_env)) if j_env else _JROW_DEFAULT
         self._normalise()
 
     def _normalise(self):
@@ -484,7 +492,8 @@ def _adf_pipeline(plan: _AdfPlan, n_species, cutoff, n_bins, norm_power):
                  _wc=getattr(plan, "w_chunks", None),
                  _sort=getattr(plan, "sort", "z"),
                  _arcs=getattr(plan, "n_arcs", 1),
-                 _fc=getattr(plan, "fold_chunk", None)):
+                 _fc=getattr(plan, "fold_chunk", None),
+                 _jrow=getattr(plan, "jrow", False)):
         cnts = None
         per_frame_sid = False
         if use_cells:
@@ -508,6 +517,7 @@ def _adf_pipeline(plan: _AdfPlan, n_species, cutoff, n_bins, norm_power):
                     pos_shard, sid, box_, cutoff, k_n=_k, e_fixed=_ee,
                     w_chunks=_wc, sort=_sort,
                     n_arcs=_arcs if _sort in ("brick", "brick3") else 1,
+                    jrow=_jrow,
                 )
             )
             r_nn = (rxn, ryn, rzn)
@@ -1005,13 +1015,15 @@ def sharded_adf_histogram_2d(
         def sharded(pos_shard, sid, ttab, box_, *, _k=plan.k_n,
                     _pack=plan.pack, _ee=plan.extract_e,
                     _wc=plan.w_chunks, _sort=getattr(plan, "sort", "z"),
-                    _arcs=getattr(plan, "n_arcs", 1)):
+                    _arcs=getattr(plan, "n_arcs", 1),
+                    _jrow=getattr(plan, "jrow", False)):
             rank = jax.lax.axis_index("atoms")
             rx, ry, rz, d_nn, s_nn, cnts, sid_c, ovf = (
                 _pk.sorted_neighbor_extract_stripe(
                     pos_shard, sid, box_, cutoff, rank, n_at,
                     k_n=_k, e_fixed=_ee, w_chunks=_wc, sort=_sort,
                     n_arcs=_arcs if _sort in ("brick", "brick3") else 1,
+                    jrow=_jrow,
                 )
             )
             h = _pk.adf_stage2_auto(

@@ -556,6 +556,27 @@ def test_adf_plan_statistical_k_and_chunk_gate():
     assert p.k_n == 512 and p.fold_chunk  # expected 145 < 512 - 128
 
 
+def test_adf_routing_flips_to_cells_above_cap():
+    """The ADF auto route must hand off from the windowed sorted extract
+    to cell lists EXACTLY above ``_JCAP_WINDOWED`` (the windowed
+    scratch's 262144-atom cap) — the claim measured on hardware by
+    ``benchmarks/adf_beyond_cap.py`` (VERDICT r5 ask #5)."""
+    from lammps_analysis_tpu.ops.pallas_adf import _JCAP_WINDOWED
+    from lammps_analysis_tpu.parallel.sharded_ops import _AdfPlan
+
+    def plan_for(n):
+        box = 40.0 * (n / 10240.0) ** (1.0 / 3.0)
+        return _AdfPlan(n, np.array([box] * 3, np.float32), 3.6,
+                        use_pallas=True)
+
+    at_cap = plan_for(_JCAP_WINDOWED)
+    assert not at_cap.use_cells and at_cap.use_sorted
+    beyond = plan_for(_JCAP_WINDOWED + 128)
+    assert beyond.use_cells, (
+        "auto route must flip to cells above the windowed cap"
+    )
+
+
 # ------------------------------------------- calculator-level equality
 def _nacl_experiment(tmp_path, name):
     """A small two-species experiment streamed from the store."""

@@ -589,6 +589,48 @@ def test_extract_kernel_tc_invariant(rng, tc):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.parametrize("w_chunks", [None, 3])
+def test_extract_jrow_bit_identical(rng, w_chunks):
+    """The jrow extract (four (1, 128) raw-j-value stores per chunk +
+    cleanup-side displacement recompute, replacing the four (tc, 128)
+    value scratches) must be BIT-identical to the classic lean path:
+    cleanup recomputes ``xi - xj`` / minimum image with the identical
+    formula on the identical f32 inputs in the identical order. Covers
+    the windowed (window-relative scratch) and unwindowed layouts,
+    species padding, and an exhausted-row cleanup (e_fixed=1 forces
+    leftovers through the jrow cleanup sweep)."""
+    from lammps_analysis_tpu.ops.pallas_adf import (
+        _neighbor_extract_pallas,
+        sorted_neighbor_extract,
+    )
+
+    f, n, box_l, cutoff = 2, 300, 9.0, 2.4
+    pos = rng.uniform(0, box_l, (f, n, 3)).astype(np.float32)
+    sid = np.r_[np.zeros(140), np.ones(150), -np.ones(10)].astype(np.int32)
+    box = jnp.asarray([box_l] * 3, jnp.float32)
+    for e_fixed in (1, 4):  # 1: dense rows leave cleanup work
+        a = sorted_neighbor_extract(
+            jnp.asarray(pos), jnp.asarray(sid), box, cutoff, k_n=128,
+            interpret=True, e_fixed=e_fixed, w_chunks=w_chunks, jrow=False,
+        )
+        b = sorted_neighbor_extract(
+            jnp.asarray(pos), jnp.asarray(sid), box, cutoff, k_n=128,
+            interpret=True, e_fixed=e_fixed, w_chunks=w_chunks, jrow=True,
+        )
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    u0 = _neighbor_extract_pallas(
+        jnp.asarray(pos), jnp.asarray(sid), box, cutoff, k_n=128,
+        interpret=True, lean=True,
+    )
+    u1 = _neighbor_extract_pallas(
+        jnp.asarray(pos), jnp.asarray(sid), box, cutoff, k_n=128,
+        interpret=True, lean=True, jrow=True,
+    )
+    for x, y in zip(u0[1:], u1[1:]):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 @pytest.mark.parametrize(
     "sort,n_arcs", [("z", 1), ("brick", 6), ("brick3", 12)]
 )
