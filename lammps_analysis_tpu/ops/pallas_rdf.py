@@ -39,12 +39,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 # i-rows per grid step. Taller tiles amortise the per-tile j-row loads
 # and loop/index overhead: 8 -> 16 measured 1.11-1.12x, 16 -> 32 a
-# further 1.07-1.08x (benchmarks/rdf_gap_bounds.json ti16/ti32 arms;
-# interleaved same-run A/Bs, bit-identical histograms). The old flat
-# variant's 32-row scoped-VMEM ceiling (its (hi_pad + k, TI*TJ) bf16
-# one-hot pair) no longer binds under the rowwise tile body; see
-# benchmarks/rdf_rowwise_ti_ab.py for the taller-tile sweep.
-_TI = 32
+# further 1.07-1.08x (benchmarks/rdf_gap_bounds.json ti16/ti32 arms).
+# The old flat variant's 32-row scoped-VMEM ceiling (its
+# (hi_pad + k, TI*TJ) bf16 one-hot pair) no longer binds under the
+# rowwise tile body; the r5 sweep (benchmarks/rdf_rowwise_ti_ab.json,
+# interleaved) measured 32 -> 128 a further 1.055-1.063x at 10k/65k.
+# Numerical note: tile partitioning changes accumulation ORDER only —
+# bit-identical histograms wherever per-bin counts stay integer-exact
+# in f32 (< 2^24, e.g. the pinned 10240@f4 md5 workload); at 65k@f8
+# some bins exceed 2^24 and any tiling choice (incl. the XLA path)
+# rounds at ~1e-7 relative there.
+_TI = 128
 _TJ_MAX = 2048  # j-tile lanes
 
 
