@@ -287,15 +287,18 @@ def _neighbor_extract_pallas(
     drops one of the six VMEM scratch rows. Returns ``idx=None``.
 
     ``jrow`` (static, requires ``lean``): replace the four per-center
-    (tc, 128) value-scratch stores per chunk (dx/dy/dz/sid — the r4
-    e-curves proved the extract is bound by per-chunk stores/loads, not
-    extraction arithmetic) with four (1, 128) stores of the RAW j-side
-    values; the cleanup sweep picks the selected lane's j values
-    through the same one-hot mask and recomputes displacement +
-    minimum image on (tc, 1) vectors. Same formula on the same f32
-    inputs in the same order -> bit-identical outputs (pinned by
-    ``tests/test_pallas_adf.py``); per-chunk store traffic drops ~tc x
-    and the cleanup sweep reads 1 full-width scratch instead of 5.
+    (tc, 128) value-scratch stores per chunk (dx/dy/dz/sid) with four
+    (1, 128) stores of the RAW j-side values; the cleanup sweep picks
+    the selected lane's j values through the same one-hot mask and
+    recomputes displacement + minimum image on (tc, 1) vectors. Same
+    formula on the same f32 inputs in the same order -> bit-identical
+    outputs (pinned by ``tests/test_pallas_adf.py``). **Measured and
+    REFUTED as a perf lever** (r5, ``benchmarks/adf_jrow_ab.json``):
+    0.985-0.987x stage-1 at 10k/65k interleaved — the per-chunk value
+    stores the r4 attribution charged ~a third of the extract to are
+    in fact fully overlapped by Mosaic's scheduling; cutting their
+    traffic ~tc x buys nothing. Kept (default off) as the executable
+    form of that refutation.
     """
     f, n, _ = positions.shape
     assert lean or not jrow, "jrow requires lean mode (production path)"
