@@ -126,6 +126,25 @@ class SpatialDistributionFunction(TrajectoryCalculator):
                 strategy="auto",
             )
 
+        # native AVX host kernel on a CPU-only backend (same policy as
+        # RDF/ADF: ``config.native_cpu_kernels = False`` restores XLA).
+        # The shell selects ~0.2% of pairs at production workloads, so
+        # the native two-pass sweep (branchless d^2 scan + rare-branch
+        # angle/bin) measures 519 Mpairs/s vs 12.1 M for the jitted
+        # XLA-CPU batch (43x kernel-level; calculator e2e 128.5 vs 2159
+        # ms/frame at 10240 atoms — benchmarks/distinct_sdf_perf.json).
+        import jax as _jax
+
+        from ..ops import native_sdf
+        from ..utils.config import config as _config
+
+        use_native = (
+            _config.native_cpu_kernels
+            and _jax.default_backend() == "cpu"
+            and native_sdf.available()
+        )
+        box_np = np.asarray(exp.box_array, dtype=np.float32)
+
         hist = np.zeros((n_bins, n_bins), dtype=np.float64)
         path_a = join_path(sp_a, mp.positions.name)
         path_b = join_path(sp_b, mp.positions.name)
@@ -142,6 +161,15 @@ class SpatialDistributionFunction(TrajectoryCalculator):
                     [path_b], frames=fsel, dtype=np.float32
                 )[path_b]
             )
+            if use_native:
+                try:
+                    hist += native_sdf.sdf_histogram_native(
+                        pos_a, pos_b, box_np, a["r_min"], a["r_max"],
+                        n_bins, sp_a == sp_b,
+                    )
+                    continue
+                except RuntimeError:
+                    use_native = False  # fall through to XLA for the rest
             pb_j = jnp.asarray(pos_b)
             for a0 in range(0, n_a, a_block):
                 pa_j = jnp.asarray(pos_a[:, a0 : a0 + a_block])
