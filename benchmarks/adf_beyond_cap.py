@@ -32,8 +32,8 @@ sys.path.insert(0, str(HERE.parent))
 
 CUTOFF = 3.6
 N_BINS = 500
-N_BEYOND = 393216
-N_AT_CAP = 262144
+N_BEYOND = 655360
+N_AT_CAP = 524288
 
 
 def probe():
@@ -84,7 +84,7 @@ def measure(n_atoms):
     def run():
         return sharded_adf_histogram(
             pos, sid, jnp.asarray(ttab), jnp.asarray(box_np),
-            cutoff=CUTOFF, n_bins=N_BINS, n_species=2,
+            cutoff=CUTOFF, n_bins=N_BINS, n_triples=n_triples,
         )
 
     t0 = time.perf_counter()

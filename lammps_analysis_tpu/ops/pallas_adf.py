@@ -194,11 +194,17 @@ _JROW_DEFAULT = False
 
 _JCAP = 16384  #: max padded atom count routed to this kernel (VMEM keys row)
 #: cap for the WINDOW-relative-scratch variant: the scratches scale with
-#: the window bound (not N), so only the (1, N) j-rows grow with N.
-#: Measured on v5e at the serpentine-brick sort (2026-08-18 session):
-#: 131072 atoms 194.6 ms/frame vs 1032.6 via cells (5.3x), 262144 atoms
-#: 343 ms/frame at this cap's edge — cells only win beyond it.
-_JCAP_WINDOWED = 262144
+#: the window bound (not N), so only the (1, N) j-rows grow with N
+#: (4 rows x n_pad x 4 B = 8.4 MB of scoped VMEM at this cap).
+#: Measured on v5e at the serpentine-brick sort: 131072 atoms 194.6
+#: ms/frame vs 1032.6 via cells (2026-08-18); the r5 handoff measurement
+#: (benchmarks/large_n_scaling.json::adf_beyond_cap) showed the old
+#: 262144 cap was never a real limit — windowed 450.4 ms/frame at
+#: 393216 and 583.2 at 524288 vs the cells route's 12217 at 393216
+#: (27x) — so the cap now sits at the largest VERIFIED-on-hardware
+#: size; cells only engage above it (they remain the only route whose
+#: VMEM footprint is N-independent).
+_JCAP_WINDOWED = 524288
 _EMPTY = 3.0e7  # key for non-neighbor lanes
 _TAKEN = 6.0e7  # key for already-extracted lanes
 
