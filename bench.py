@@ -557,6 +557,26 @@ def main():
             )
     except Exception as err:  # pragma: no cover
         extras["rdf_65k_error"] = str(err)[:120]
+    try:
+        import jax
+
+        if jax.default_backend() == "tpu":
+            # small-system probe: tile-overhead-bound regime (the r5
+            # rowwise+TI=128 chain took it 6.5 -> 10.6 Gpairs/s at the
+            # kernel level; this row guards that win). 64-frame calls:
+            # at 32 frames the 67 Mpair workload was DISPATCH-bound over
+            # the tunnel and read 5.7 G (production-path caveat noted in
+            # the README small-system row)
+            extras["rdf_2048_gpairs_per_s"] = round(
+                measure_rdf_pairs_per_s(
+                    n_atoms=2048, n_frames=64, n_bins=500, repeats=6,
+                    consistency_check=False,
+                )
+                / 1e9,
+                2,
+            )
+    except Exception as err:  # pragma: no cover
+        extras["rdf_2048_error"] = str(err)[:120]
     extras.update(_CONSISTENCY)
     try:
         # roofline context (benchmarks/roofline.py): fraction of the
