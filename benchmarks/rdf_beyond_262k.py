@@ -57,9 +57,13 @@ def main():
     from lammps_analysis_tpu.parallel.sharded_ops import sharded_rdf_histogram
 
     # epoch probe (CLAUDE.md discipline: numbers are only meaningful with
-    # the tunnel health recorded alongside)
-    t0 = time.perf_counter()
+    # the tunnel health recorded alongside); backend init + first-call
+    # compile are drained first so the probe measures the tunnel, not
+    # process startup
+    jax.devices()
     x = jnp.ones((512, 512), jnp.float32)
+    np.asarray(x @ x)
+    t0 = time.perf_counter()
     np.asarray(x @ x)
     probe_s = time.perf_counter() - t0
 

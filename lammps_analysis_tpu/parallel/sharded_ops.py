@@ -31,6 +31,33 @@ def _n_mesh_devices(mesh) -> int:
 # module-level so tests can exercise the XLA fallback at small N
 PALLAS_RDF_VMEM_BUDGET = 60 * 2**20
 
+# Largest atom count (after kernel padding) hardware-verified through the
+# fused Pallas kernel at one frame per call: 20.69 / 20.78 Gpairs/s at
+# 393216 / 524288 on v5e (benchmarks/large_n_scaling.json::rdf_large_n),
+# matching the ADF windowed route's verified maximum. A single frame's
+# VMEM-resident rows are only n*4*8 bytes (16.8 MB at this cap, of the
+# 128 MB device VMEM; the kernel's scoped scratch is N-independent), so
+# the binding constraint is verification, not the budget model below.
+PALLAS_RDF_SINGLE_FRAME_N_MAX = 524288
+
+
+def pallas_rdf_frames_per_call(n_padded: int) -> int:
+    """Frames per fused-kernel call for a system padded to ``n_padded``.
+
+    0 means even one frame is beyond the verified envelope — the caller
+    must use the HBM-tiled XLA kernel. The many-frame sizing keeps 16x
+    headroom over the raw (F, N) row bytes for histogram scratch and
+    working tiles (32 frames at 10k atoms); below its floor, a
+    single-frame call is still safe up to the hardware-verified cap
+    (the 16x model is sized for many-frame batching, not a bound on one
+    frame: at 393k one frame's rows are 12.6 MB resident while the model
+    charges 75 MB — routing to the XLA fallback there crashed the TPU
+    worker, found measuring large-N scaling in r5)."""
+    f_max = min(128, int(PALLAS_RDF_VMEM_BUDGET // (3 * n_padded * 4 * 16)))
+    if f_max < 1 and n_padded <= PALLAS_RDF_SINGLE_FRAME_N_MAX:
+        return 1
+    return f_max
+
 
 def _rdf_backend_kernel(
     pair_table, box, cutoff, n_bins, n_pairs, i_block, use_pallas
@@ -56,16 +83,10 @@ def _rdf_backend_kernel(
             # system pads to 256; compile-time scoped-vmem OOM otherwise)
             n = padded_atom_count(pos.shape[1])
             f = pos.shape[0]
-            # 16x headroom over the raw row bytes leaves scoped VMEM for
-            # the histogram scratch and working tiles (32 frames at 10k)
-            f_max = min(
-                128, int(PALLAS_RDF_VMEM_BUDGET // (3 * n * 4 * 16))
-            )
+            f_max = pallas_rdf_frames_per_call(n)
             if f_max < 1:
-                # even one frame's VMEM-resident rows would blow the
-                # budget (padded N > ~300k): use the HBM-tiled XLA kernel
-                # (the fused kernel is measured working and 11.9 Gpairs/s
-                # at 65k atoms since the column-operand elimination)
+                # beyond the verified single-frame envelope (padded
+                # N > 524288): use the HBM-tiled XLA kernel
                 return rdf_ops.rdf_histogram(
                     pos, sid, _ptab, _box, cutoff=cutoff, n_bins=n_bins,
                     n_pairs=n_pairs, i_block=i_block,

@@ -140,9 +140,11 @@ def test_rdf_2d_mesh_matches_1d(system):
 
 
 def test_rdf_pallas_vmem_fallback(system, monkeypatch):
-    """When a single frame exceeds the Pallas VMEM budget the backend must
-    silently fall back to the XLA kernel (exercised here by shrinking the
-    budget; in production this is the padded-N > ~300k regime)."""
+    """Beyond the verified single-frame envelope the backend must
+    silently fall back to the XLA kernel (exercised here by shrinking
+    the budget AND the single-frame cap; in production this is the
+    padded-N > 524288 regime — below it a single frame always routes to
+    the fused kernel, see test_rdf_frames_per_call_covers_verified_large_n)."""
     from lammps_analysis_tpu.parallel import sharded_ops
 
     sid, n_pad, ptab, n_pairs, pos, box = system
@@ -154,6 +156,7 @@ def test_rdf_pallas_vmem_fallback(system, monkeypatch):
         )
     )
     monkeypatch.setattr(sharded_ops, "PALLAS_RDF_VMEM_BUDGET", 1)
+    monkeypatch.setattr(sharded_ops, "PALLAS_RDF_SINGLE_FRAME_N_MAX", 0)
     with use_mesh(make_data_mesh(1)):
         h = np.asarray(
             sharded_rdf_histogram(
@@ -575,6 +578,27 @@ def test_adf_routing_flips_to_cells_above_cap():
     assert beyond.use_cells, (
         "auto route must flip to cells above the windowed cap"
     )
+
+
+def test_rdf_frames_per_call_covers_verified_large_n():
+    """The fused-kernel chunker must keep serving single-frame calls up
+    to the hardware-verified 524288-atom cap (the 16x many-frame VMEM
+    model floors to 0 above ~320k and the old code then routed to the
+    XLA fallback, which crashed the TPU worker at 393216 — r5 large-N
+    measurement), and fall back to XLA only beyond the cap."""
+    from lammps_analysis_tpu.parallel.sharded_ops import (
+        PALLAS_RDF_SINGLE_FRAME_N_MAX,
+        pallas_rdf_frames_per_call,
+    )
+
+    assert pallas_rdf_frames_per_call(10240) == 32  # many-frame regime
+    assert pallas_rdf_frames_per_call(262144) == 1
+    assert pallas_rdf_frames_per_call(393216) == 1  # the crash size
+    assert pallas_rdf_frames_per_call(PALLAS_RDF_SINGLE_FRAME_N_MAX) == 1
+    assert (
+        pallas_rdf_frames_per_call(PALLAS_RDF_SINGLE_FRAME_N_MAX + 2048)
+        == 0
+    )  # beyond the verified envelope: XLA fallback
 
 
 # ------------------------------------------- calculator-level equality
