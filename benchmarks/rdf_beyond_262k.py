@@ -30,7 +30,8 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 # (n_atoms, frames_per_call): call heights shrink as N^2 work grows so
 # every timed call stays in the tall-call regime (>1e10 pairs/call)
 # without exceeding ~15 s/call.
-SIZES = [(131072, 4), (262144, 2), (393216, 1), (524288, 1)]
+SIZES = [(131072, 4), (262144, 2), (393216, 1), (524288, 1),
+         (786432, 1), (1048576, 1)]
 DENSITY = 65536 / 80.0**3
 
 
@@ -110,7 +111,10 @@ def main():
             "production route (parallel.sharded_ops), O(N^2) masked Pallas "
             "tiles, 500 bins, cutoff ~box/2; box scaled to hold the 65k "
             "row's density. 393216/524288 match the ADF windowed route's "
-            "hardware-verified maximum (adf_beyond_cap)."
+            "hardware-verified maximum (adf_beyond_cap); 786432/1048576 "
+            "verify the raised PALLAS_RDF_SINGLE_FRAME_N_MAX envelope "
+            "(one frame's VMEM rows are 33.5 MB at 1M — the >320k XLA "
+            "fallback crash found by this script is unreachable below it)."
         ),
     }
     path.write_text(json.dumps(doc, indent=1))

@@ -32,13 +32,13 @@ def _n_mesh_devices(mesh) -> int:
 PALLAS_RDF_VMEM_BUDGET = 60 * 2**20
 
 # Largest atom count (after kernel padding) hardware-verified through the
-# fused Pallas kernel at one frame per call: 20.69 / 20.78 Gpairs/s at
-# 393216 / 524288 on v5e (benchmarks/large_n_scaling.json::rdf_large_n),
-# matching the ADF windowed route's verified maximum. A single frame's
-# VMEM-resident rows are only n*4*8 bytes (16.8 MB at this cap, of the
+# fused Pallas kernel at one frame per call: flat 20.6-20.9 Gpairs/s at
+# 393216 / 524288 / 786432 / 1048576 on v5e
+# (benchmarks/large_n_scaling.json::rdf_large_n). A single frame's
+# VMEM-resident rows are only n*4*8 bytes (33.5 MB at this cap, of the
 # 128 MB device VMEM; the kernel's scoped scratch is N-independent), so
 # the binding constraint is verification, not the budget model below.
-PALLAS_RDF_SINGLE_FRAME_N_MAX = 524288
+PALLAS_RDF_SINGLE_FRAME_N_MAX = 1048576
 
 
 def pallas_rdf_frames_per_call(n_padded: int) -> int:

@@ -143,7 +143,7 @@ def test_rdf_pallas_vmem_fallback(system, monkeypatch):
     """Beyond the verified single-frame envelope the backend must
     silently fall back to the XLA kernel (exercised here by shrinking
     the budget AND the single-frame cap; in production this is the
-    padded-N > 524288 regime — below it a single frame always routes to
+    padded-N > 1048576 regime — below it a single frame always routes to
     the fused kernel, see test_rdf_frames_per_call_covers_verified_large_n)."""
     from lammps_analysis_tpu.parallel import sharded_ops
 
@@ -582,7 +582,7 @@ def test_adf_routing_flips_to_cells_above_cap():
 
 def test_rdf_frames_per_call_covers_verified_large_n():
     """The fused-kernel chunker must keep serving single-frame calls up
-    to the hardware-verified 524288-atom cap (the 16x many-frame VMEM
+    to the hardware-verified 1048576-atom cap (the 16x many-frame VMEM
     model floors to 0 above ~320k and the old code then routed to the
     XLA fallback, which crashed the TPU worker at 393216 — r5 large-N
     measurement), and fall back to XLA only beyond the cap."""
