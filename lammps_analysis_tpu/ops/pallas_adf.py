@@ -201,10 +201,13 @@ _JCAP = 16384  #: max padded atom count routed to this kernel (VMEM keys row)
 #: (benchmarks/large_n_scaling.json::adf_beyond_cap) showed the old
 #: 262144 cap was never a real limit — windowed 450.4 ms/frame at
 #: 393216 and 583.2 at 524288 vs the cells route's 12217 at 393216
-#: (27x) — so the cap now sits at the largest VERIFIED-on-hardware
+#: (27x), then the r5 close-out extended the verified envelope to
+#: 913.0 at 786432 and 1572.5 at 1048576 (j-rows 16.8 MB of scoped
+#: VMEM at 1M; near-linear in N because the per-center window is
+#: density-bound) — so the cap sits at the largest VERIFIED-on-hardware
 #: size; cells only engage above it (they remain the only route whose
 #: VMEM footprint is N-independent).
-_JCAP_WINDOWED = 524288
+_JCAP_WINDOWED = 1048576
 _EMPTY = 3.0e7  # key for non-neighbor lanes
 _TAKEN = 6.0e7  # key for already-extracted lanes
 
