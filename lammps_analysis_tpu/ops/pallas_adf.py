@@ -19,7 +19,8 @@ unique-j keys guarantee a single matching lane). Leftovers are swept by
 one dynamically-bounded full-scratch pass. The production route z-sorts
 each frame first (``sorted_neighbor_extract``): a per-block circular
 chunk WINDOW then bounds the sweep to the ~2*cutoff slab, the scratches
-shrink to the window bound (which is what lifts the atom cap to 262144),
+shrink to the window bound (which is what lifts the atom cap to
+1048576 verified atoms),
 and center STRIPES of the sorted order shard over a mesh axis
 (``sorted_neighbor_extract_stripe``). The kernel emits the finished
 neighbor tensors; there is no XLA gather or post-processing (sorted

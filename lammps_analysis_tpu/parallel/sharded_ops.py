@@ -86,7 +86,7 @@ def _rdf_backend_kernel(
             f_max = pallas_rdf_frames_per_call(n)
             if f_max < 1:
                 # beyond the verified single-frame envelope (padded
-                # N > 524288): use the HBM-tiled XLA kernel
+                # N > PALLAS_RDF_SINGLE_FRAME_N_MAX): use the HBM-tiled XLA kernel
                 return rdf_ops.rdf_histogram(
                     pos, sid, _ptab, _box, cutoff=cutoff, n_bins=n_bins,
                     n_pairs=n_pairs, i_block=i_block,
@@ -286,8 +286,9 @@ class _AdfPlan:
         # make them SLOWER until very large N (171-244 vs 119 ms/frame at
         # 10k for the masked top_k; the windowed sorted extract measured
         # 32 vs 1470 ms/frame at 32k; brick extract 194.6 vs 1032.6 at
-        # 131k) — with the Pallas sorted route available they only engage
-        # above its 262144-atom cap.
+        # 131k; 913/1572 ms at 786k/1M vs a ~20-30 s cells extrapolation) —
+        # with the Pallas sorted route available they only engage above
+        # its verified cap (_JCAP_WINDOWED).
         cells_floor = _JCAP_WINDOWED if use_pallas else 32768
         self.use_cells = n_avail > cells_floor and cell_lists_applicable(
             box_np, float(cutoff)
