@@ -577,6 +577,26 @@ def main():
             )
     except Exception as err:  # pragma: no cover
         extras["rdf_2048_error"] = str(err)[:120]
+    try:
+        import jax
+
+        if jax.default_backend() == "tpu":
+            # 1M-atom envelope guard (r5 close-out): the production route
+            # serves single-frame fused calls to PALLAS_RDF_SINGLE_FRAME_
+            # N_MAX = 1048576 (flat ~20.9 Gpairs/s; 26.3 s/frame). Regressing
+            # this row means the routing fix or the kernel envelope broke.
+            # consistency_check stays False: the XLA reference kernel is
+            # exactly the fallback that crashed the worker at this size.
+            extras["rdf_1048576_gpairs_per_s"] = round(
+                measure_rdf_pairs_per_s(
+                    n_atoms=1048576, n_frames=1, n_bins=500, repeats=1,
+                    consistency_check=False,
+                )
+                / 1e9,
+                2,
+            )
+    except Exception as err:  # pragma: no cover
+        extras["rdf_1m_error"] = str(err)[:120]
     extras.update(_CONSISTENCY)
     try:
         # roofline context (benchmarks/roofline.py): fraction of the
